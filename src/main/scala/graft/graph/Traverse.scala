@@ -1,0 +1,127 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded variable-length traversal — the engine's core graph operator.
+  *
+  * Re-expresses the reference's recursive constructs Spark-first:
+  *   - PostgreSQL `WITH RECURSIVE` delegation chains
+  *     (reference: demo_did_graph/common/bench_utils.py:9-34)
+  *   - Cypher var-length `-[:DELEGATES*1..d]->` patterns
+  *     (reference: demo_did_graph/01_multi_layer/benchmark_scenario_c.py:47-53)
+  *   - Web-of-trust path counting `*1..L`
+  *     (reference: demo_did_graph/04_web_of_trust/benchmark_scenario_a.py:214-224)
+  *   - ABAC reachability
+  *     (reference: demo_did_graph/04_web_of_trust/benchmark_scenario_a.py:267-278)
+  *
+  * Semantics (deliberately identical to the reference):
+  *   - **Bag / path semantics**: `UNION ALL`, no dedup, no visited set. One
+  *     output row per distinct *path* of length 1..maxDepth. A cyclic graph
+  *     duplicates rows exactly as PostgreSQL's RecursiveUnion does; the only
+  *     termination guarantee is the depth bound.
+  *   - The seed rows themselves (level 0) are not emitted.
+  *
+  * Execution model / scale design:
+  *   - The edge table is the big, reused side: it is `.cache()`d once
+  *     (Spark's cache manager dedupes by logical plan, so repeated calls over
+  *     the same edges reuse one materialization). On a real cluster the edge
+  *     dataset should additionally be pre-partitioned by the parent column
+  *     (`repartition($"parent")` or bucketed storage) so each per-level join
+  *     shuffles only the frontier — the frontier is typically orders of
+  *     magnitude smaller than the edge set, and AQE will broadcast it when it
+  *     fits, making each level a shuffle-free broadcast-hash join against the
+  *     cached edges.
+  *   - Each level is one join stage. The accumulated plan grows linearly with
+  *     depth, so the frontier is `localCheckpoint`ed every `checkpointEvery`
+  *     levels to truncate lineage (reference depths reach 16:
+  *     demo_did_graph/02_topology_dynamic/benchmark_scenario_a.py:111).
+  *   - `earlyExit` stops expanding when a frontier is empty (fixpoint before
+  *     the bound). The emptiness probe is piggybacked on the eager
+  *     localCheckpoint so it does not add a second job per level.
+  *
+  * Contract:
+  *   - `edges` must have `parentCol` and `childCol`; any *other* column of
+  *     `edges` is treated as per-edge payload and emitted on each output row
+  *     (describing the last edge of the path — e.g. `child_type` for the
+  *     role-tagged expansion of benchmark_scenario_a.py:48-66).
+  *   - `seed` must have `nodeCol`; any other column of `seed` is a carry
+  *     column propagated unchanged to every path row (e.g. the path origin
+  *     for path-count queries). Carry names must not collide with payload
+  *     names.
+  *   - Output columns: carry ++ payload ++ `nodeCol` (the path endpoint) ++
+  *     `lvl` (path length, 1-based).
+  */
+object Traverse {
+
+  def expand(
+      seed: DataFrame,
+      edges: DataFrame,
+      maxDepth: Int,
+      parentCol: String = "parent",
+      childCol: String = "child",
+      nodeCol: String = "node",
+      earlyExit: Boolean = true,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+
+    val payloadCols = edges.columns.filterNot(c => c == parentCol || c == childCol).toSeq
+    val carryCols = seed.columns.filterNot(_ == nodeCol).toSeq
+    val overlap = carryCols.intersect(payloadCols)
+    require(overlap.isEmpty, s"seed carry columns collide with edge payload columns: $overlap")
+
+    // Cache the reused side once; rename join columns to avoid capture.
+    val e = edges
+      .withColumnRenamed(parentCol, "__parent")
+      .withColumnRenamed(childCol, "__child")
+      .cache()
+
+    var frontier = seed // carry ++ node
+    val levels = Seq.newBuilder[DataFrame]
+    var lvl = 1
+    var done = false
+    while (lvl <= maxDepth && !done) {
+      val joined = frontier.alias("f")
+        .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))
+      val outCols =
+        carryCols.map(c => col(s"f.$c")) ++
+        payloadCols.map(c => col(s"e.$c")) ++
+        Seq(col("e.__child").as(nodeCol), lit(lvl).as("lvl"))
+      levels += joined.select(outCols: _*)
+
+      if (lvl < maxDepth) {
+        var next = joined.select(
+          (carryCols.map(c => col(s"f.$c")) :+ col("e.__child").as(nodeCol)): _*)
+        if (checkpointEvery > 0 && lvl % checkpointEvery == 0) {
+          // Eager checkpoint truncates lineage AND materializes the frontier,
+          // so the emptiness probe below is nearly free.
+          next = next.localCheckpoint(true)
+          if (earlyExit && next.isEmpty) done = true
+        }
+        frontier = next
+      }
+      lvl += 1
+    }
+    levels.result().reduce(_ union _) // UNION ALL — bag semantics, like the reference
+  }
+
+  /** Path-count between a single source and a single target within `maxLen`
+    * hops: the web-of-trust shape (reference:
+    * demo_did_graph/04_web_of_trust/benchmark_scenario_d.py:200-203 counts
+    * one row per path — duplicates kept).
+    */
+  def pathCount(
+      edges: DataFrame,
+      source: String,
+      target: String,
+      maxLen: Int,
+      parentCol: String = "parent",
+      childCol: String = "child"): Long = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seed = Seq(source).toDF("node")
+    expand(seed, edges, maxLen, parentCol, childCol)
+      .filter(col("node") === target)
+      .count()
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import graft.graph.{GraphData, Traverse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recursion / variable-length traversal family (SURVEY.md §2.3 J7-J11 and
+  * §2.5 R1-R5) over the graph encodings in [[graft.graph.GraphData]], each
+  * with a recursive-CTE DuckDB oracle on the same parquet tables.
+  *
+  * All traversals use [[graft.graph.Traverse.expand]] — bag/path semantics
+  * (UNION ALL, no dedup) exactly like the reference's `WITH RECURSIVE` and
+  * Cypher `*1..d` constructs.
+  */
+object GraphQueries {
+
+  /** Shared oracle fragment: the hierarchy edge list (must stay in lockstep
+    * with GraphData.hierarchyEdges).
+    */
+  private val edgesCte =
+    """edges AS (
+      |  SELECT 'R' || n_regionkey AS parent, 'N' || n_nationkey AS child, 'Nation' AS child_type FROM nation
+      |  UNION ALL SELECT 'N' || c_nationkey, 'C' || c_custkey, 'Customer' FROM customer
+      |  UNION ALL SELECT 'C' || o_custkey, 'O' || o_orderkey, 'Order' FROM orders
+      |  UNION ALL SELECT 'O' || l_orderkey, 'L' || l_orderkey || '_' || l_linenumber, 'Line' FROM lineitem
+      |)""".stripMargin
+
+  private def seed(spark: SparkSession, node: String): DataFrame = {
+    import spark.implicits._
+    Seq(node).toDF("node")
+  }
+
+  /** R1: recursive delegation chain from one root, per-level path counts
+    * (reference: demo_did_graph/common/bench_utils.py:9-34).
+    */
+  def r1ChainLevels(spark: SparkSession, d: String): DataFrame =
+    Traverse.expand(seed(spark, "R0"),
+        GraphData.hierarchyEdges(spark, d).drop("child_type"), maxDepth = 3)
+      .groupBy(col("lvl")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lvl"))
+
+  /** R2: Cypher-style var-length `*1..4` with endpoint label filter
+    * (reference: demo_did_graph/01_multi_layer/benchmark_scenario_c.py:47-53).
+    */
+  def r2VarlenEndpoint(spark: SparkSession, d: String): DataFrame =
+    Traverse.expand(seed(spark, "R0"),
+        GraphData.hierarchyEdges(spark, d), maxDepth = 4)
+      .filter(col("child_type") === "Line")
+      .agg(count(lit(1)).as("n"))
+
+  /** R5: role-tagged full-hierarchy expansion — carries the edge's
+    * `child_type` payload, counts per (role, lvl)
+    * (reference: demo_did_graph/01_multi_layer/benchmark_scenario_a.py:48-66).
+    */
+  def r5RoleTagged(spark: SparkSession, d: String): DataFrame =
+    Traverse.expand(seed(spark, "R0"),
+        GraphData.hierarchyEdges(spark, d), maxDepth = 4)
+      .groupBy(col("child_type"), col("lvl")).agg(count(lit(1)).as("n"))
+      .orderBy(col("child_type"), col("lvl"))
+
+  /** J8/Q4 (flagship): var-length path to the drone level, then reverse
+    * expand to the asserting "VC" — here: orders reached from region R0,
+    * joined back to their lineitems, counted
+    * (reference: `(hq)-[:DELEGATES*1..d]->(dr:Drone)<-[:ASSERTS]-(v:VC)`,
+    * demo_did_graph/01_multi_layer/benchmark_scenario_c.py:47-53).
+    */
+  def j8HierVcCount(spark: SparkSession, d: String): DataFrame = {
+    val drones = Traverse.expand(seed(spark, "R0"),
+        GraphData.hierarchyEdges(spark, d), maxDepth = 3)
+      .filter(col("child_type") === "Order")
+      .select(col("node"))
+    val vc = Tables.lineitem(spark, d)
+      .select(concat(lit("O"), col("l_orderkey").cast("string")).as("onode"))
+    drones.join(vc, drones("node") === vc("onode"))
+      .agg(count(lit(1)).as("vc_count"))
+  }
+
+  /** J7: fixed 2-hop graph pattern (Issuer -ISSUED-> VC -ASSERTS-> Subject
+    * analog: nation -> customer -> order), counted per nation
+    * (reference: demo_did_graph/scripts/traversal_verify.py:119-122).
+    */
+  def j7TwoHop(spark: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(spark, d)
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
+  /** R3/J9: web-of-trust path count source→anchor within L hops, bag
+    * semantics (reference: demo_did_graph/04_web_of_trust/
+    * benchmark_scenario_d.py:200-203 — `count(path)`).
+    * Chain shape makes the answer 1 iff dist(source, anchor) <= L.
+    */
+  def r3WotPathCount(spark: SparkSession, d: String): DataFrame =
+    Traverse.expand(seed(spark, "E0"), GraphData.trustChain(spark, d),
+        maxDepth = 20)
+      .filter(col("node") === "E15")
+      .agg(count(lit(1)).as("n_paths"))
+
+  /** R4/J10: ABAC permission decision — member hop, bounded subgroup walk,
+    * permission join, per-user path count (reference SQL twin:
+    * demo_did_graph/04_web_of_trust/benchmark_scenario_a.py:267-278).
+    * Users whose group chain cannot reach the permission-holding top group
+    * within the bound produce no row (decision = deny).
+    */
+  def r4AbacDecision(spark: SparkSession, d: String): DataFrame = {
+    val member = GraphData.abacMember(spark, d)
+      .filter(col("user_id").isin("C0", "C7", "C13", "C42"))
+      .select(col("user_id"), col("group_id").as("node"))
+    val reach = member.withColumn("lvl", lit(0))
+      .union(Traverse.expand(member, GraphData.abacSubgroup(spark, d),
+        maxDepth = 10))
+    val perm = GraphData.abacPermission(spark, d)
+      .filter(col("resource_id") === "RES0")
+    reach.join(perm, reach("node") === perm("group_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** J11: zero-hop cross pattern — cartesian of two point lookups producing
+    * a new edge row (reference: `MATCH (hq),(d) CREATE (hq)-[:DELEGATES]->(d)`,
+    * demo_did_graph/02_topology_dynamic/benchmark_scenario_c.py:58-64).
+    */
+  def j11EdgeCreate(spark: SparkSession, d: String): DataFrame = {
+    val hq = Tables.region(spark, d).filter(col("r_regionkey") === 0)
+      .select(concat(lit("R"), col("r_regionkey").cast("string")).as("parent"))
+    val drone = Tables.customer(spark, d).filter(col("c_custkey") === 5)
+      .select(concat(lit("C"), col("c_custkey").cast("string")).as("child"))
+    hq.crossJoin(drone).withColumn("label", lit("DELEGATES"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_chain_levels" -> r1ChainLevels,
+    "r2_varlen_endpoint" -> r2VarlenEndpoint,
+    "r5_role_tagged" -> r5RoleTagged,
+    "j8_hier_vc_count" -> j8HierVcCount,
+    "j7_two_hop" -> j7TwoHop,
+    "r3_wot_path_count" -> r3WotPathCount,
+    "r4_abac_decision" -> r4AbacDecision,
+    "j11_edge_create" -> j11EdgeCreate)
+
+  val oracles: Map[String, String] = Map(
+    "r1_chain_levels" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |chain AS (
+        |  SELECT child AS node, 1 AS lvl FROM edges WHERE parent = 'R0'
+        |  UNION ALL
+        |  SELECT e.child, c.lvl + 1 FROM chain c JOIN edges e ON e.parent = c.node
+        |  WHERE c.lvl < 3
+        |)
+        |SELECT lvl, count(*) AS n FROM chain GROUP BY lvl ORDER BY lvl""".stripMargin,
+    "r2_varlen_endpoint" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |chain AS (
+        |  SELECT child AS node, child_type, 1 AS lvl FROM edges WHERE parent = 'R0'
+        |  UNION ALL
+        |  SELECT e.child, e.child_type, c.lvl + 1 FROM chain c JOIN edges e ON e.parent = c.node
+        |  WHERE c.lvl < 4
+        |)
+        |SELECT count(*) AS n FROM chain WHERE child_type = 'Line'""".stripMargin,
+    "r5_role_tagged" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |chain AS (
+        |  SELECT child AS node, child_type, 1 AS lvl FROM edges WHERE parent = 'R0'
+        |  UNION ALL
+        |  SELECT e.child, e.child_type, c.lvl + 1 FROM chain c JOIN edges e ON e.parent = c.node
+        |  WHERE c.lvl < 4
+        |)
+        |SELECT child_type, lvl, count(*) AS n FROM chain
+        |GROUP BY child_type, lvl ORDER BY child_type, lvl""".stripMargin,
+    "j8_hier_vc_count" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |chain AS (
+        |  SELECT child AS node, child_type, 1 AS lvl FROM edges WHERE parent = 'R0'
+        |  UNION ALL
+        |  SELECT e.child, e.child_type, c.lvl + 1 FROM chain c JOIN edges e ON e.parent = c.node
+        |  WHERE c.lvl < 3
+        |)
+        |SELECT count(*) AS vc_count
+        |FROM chain JOIN lineitem ON chain.node = 'O' || l_orderkey
+        |WHERE chain.child_type = 'Order'""".stripMargin,
+    "j7_two_hop" ->
+      """SELECT n_name, count(*) AS n
+        |FROM nation
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "r3_wot_path_count" ->
+      """WITH RECURSIVE trust AS (
+        |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
+        |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |),
+        |paths AS (
+        |  SELECT child AS node, 1 AS lvl FROM trust WHERE parent = 'E0'
+        |  UNION ALL
+        |  SELECT t.child, p.lvl + 1 FROM paths p JOIN trust t ON t.parent = p.node
+        |  WHERE p.lvl < 20
+        |)
+        |SELECT count(*) AS n_paths FROM paths WHERE node = 'E15'""".stripMargin,
+    "r4_abac_decision" ->
+      """WITH RECURSIVE member AS (
+        |  SELECT 'C' || c_custkey AS user_id, 'G' || c_nationkey AS group_id
+        |  FROM customer WHERE 'C' || c_custkey IN ('C0','C7','C13','C42')
+        |),
+        |sub AS (
+        |  SELECT 'G' || a.n_nationkey AS parent, 'G' || b.n_nationkey AS child
+        |  FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+        |),
+        |reach AS (
+        |  SELECT user_id, group_id AS node, 0 AS lvl FROM member
+        |  UNION ALL
+        |  SELECT r.user_id, s.child, r.lvl + 1 FROM reach r JOIN sub s ON s.parent = r.node
+        |  WHERE r.lvl < 10
+        |),
+        |perm AS (
+        |  SELECT 'G' || (SELECT max(n_nationkey) FROM nation) AS group_id,
+        |         'RES' || r_regionkey AS resource_id
+        |  FROM region
+        |)
+        |SELECT user_id, count(*) AS n
+        |FROM reach JOIN perm ON perm.group_id = reach.node
+        |WHERE perm.resource_id = 'RES0'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "j11_edge_create" ->
+      """SELECT 'R' || r_regionkey AS parent, 'C' || c_custkey AS child,
+        |  'DELEGATES' AS label
+        |FROM region CROSS JOIN customer
+        |WHERE r_regionkey = 0 AND c_custkey = 5""".stripMargin)
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator family (SURVEY.md §2.1-2.4, 2.6-2.7) exercised over
+  * the driver test tables, each with a DuckDB oracle.
+  *
+  * Determinism rules (oracle hash-matches across engines):
+  *   - Money aggregates are summed as DECIMAL(18,2) (exact, order
+  *     independent) and cast back to DOUBLE at the end; plain double sums
+  *     differ across summation orders.
+  *   - Every query ends in an ORDER BY on a unique key so row order is
+  *     engine-independent.
+  */
+object RelQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** S1+P1+P2+P3: filtered projection, pushed into the parquet scan. */
+  def s1ScanFilter(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P6: DISTINCT (reference: SELECT DISTINCT from_did FROM web_trust). */
+  def p6Distinct(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** P7: set membership (reference: drone_id = ANY(%s)). */
+  def p7SetMembership(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** A1: global COUNT(*). */
+  def a1Count(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).agg(count(lit(1)).as("n"))
+
+  /** A2-ish + the only GROUP-BY-shaped agg: per-flag rollup of lineitem
+    * (partial+final HashAggregate; map-side combine at scale).
+    */
+  def q1Agg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J3: join + filter + count (reference: mission count under hierarchy). */
+  def j3JoinFilterCount(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** J5: 3-way FK join (lineitem ⋈ orders ⋈ customer), dims broadcast. */
+  def j5ThreeWayJoin(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** A4/A6: latency-stats shape — exact percentiles + moments. stddev is
+    * computed from exact integer-valued sums (not `stddev()`, whose
+    * float accumulation order differs across engines).
+    */
+  def a4Percentiles(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    l.agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95"),
+        percentile(col("l_quantity"), lit(0.99)).as("p99"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("p50"), col("p95"), col("p99"), col("qmin"), col("qmax"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("sd"),
+        col("n"))
+  }
+
+  /** O1/O2: full ordering by key (CDC drain order analog). */
+  def o1OrderBy(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** O3: adjacent-gap latency series — the reference's only
+    * window-function-shaped computation (client-side diff at
+    * demo_sqlite_cdc/02_benchmark/01_local_cdc_capture.py:111-117) as
+    * `lag` over an ordered window. A single global window does not scale —
+    * noted: at 100 TB this would be windowed per shard/day; here it mirrors
+    * the reference's single ordered log.
+    */
+  def o3LagGaps(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_id"), col("ts"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .select(col("event_id"),
+        (unix_millis(col("ts")) - col("prev_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.7: UNION ALL (the only set op in the reference). */
+  def setUnionAll(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val a = e.filter(col("event_type") === "signup").select(col("user_id"))
+    val b = e.filter(col("event_type") === "click").select(col("user_id"))
+    a.union(b)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_filter" -> s1ScanFilter,
+    "p6_distinct" -> p6Distinct,
+    "p7_set_membership" -> p7SetMembership,
+    "a1_count" -> a1Count,
+    "q1_agg" -> q1Agg,
+    "j3_join_filter_count" -> j3JoinFilterCount,
+    "j5_three_way_join" -> j5ThreeWayJoin,
+    "a4_percentiles" -> a4Percentiles,
+    "o1_order_by" -> o1OrderBy,
+    "o3_lag_gaps" -> o3LagGaps,
+    "set_union_all" -> setUnionAll)
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p6_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "p7_set_membership" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
+    "a1_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j3_join_filter_count" ->
+      """SELECT count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "j5_three_way_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "a4_percentiles" ->
+      """SELECT p50, p95, p99, qmin, qmax, s1 / n AS mean,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd, n
+        |FROM (SELECT
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  quantile_cont(l_quantity, 0.99) AS p99,
+        |  min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+        |  sum(l_quantity) AS s1,
+        |  sum(l_quantity * l_quantity) AS s2,
+        |  count(*) AS n
+        |FROM lineitem)""".stripMargin,
+    "o1_order_by" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "o3_lag_gaps" ->
+      """SELECT event_id, ms - lag(ms) OVER (ORDER BY ts, event_id) AS gap_ms
+        |FROM (SELECT event_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events)
+        |QUALIFY gap_ms IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "set_union_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.graph.Traverse
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class TraverseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edges(pairs: (String, String)*) =
+    pairs.toDF("parent", "child")
+
+  test("linear chain: one path per level") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d")
+    val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 5)
+      .select("node", "lvl").as[(String, Int)].collect().sorted
+    assert(out.toSeq == Seq(("b", 1), ("c", 2), ("d", 3)))
+  }
+
+  test("bag semantics: diamond yields two paths to the sink") {
+    // a -> b -> d ; a -> c -> d : two distinct paths, no dedup.
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 2)
+    assert(out.filter($"node" === "d").count() == 2)
+  }
+
+  test("cycle: duplicates exactly up to the depth bound (no visited set)") {
+    val e = edges("a" -> "b", "b" -> "a")
+    val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 4)
+    // paths: b(1), a(2), b(3), a(4) — one row per level
+    assert(out.count() == 4)
+  }
+
+  test("depth monotonicity: result(d) subset of result(d+1)") {
+    val e = edges("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "e")
+    val d2 = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 2).count()
+    val d3 = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 3).count()
+    assert(d2 <= d3)
+  }
+
+  test("early exit stops at fixpoint before the bound") {
+    val e = edges("a" -> "b")
+    val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 100,
+      checkpointEvery = 1)
+    assert(out.count() == 1)
+  }
+
+  test("carry and payload columns propagate") {
+    val e = Seq(("a", "b", "t1"), ("b", "c", "t2"))
+      .toDF("parent", "child", "child_type")
+    val seed = Seq(("orig", "a")).toDF("origin", "node")
+    val out = Traverse.expand(seed, e, maxDepth = 3)
+      .select("origin", "child_type", "node", "lvl")
+      .as[(String, String, String, Int)].collect().sorted
+    assert(out.toSeq == Seq(("orig", "t1", "b", 1), ("orig", "t2", "c", 2)))
+  }
+
+  test("pathCount counts bag paths between endpoints") {
+    val e = edges("s" -> "m1", "s" -> "m2", "m1" -> "t", "m2" -> "t")
+    assert(Traverse.pathCount(e, "s", "t", 3) == 2)
+  }
+}
