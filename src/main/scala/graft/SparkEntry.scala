@@ -22,7 +22,8 @@ object SparkEntry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelQueries.defs, RelQueries.oracles),
-      (GraphQueries.defs, GraphQueries.oracles))
+      (GraphQueries.defs, GraphQueries.oracles),
+      (MutQueries.defs, MutQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.state.Snapshot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutation-operator family (SURVEY.md §2.8) exercised as snapshot rewrites
+  * over the driver test tables, plus the remaining small relational ops
+  * (P8 cast predicate, P9 JSON cross-field check, M6 bulk generator).
+  *
+  * The "delegation" snapshot analog is `customer`: drone_id = c_custkey,
+  * hq_id = 'N' || c_nationkey (FIXTURES.md F2).
+  */
+object MutQueries {
+
+  private def delegation(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d).select(
+      col("c_custkey").as("drone_id"),
+      concat(lit("N"), col("c_nationkey").cast("string")).as("hq_id"))
+
+  /** M1: keyed upsert — rewire every 10th drone to N0, insert one new
+    * drone id -1 (reference: INSERT ... ON CONFLICT DO UPDATE,
+    * demo_did_graph/02_topology_dynamic/setup_scenario_a.py:64-71).
+    */
+  def m1Upsert(spark: SparkSession, d: String): DataFrame = {
+    val snap = delegation(spark, d)
+    val updates = snap.filter(col("drone_id") % 10 === 0)
+      .select(col("drone_id"), lit("N0").as("hq_id"))
+      .union(spark.range(1).select(lit(-1L).as("drone_id"), lit("N99").as("hq_id")))
+    Snapshot.upsert(snap, updates, Seq("drone_id")).orderBy(col("drone_id"))
+  }
+
+  /** M2: batched UPDATE — `UPDATE delegation SET hq_id='N1' WHERE drone_id
+    * = ANY(batch)` (reference: demo_did_graph/03_equalization/
+    * benchmark_scenario_a.py:62-69; batch = ids ending in 3).
+    */
+  def m2UpdateWhere(spark: SparkSession, d: String): DataFrame =
+    Snapshot.updateWhere(delegation(spark, d),
+        col("drone_id") % 10 === 3, Map("hq_id" -> lit("N1")))
+      .orderBy(col("drone_id"))
+
+  /** M3: edge rewire — DELETE all DELEGATES edges into the batch of drones
+    * (orders with key % 100 == 7), CREATE edges from the new parent C0
+    * (reference: demo_did_graph/02_topology_dynamic/benchmark_scenario_c.py:50-65).
+    * Output: the post-rewire edge rows for the affected children.
+    */
+  def m3Rewire(spark: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(spark, d).select(
+      concat(lit("C"), col("o_custkey").cast("string")).as("parent"),
+      concat(lit("O"), col("o_orderkey").cast("string")).as("child"))
+    val batch = Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 100 === 7)
+      .select(concat(lit("O"), col("o_orderkey").cast("string")).as("child"))
+    val newEdges = batch.select(lit("C0").as("parent"), col("child"))
+    Snapshot.rewire(edges, batch, newEdges)
+      .join(batch, Seq("child"), "left_semi")
+      .orderBy(col("child"))
+      .select(col("parent"), col("child"))
+  }
+
+  /** M4: DELETE by key set (reference: DELETE FROM delegation WHERE
+    * drone_id = ANY(%s), demo_did_graph/05_abac/benchmark_scenario_a.py:74-80).
+    */
+  def m4Delete(spark: SparkSession, d: String): DataFrame =
+    Snapshot.delete(delegation(spark, d), col("drone_id") % 7 === 0)
+      .orderBy(col("drone_id"))
+
+  /** M6: deterministic bulk hierarchy generator — the reference's id
+    * grammar `R%03d / U%04d` with round-robin parent assignment
+    * (demo_did_graph/01_multi_layer/setup_scenario_a.py:87-121), as a pure
+    * `spark.range` + column exprs generator: no input, no shuffle.
+    */
+  def m6Generate(spark: SparkSession, d: String): DataFrame =
+    spark.range(0, 200).select(
+      format_string("U%04d", col("id")).as("child_id"),
+      format_string("R%03d", pmod(col("id"), lit(5))).as("parent_id"),
+      lit("Unit").as("child_type"))
+      .orderBy(col("child_id"))
+
+  /** M8: CDC apply — keyed last-writer-wins merge. The events table plays
+    * the change log: signup ⇒ c, error ⇒ d, anything else ⇒ u; final state
+    * per user = latest event, deleted users absent
+    * (reference: demo_sqlite_cdc/01_unit_test/06_postgres_cdc_sink.py:32-64).
+    */
+  def m8CdcApply(spark: SparkSession, d: String): DataFrame = {
+    val ops = Tables.events(spark, d).withColumn("op",
+      when(col("event_type") === "error", "d")
+        .when(col("event_type") === "signup", "c")
+        .otherwise("u"))
+    Snapshot.applyCdc(ops, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("op").as("last_op"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** P8: type cast inside a predicate (reference: `c.drone_id::TEXT`,
+    * demo_did_graph/common/bench_utils.py:29).
+    */
+  def p8CastPredicate(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(col("c_custkey").cast("string").like("%7"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** P9: cross-field structural check after JSON parse (reference:
+    * issuer/subject equality on parsed VC JSON,
+    * demo_did_graph/scripts/traversal_verify.py:83-86,130-137). Parses the
+    * `props` JSON payload schema-on-read and filters on the extracted field.
+    */
+  def p9JsonField(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .filter(col("k") > 80)
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_upsert" -> m1Upsert,
+    "m2_update_where" -> m2UpdateWhere,
+    "m3_rewire" -> m3Rewire,
+    "m4_delete" -> m4Delete,
+    "m6_generate" -> m6Generate,
+    "m8_cdc_apply" -> m8CdcApply,
+    "p8_cast_predicate" -> p8CastPredicate,
+    "p9_json_field" -> p9JsonField)
+
+  val oracles: Map[String, String] = Map(
+    "m1_upsert" ->
+      """WITH delegation AS (
+        |  SELECT c_custkey AS drone_id, 'N' || c_nationkey AS hq_id FROM customer
+        |), updates AS (
+        |  SELECT drone_id, 'N0' AS hq_id FROM delegation WHERE drone_id % 10 = 0
+        |  UNION ALL SELECT -1, 'N99'
+        |)
+        |SELECT drone_id, hq_id FROM delegation
+        |WHERE drone_id NOT IN (SELECT drone_id FROM updates)
+        |UNION ALL SELECT drone_id, hq_id FROM updates
+        |ORDER BY drone_id""".stripMargin,
+    "m2_update_where" ->
+      """SELECT c_custkey AS drone_id,
+        |  CASE WHEN c_custkey % 10 = 3 THEN 'N1' ELSE 'N' || c_nationkey END AS hq_id
+        |FROM customer ORDER BY drone_id""".stripMargin,
+    "m3_rewire" ->
+      """SELECT 'C0' AS parent, 'O' || o_orderkey AS child
+        |FROM orders WHERE o_orderkey % 100 = 7
+        |ORDER BY child""".stripMargin,
+    "m4_delete" ->
+      """SELECT c_custkey AS drone_id, 'N' || c_nationkey AS hq_id
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |ORDER BY drone_id""".stripMargin,
+    "m6_generate" ->
+      """SELECT printf('U%04d', i) AS child_id, printf('R%03d', i % 5) AS parent_id,
+        |  'Unit' AS child_type
+        |FROM range(0, 200) t(i) ORDER BY child_id""".stripMargin,
+    "m8_cdc_apply" ->
+      """SELECT user_id, op AS last_op, value FROM (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+    "p8_cast_predicate" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE CAST(c_custkey AS VARCHAR) LIKE '%7'
+        |ORDER BY c_custkey""".stripMargin,
+    "p9_json_field" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+        |WHERE CAST(props->>'$.k' AS INTEGER) > 80
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot mutation model (SURVEY.md §2.8 M1-M5, M8 and §4 item 2).
+  *
+  * The reference mutates PostgreSQL/AgensGraph state in place (UPSERT,
+  * chunked UPDATE, DELETE, edge rewire:
+  * demo_did_graph/02_topology_dynamic/setup_scenario_a.py:64-71,
+  * 03_equalization/benchmark_scenario_a.py:62-69,
+  * 02_topology_dynamic/benchmark_scenario_c.py:50-65,
+  * 05_abac/benchmark_scenario_a.py:74-91). Spark Datasets are immutable, so
+  * the engine models mutable state as **current-snapshot DataFrame + delta
+  * application**: each mutation is a declarative rewrite producing the next
+  * snapshot. Correctness equals the reference's post-mutation query results,
+  * not in-place storage.
+  *
+  * Scale notes: every operation here is a single shuffle on the snapshot key
+  * (or none when the delta is broadcast-small — Catalyst/AQE picks a
+  * broadcast anti-join automatically for chunk-sized batches like the
+  * reference's chunk_size=500). Nothing collects to the driver. With a
+  * transactional table format underneath, `upsert` maps 1:1 onto MERGE INTO;
+  * the snapshot algebra keeps the engine format-agnostic.
+  */
+object Snapshot {
+
+  /** M1: keyed upsert — `INSERT ... ON CONFLICT (key) DO UPDATE` analog.
+    * Rows of `updates` win over rows of `current` with the same key.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /** M2: batched conditional UPDATE — `UPDATE t SET c = v WHERE pred`.
+    * Each assignment column is rewritten under `cond`, others pass through.
+    */
+  def updateWhere(current: DataFrame, cond: Column,
+      assignments: Map[String, Column]): DataFrame =
+    assignments.foldLeft(current) { case (df, (name, value)) =>
+      df.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
+
+  /** M4: DELETE by predicate (`DELETE FROM t WHERE drone_id = ANY(...)`). */
+  def delete(current: DataFrame, cond: Column): DataFrame =
+    current.filter(!cond)
+
+  /** M3: edge rewire — drop all edges into the batch's target nodes, then
+    * append the replacement edges (the reference's `UNWIND ... DELETE r`
+    * followed by `MATCH ... CREATE` per chunk).
+    * `batch` must carry exactly the edge-destination key column(s).
+    */
+  def rewire(edges: DataFrame, batch: DataFrame, newEdges: DataFrame): DataFrame =
+    edges.join(batch, batch.columns.toSeq, "left_anti").unionByName(newEdges)
+
+  /** M8: CDC apply — keyed last-writer-wins merge of a change batch: the
+    * batch twin of the streaming `foreachBatch` sink
+    * (reference: demo_sqlite_cdc/01_unit_test/06_postgres_cdc_sink.py:32-64 —
+    * c/r/u ⇒ upsert, d ⇒ delete). The final state per key is the latest
+    * event by `orderCols`; keys whose latest op is `d` disappear.
+    * Shuffles once on the key — the partitioned window is the scalable
+    * form of the reference's per-row dispatch loop.
+    */
+  def applyCdc(events: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      opCol: String = "op", deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+}
