@@ -23,7 +23,8 @@ object SparkEntry {
     Seq(
       (RelQueries.defs, RelQueries.oracles),
       (GraphQueries.defs, GraphQueries.oracles),
-      (MutQueries.defs, MutQueries.oracles))
+      (MutQueries.defs, MutQueries.oracles),
+      (FuncQueries.defs, FuncQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{CryptoFunctions, Debezium, DidVc, JsonCanon}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function family (SURVEY.md §2.9) exercised end-to-end.
+  *
+  * Crypto round-trips have no SQL-expressible oracle for the signature
+  * bytes, so those queries output the **verified count** and the oracle is
+  * the table cardinality — the hash only matches if every per-row
+  * sign→verify round-trip succeeded in the Spark engine. This mirrors the
+  * reference's own oracle (verified_count == inserted,
+  * test_cases/test_a_classic_sig_pg.py:88-110).
+  */
+object FuncQueries {
+
+  /** U1: Ed25519 mission-signature round-trip over orders (the classic-sig
+    * path A: sign payload, store, re-verify all).
+    */
+  def u1SigRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val kp = CryptoFunctions.seededKeyPair("Ed25519", 42L)
+    val priv = kp.getPrivate.getEncoded
+    val pub = kp.getPublic.getEncoded
+    val signU = CryptoFunctions.sign_udf("Ed25519")
+    val verifyU = CryptoFunctions.verify_udf("Ed25519")
+    Tables.orders(spark, d)
+      .withColumn("payload",
+        concat(col("o_orderkey").cast("string"), lit("|"), col("o_orderpriority"))
+          .cast("binary"))
+      .withColumn("sig", signU(lit(priv), col("payload")))
+      .withColumn("ok", verifyU(lit(pub), col("payload"), col("sig")))
+      .filter(col("ok"))
+      .agg(count(lit(1)).as("verified"))
+  }
+
+  /** U2+U5+U6: full VC lifecycle — mint DIDs, build the W3C VC doc, sign
+    * its canonical JSON, then verify through storage (JSON string column).
+    */
+  def u2VcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val kp = CryptoFunctions.seededKeyPair("Ed25519", 7L)
+    val priv = kp.getPrivate.getEncoded
+    val pub = kp.getPublic.getEncoded
+    val issuer = DidVc.mintDid("issuer-fixture")
+    val buildSign = udf((custkey: Long) =>
+      DidVc.signVc(
+        DidVc.buildVcDoc(s"VC$custkey", issuer, DidVc.mintDid(s"C$custkey"),
+          s"M$custkey", s"D$custkey", "2024-01-01T00:00:00Z"),
+        priv, "2024-01-01T00:00:00Z", s"$issuer#key-1"))
+    val verifyU = DidVc.verify_vc_udf(pub)
+    Tables.customer(spark, d)
+      .withColumn("vc_json", buildSign(col("c_custkey")))
+      .withColumn("ok", verifyU(col("vc_json")))
+      .filter(col("ok"))
+      .agg(count(lit(1)).as("verified"))
+  }
+
+  /** U3: ECDSA P-256 round-trip over supplier names. */
+  def u3EcdsaRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val kp = CryptoFunctions.seededKeyPair("EC", 42L)
+    val priv = kp.getPrivate.getEncoded
+    val pub = kp.getPublic.getEncoded
+    val signU = CryptoFunctions.sign_udf("EC")
+    val verifyU = CryptoFunctions.verify_udf("EC")
+    Tables.supplier(spark, d)
+      .withColumn("sig", signU(lit(priv), col("s_name").cast("binary")))
+      .withColumn("ok", verifyU(lit(pub), col("s_name").cast("binary"), col("sig")))
+      .filter(col("ok"))
+      .agg(count(lit(1)).as("verified"))
+  }
+
+  /** U7: hybrid RSA-OAEP + AES-GCM encrypt → decrypt+verify round-trip over
+    * document text, via typed binary columns (the encrypted_vc row shape).
+    */
+  def u7HybridRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val enc = CryptoFunctions.seededKeyPair("RSA", 1L)
+    val sig = CryptoFunctions.seededKeyPair("RSA", 2L)
+    val encPub = enc.getPublic.getEncoded
+    val encPriv = enc.getPrivate.getEncoded
+    val sigPub = sig.getPublic.getEncoded
+    val sigPriv = sig.getPrivate.getEncoded
+    // asNondeterministic is load-bearing: the UDF draws a fresh AES key and
+    // nonce per call, and without it Catalyst's projection collapse
+    // re-executes the UDF once per referenced struct field — pairing the
+    // key of one encryption with the nonce/ciphertext of another.
+    val encryptU = udf((text: String) => {
+      val b = CryptoFunctions.hybridEncrypt(encPub, sigPriv, text.getBytes("UTF-8"))
+      (b.encKey, b.nonce, b.ciphertext, b.signature)
+    }).asNondeterministic()
+    val decryptU = udf((ek: Array[Byte], nonce: Array[Byte], ct: Array[Byte],
+        s: Array[Byte]) =>
+      CryptoFunctions.hybridDecrypt(encPriv, sigPub,
+          CryptoFunctions.HybridBlob(ek, nonce, ct, s))
+        .map(new String(_, "UTF-8")).orNull)
+    Tables.documents(spark, d)
+      .withColumn("blob", encryptU(col("text")))
+      .withColumn("decrypted", decryptU(col("blob._1"), col("blob._2"),
+        col("blob._3"), col("blob._4")))
+      .filter(col("decrypted") === col("text"))
+      .agg(count(lit(1)).as("verified"))
+  }
+
+  /** U4: SHA-256 canonical document hash. */
+  def u4Sha256(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+
+  /** U5: deterministic DID minting from a stable key (uuid form is
+    * random; the content-keyed form is the reproducible pipeline variant).
+    */
+  def u5DidMint(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .select(col("c_custkey"),
+        concat(lit("did:example:"), md5(col("c_name").cast("binary"))).as("did"))
+      .orderBy(col("c_custkey"))
+
+  /** U6: canonical JSON (Python json.dumps sort_keys=True byte-compat). */
+  def u6CanonicalJson(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), JsonCanon.canonical_json(col("props")).as("cj"))
+      .orderBy(col("event_id"))
+
+  /** U8: hex encoding of byte content. */
+  def u8Hex(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), hex(substring(col("text"), 1, 16)).as("hx"))
+      .orderBy(col("doc_id"))
+
+  /** U10: epoch-millisecond extraction. */
+  def u10EpochMs(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .orderBy(col("event_id"))
+
+  /** U11: Debezium envelope build (insert events for the users table). */
+  def u11DebeziumEnvelope(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"),
+        Debezium.envelope(
+          Debezium.nullRow,
+          struct(col("user_id").as("id"),
+            concat(lit("u"), col("user_id").cast("string")).as("name")),
+          lit("c"), unix_millis(col("ts")), "users").as("env"))
+      .orderBy(col("event_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_sig_roundtrip" -> u1SigRoundtrip,
+    "u2_vc_roundtrip" -> u2VcRoundtrip,
+    "u3_ecdsa_roundtrip" -> u3EcdsaRoundtrip,
+    "u7_hybrid_roundtrip" -> u7HybridRoundtrip,
+    "u4_sha256" -> u4Sha256,
+    "u5_did_mint" -> u5DidMint,
+    "u6_canonical_json" -> u6CanonicalJson,
+    "u8_hex" -> u8Hex,
+    "u10_epoch_ms" -> u10EpochMs,
+    "u11_debezium_envelope" -> u11DebeziumEnvelope)
+
+  val oracles: Map[String, String] = Map(
+    // Crypto round-trips: oracle = cardinality; Spark side only matches if
+    // every signature/decryption verified (see object scaladoc).
+    "u1_sig_roundtrip" -> "SELECT count(*) AS verified FROM orders",
+    "u2_vc_roundtrip" -> "SELECT count(*) AS verified FROM customer",
+    "u3_ecdsa_roundtrip" -> "SELECT count(*) AS verified FROM supplier",
+    "u7_hybrid_roundtrip" -> "SELECT count(*) AS verified FROM documents",
+    "u4_sha256" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "u5_did_mint" ->
+      """SELECT c_custkey, 'did:example:' || md5(c_name) AS did
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "u6_canonical_json" ->
+      """SELECT event_id, '{"k": ' || (props->>'$.k') || '}' AS cj
+        |FROM events ORDER BY event_id""".stripMargin,
+    "u8_hex" ->
+      """SELECT doc_id, hex(substr(text, 1, 16)) AS hx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "u10_epoch_ms" ->
+      "SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events ORDER BY event_id",
+    "u11_debezium_envelope" ->
+      """SELECT event_id,
+        |  '{"payload":{"after":{"id":' || user_id || ',"name":"u' || user_id ||
+        |  '"},"before":null,"op":"c","source":{"connector":"graft","db":"graftdb","table":"users"},"ts_ms":' ||
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) || '}}' AS env
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin)
+}
