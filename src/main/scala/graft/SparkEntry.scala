@@ -24,7 +24,8 @@ object SparkEntry {
       (RelQueries.defs, RelQueries.oracles),
       (GraphQueries.defs, GraphQueries.oracles),
       (MutQueries.defs, MutQueries.oracles),
-      (FuncQueries.defs, FuncQueries.oracles))
+      (FuncQueries.defs, FuncQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

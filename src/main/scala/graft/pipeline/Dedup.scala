@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Five strategies, all expressed as declarative DataFrame plans (no UDFs in
+  * any hot path — shingling, hashing, and signatures are built from
+  * codegen'd expressions, so the whole map side stays inside
+  * WholeStageCodegen):
+  *
+  *  - [[exact]]: content-hash groupBy. One shuffle on a 64-hex key.
+  *  - [[minHashLsh]]: shingle → k minhashes → banded LSH → candidate pairs
+  *    → exact Jaccard verify. At 100 TB this is the classic near-dedup
+  *    recipe: the only shuffles are the per-doc signature aggregation and
+  *    the band-bucket self-join, whose fan-out is controlled by (bands,
+  *    rows-per-band); the verify join touches only candidate pairs, never
+  *    the full cross product.
+  *  - [[simHash]]: 64-bit fingerprints + Hamming-distance pairing within a
+  *    blocking key (full-corpus Hamming join would need a bit-sliced index;
+  *    the blocked variant is the scalable compromise).
+  *  - [[ngramJaccard]]: exact word-set Jaccard within a blocking key.
+  *  - [[embeddingCosine]]: see [[Similarity]] — exact cosine pairs within a
+  *    blocking key; the LSH-bucketed variant is the scale path.
+  */
+object Dedup {
+
+  /** Whitespace word tokens. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Sliding k-word shingles as a codegen'd expression (no UDF):
+    * `transform(sequence(0, n-k), i -> words[i] .. words[i+k-1])`.
+    * Documents shorter than k words contribute their whole text as one
+    * shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = words(text)
+    val slid = transform(
+      sequence(lit(0), size(w) - lit(k)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))
+    when(size(w) >= k, slid).otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** D1: exact dedup — group by content hash, keep the smallest id.
+    * Returns (keep_id, dups). Grouping on the sha2 digest rather than the
+    * raw text keeps shuffle rows small at scale.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+      .select(col("keep_id"), col("dups"))
+
+  /** Per-doc MinHash signature: explode shingles, take k independent
+    * minimums of seeded xxhash64 — k aggregates in one pass, map-side
+    * combined.
+    */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** D2: MinHash + LSH near-duplicate pairs.
+    * Returns (doc_a, doc_b, jaccard) for candidate pairs whose exact
+    * shingle-set Jaccard >= threshold.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleLen)
+
+    // Band buckets: hash each row-slice of the signature; same (band,
+    // bucket) ⇒ candidate. slice() is 1-based.
+    val banded = sig.select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*))
+      .as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    // Exact verify on shingle sets (only candidate pairs reach this join).
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
+    candidates
+      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per doc: per-bit weighted vote over word
+    * hashes, assembled with shift/sum expressions (64 aggregates, one
+    * pass).
+    */
+  def simHashFingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    w.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** D3: SimHash near-dup pairs within a blocking key, Hamming distance via
+    * bit_count(xor).
+    */
+  def simHash(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val fp = simHashFingerprint(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(blockCol)), idCol)
+    val a = fp.select(col(blockCol), col(idCol).as("doc_a"), col("simhash").as("fp_a"))
+    val b = fp.select(col(blockCol), col(idCol).as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** D4: exact n-gram (word-set) Jaccard pairs within a blocking key. */
+  def ngramJaccard(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.9): DataFrame = {
+    val sets = docs.select(col(blockCol), col(idCol),
+      array_distinct(words(col(textCol))).as("ws"))
+    val a = sets.select(col(blockCol), col(idCol).as("doc_a"), col("ws").as("ws_a"))
+    val b = sets.select(col(blockCol), col(idCol).as("doc_b"), col("ws").as("ws_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("uni", size(array_union(col("ws_a"), col("ws_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+}

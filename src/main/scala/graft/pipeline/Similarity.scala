@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] / [[cosinePairs]]: exact cosine via
+  *    `zip_with`/`aggregate` expressions — fully codegen'd, no UDF. The
+  *    brute-force scan is the correctness baseline; it broadcasts the query
+  *    vector and reads the corpus once (embarrassingly parallel, no
+  *    shuffle).
+  *  - [[lshBucketTopK]]: random-hyperplane LSH — each vector gets a
+  *    `numPlanes`-bit bucket id from the signs of dot products with seeded
+  *    pseudo-random hyperplanes; search probes only the query's bucket.
+  *    This is the 100 TB path: bucket ids partition the corpus, the probe
+  *    is a partition-pruned scan, and recall is tuned by numPlanes /
+  *    multi-probe. (An IVF variant would k-means the corpus instead; the
+  *    plumbing is identical — cluster id replaces bucket id.)
+  *
+  * All accumulation is left-to-right over the array in double precision —
+  * deterministic for a given row, independent of partitioning.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest by cosine to one query vector (given as the row of
+    * `vectors` with id `queryId`). Returns (id, sim) — sim rounded for
+    * cross-engine stability, id as tiebreak.
+    */
+  def bruteForceTopK(vectors: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    vectors.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact cosine near-duplicate pairs within a blocking column. */
+  def cosinePairs(vectors: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(blockCol), col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val a = v.select(col(blockCol), col(idCol).as("vec_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = v.select(col(blockCol), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id column: sign bits of dot products with the hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Per-dimension corpus mean (one tiny aggregation; at scale this is a
+    * sampled statistic computed once and persisted with the index).
+    * Hyperplane LSH needs centered data: uncentered all-positive embeddings
+    * share the sign of `sum(plane)` on almost every plane, collapsing the
+    * corpus into one bucket.
+    */
+  def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] = {
+    val row = vectors.select(
+      (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*).head()
+    (0 until dim).map(row.getDouble)
+  }
+
+  /** Approximate top-k: probe only the query's LSH bucket. */
+  def lshBucketTopK(vectors: DataFrame, queryId: Long, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val means = typedlit(dimMeans(vectors, dim, vecCol))
+    val centered = zip_with(col(vecCol), means, (x, m) => x.cast("double") - m)
+    val bucketed = vectors.withColumn("bucket", lshBucket(centered, planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("bucket"))
+    bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

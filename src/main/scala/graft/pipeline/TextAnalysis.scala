@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, embarrassingly parallel — these run inside the
+  * scan stage at any scale).
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in `text` via the length-difference identity —
+    * engine-portable (no regex dialect differences).
+    */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      lit(marker.length)).cast("int")
+
+  /** Language-ID markers: one high-frequency function word per language.
+    * An n-gram profile model would use many more markers; the shape —
+    * score-per-language then argmax with a deterministic tiebreak — is the
+    * same.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "es" -> " el ", "de" -> " der ", "fr" -> " le ",
+    "zh" -> "的")
+
+  /** T1: heuristic language ID — argmax of marker scores, first-listed
+    * language wins ties, 'und' when all scores are zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, m) =>
+      lang -> markerCount(text, m) * lit(100) / lit(m.length)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** T2: quality features + a deterministic integer quality score
+    * (length/punctuation/stopword heuristics, the usual pre-filter before
+    * expensive pipeline stages).
+    */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = size(split(t, " "))
+    val nPunct = markerCount(t, ".") + markerCount(t, ",") + markerCount(t, "!")
+    val nStop = markerCount(t, " the ") + markerCount(t, " a ") +
+      markerCount(t, " of ") + markerCount(t, " and ")
+    df.withColumn("n_chars_c", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("n_punct", nPunct)
+      .withColumn("n_stop", nStop)
+      .withColumn("quality_score",
+        when(nChars < 10, 0).otherwise(
+          least(lit(100),
+            lit(50) + nStop * lit(5) - nPunct * lit(2) +
+              when(nWords >= 20, 10).otherwise(0))))
+  }
+
+  /** T3: token counts — whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4), the standard rough tokens-per-byte rule).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(split(col(textCol), "\\s+")))
+      .withColumn("subword_est", floor((length(col(textCol)) + lit(3)) / lit(4)).cast("int"))
+
+  /** T4: content fingerprint of the normalized text (lowercase, trimmed) —
+    * the dedup/bucketing key form of a rolling hash; md5 here so external
+    * engines can reproduce it.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate tests for the approximate pipeline operators — the
+  * oracle gate can't check MinHash/SimHash/LSH (not SQL-expressible), so
+  * detection quality is pinned here.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches the birds fly south for winter"
+
+  private def corpus = Seq(
+    (0L, base, "s0"),
+    (1L, base + " every single day", "s0"),                  // near-dup of 0
+    (2L, base.replace("quick", "slow"), "s0"),               // near-dup of 0
+    (3L, "completely different content about spark engines and parquet files and shuffles", "s0"),
+    (4L, base, "s0"),                                        // exact dup of 0
+    (5L, "another unrelated document mentioning streams watermarks and state stores only", "s0"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup collapses identical texts") {
+    val out = Dedup.exact(corpus).collect()
+    assert(out.length == 5) // 6 docs, one exact pair
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
+  }
+
+  test("minhash lsh finds planted near-duplicates, skips unrelated") {
+    val pairs = Dedup.minHashLsh(corpus, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)), "exact dup must be found")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)),
+      "at least one near-dup found")
+    assert(!pairs.contains((3L, 5L)), "unrelated docs must not pair")
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val fp = Dedup.simHashFingerprint(corpus).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0L, 4L) == 0, "identical docs, identical fingerprints")
+    assert(ham(0L, 1L) < ham(0L, 3L), "near-dup closer than unrelated")
+  }
+
+  test("ngram jaccard ranks planted pairs above unrelated") {
+    val out = Dedup.ngramJaccard(corpus, blockCol = "source", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 4L)))
+    assert(!out.contains((0L, 3L)))
+  }
+
+  test("cosine pairs and brute-force ANN agree on planted vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.1f, 0f, 0f), 0),  // near 0
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosinePairs(vecs, "label", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+    val top = Similarity.bruteForceTopK(vecs, 0L, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 1L)
+  }
+
+  test("lsh bucket ANN returns same top hit as brute force on clusters") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f)
+    val c1 = Array.fill(64)(rnd.nextFloat())
+    val c2 = Array.fill(64)(rnd.nextFloat() - 1f)
+    val vecs = ((0L to 9L).map(i => (i, jitter(c1), 0)) ++
+      (10L to 19L).map(i => (i, jitter(c2), 1))).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(vecs, 0L, 3)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshBucketTopK(vecs, 0L, 3, numPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.nonEmpty && lsh.subsetOf((1L to 9L).toSet),
+      "lsh probe stays in the query's cluster")
+    assert(brute.intersect(lsh).nonEmpty)
+  }
+
+  test("langid picks marked language; und when no markers") {
+    val docs = Seq(
+      (0L, "we saw the dog and the cat near the house"),
+      (1L, "vimos el perro y el gato cerca de la casa el dia"),
+      (2L, "xyz qrs tuv"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+    assert(out(2L) == "und")
+  }
+
+  test("multimodal fake decode: feature shape and determinism") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val f1 = Multimodal.fakeDecodeFeatures(media).orderBy("doc_id").limit(3).collect()
+    val f2 = Multimodal.fakeDecodeFeatures(media).orderBy("doc_id").limit(3).collect()
+    assert(f1.sameElements(f2), "stub decode is deterministic")
+    assert(f1.head.getSeq[Float](2).length == 8)
+    assert(f1.head.getInt(1) > 0)
+  }
+}
