@@ -25,7 +25,8 @@ object SparkEntry {
       (GraphQueries.defs, GraphQueries.oracles),
       (MutQueries.defs, MutQueries.oracles),
       (FuncQueries.defs, FuncQueries.oracles),
-      (PipelineQueries.defs, PipelineQueries.oracles))
+      (PipelineQueries.defs, PipelineQueries.oracles),
+      (StreamQueries.defs, StreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Debezium
+import graft.streaming.CdcStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-mode gate coverage for the streaming pipeline: `CdcStream.parse`
+  * and `replayStats` build identical plans on batch and streaming inputs
+  * (Structured Streaming's unified Dataset model), so running them here
+  * under the DuckDB oracle checks the same code the micro-batch pipeline
+  * executes. The stateful sink semantics are covered by CdcStreamSpec.
+  */
+object StreamQueries {
+
+  /** S5/S6 + U11 round trip: build Debezium envelopes from events, then
+    * parse them back through the streaming source's parse stage.
+    */
+  def s5CdcParse(spark: SparkSession, d: String): DataFrame = {
+    val envs = Tables.events(spark, d)
+      .filter(col("event_type") === "signup")
+      .select(Debezium.envelope(
+        Debezium.nullRow,
+        struct(col("user_id").as("id"),
+          concat(lit("u"), col("user_id").cast("string")).as("name")),
+        lit("c"), unix_millis(col("ts")), "users").as("value"))
+    CdcStream.parse(envs).orderBy(col("ts_ms"), col("id"))
+  }
+
+  /** S4/M9: ordered recovery replay batching over the backlog
+    * (reference: demo_sqlite_cdc/02_benchmark/03_recovery.py:73-117).
+    */
+  def s4ReplayStats(spark: SparkSession, d: String): DataFrame =
+    CdcStream.replayStats(
+      Tables.events(spark, d).select(col("event_id").as("id")), 500)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_cdc_parse" -> s5CdcParse,
+    "s4_replay_stats" -> s4ReplayStats)
+
+  val oracles: Map[String, String] = Map(
+    "s5_cdc_parse" ->
+      """SELECT 'c' AS op, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  user_id AS id, 'u' || user_id AS name
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY ts_ms, id""".stripMargin,
+    "s4_replay_stats" ->
+      """SELECT batch_no, count(*) AS n, min(id) AS from_id, max(id) AS to_id
+        |FROM (
+        |  SELECT event_id AS id,
+        |    (row_number() OVER (ORDER BY event_id) - 1) // 500 AS batch_no
+        |  FROM events
+        |) GROUP BY batch_no ORDER BY batch_no""".stripMargin)
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.functions.Debezium
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming CDC pipeline (SURVEY.md §2.10, §3.3).
+  *
+  * The reference's pipeline is: SQLite trigger → change_log → poll loop →
+  * Kafka (Debezium JSON) → consumer → op-dispatch upsert/delete into the
+  * warehouse (demo_sqlite_cdc/01_unit_test/05-07, 02_benchmark/02_e2e_cdc.py).
+  * Spark-native, the trigger+poll pair *is* the source (offsets replace the
+  * `change_id > last_id` cursor), the broker hop is `readStream.format
+  * ("kafka")`, and the sink loop is an idempotent `foreachBatch` merge:
+  *
+  *   kafka/file source → from_json(debezium) → foreachBatch(mergeCdcBatch)
+  *
+  * Exactly-once-ish semantics come from source offsets + idempotent keyed
+  * merge (the reference's upsert achieves the same:
+  * 06_postgres_cdc_sink.py:41-64). Recovery after an outage is just offset
+  * resume — the replay-ordering logic of 03_recovery.py collapses into the
+  * source; [[replayStats]] reproduces its rate metrics.
+  *
+  * Scale: the only shuffle per micro-batch is the per-key reduction
+  * (last-writer-wins window); the snapshot merge is an anti-join on the
+  * key, broadcast when the batch is chunk-sized. State never lives in the
+  * driver. With a transactional table format the merge maps to MERGE INTO.
+  */
+object CdcStream {
+
+  /** Parse a stream (or batch) of Debezium JSON strings in `value` into
+    * flat CDC columns (op, ts_ms, id, name). Works unchanged on streaming
+    * and batch DataFrames — same plan, micro-batched.
+    */
+  def parse(values: DataFrame): DataFrame = Debezium.flatten(values, "value")
+
+  /** Reduce a CDC micro-batch to its final per-key effect, keeping the
+    * delete markers (unlike Snapshot.applyCdc, the merge needs them).
+    */
+  def lastPerKey(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("ts_ms").desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent keyed merge of one CDC batch into the snapshot:
+    * c/r/u ⇒ upsert, d ⇒ delete (reference op dispatch:
+    * demo_sqlite_cdc/01_unit_test/06_postgres_cdc_sink.py:32-64).
+    */
+  def mergeCdcBatch(snapshot: DataFrame, batch: DataFrame): DataFrame = {
+    val last = lastPerKey(batch)
+    val surviving = snapshot.join(last.select("id"), Seq("id"), "left_anti")
+    val upserts = last.filter(col("op") =!= "d")
+      .select(col("id"), col("name"))
+    surviving.unionByName(upserts)
+  }
+
+  /** Start the sink: micro-batch merge into a driver-held snapshot handle
+    * (tests / local mode). In production the body writes to a
+    * transactional table instead; the merge plan is identical.
+    */
+  def start(parsed: DataFrame, state: SnapshotHandle,
+      triggerMs: Long = 0L): StreamingQuery = {
+    val writer = parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state.set(mergeCdcBatch(state.get(batch.sparkSession), batch))
+      }
+    (if (triggerMs > 0) writer.trigger(Trigger.ProcessingTime(triggerMs))
+     else writer).start()
+  }
+
+  /** Snapshot holder for the local/foreachBatch sink. localCheckpoint after
+    * each merge keeps the plan from growing across micro-batches (the
+    * streaming analog of the recursion-loop lineage truncation).
+    */
+  final class SnapshotHandle(spark: SparkSession) {
+    import org.apache.spark.sql.types.StructType
+    private val schema = StructType.fromDDL(Debezium.rowDdl)
+    @volatile private var current: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    def get(s: SparkSession): DataFrame = current
+    def set(df: DataFrame): Unit = current = df.localCheckpoint(true)
+    def snapshot: DataFrame = current
+  }
+
+  /** 3-segment latency columns (reference: 02_e2e_cdc.py:89-135 measures
+    * local→broker, broker→apply, end-to-end). `ts_ms` is the capture time
+    * carried in the envelope; broker/apply stamps come from the engine.
+    */
+  def latencySegments(parsed: DataFrame, brokerTsCol: String = "broker_ts_ms")
+      : DataFrame = {
+    val applyTs = unix_millis(current_timestamp())
+    parsed
+      .withColumn("lat_capture_to_broker",
+        col(brokerTsCol) - col("ts_ms"))
+      .withColumn("lat_broker_to_apply", applyTs - col(brokerTsCol))
+      .withColumn("lat_e2e", applyTs - col("ts_ms"))
+  }
+
+  /** Recovery replay metrics (reference: 03_recovery.py:73-117 — backlog
+    * count, ordered replay, events/sec). Replay order is `id` ascending,
+    * batches of `batchSize`; output is one row per replay batch with its
+    * id range and size — the driver times the loop to get rates.
+    */
+  def replayStats(buffer: DataFrame, batchSize: Int): DataFrame =
+    buffer
+      .withColumn("batch_no",
+        floor((row_number().over(Window.orderBy(col("id"))) - 1) / batchSize))
+      .groupBy(col("batch_no"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("from_id"),
+        max(col("id")).as("to_id"))
+      .orderBy(col("batch_no"))
+
+  /** Processing-time tumbling throughput (events/sec parity metric —
+    * the reference has no event-time windows; ordering is by monotonic id,
+    * so a tumbling window on the carried timestamp suffices and late data
+    * does not occur in-model).
+    */
+  def windowedThroughput(parsed: DataFrame, windowSec: Int = 5): DataFrame =
+    parsed
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("op"))
+      .agg(count(lit(1)).as("n"))
+}

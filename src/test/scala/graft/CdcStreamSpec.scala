@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.Debezium
+import graft.streaming.CdcStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Structured Streaming CDC tests, mirroring the reference's
+  * canonical sequences: the c→u→d sequence for one key leaves the target
+  * empty (07_test_kafka_producer.py:44-71 + 06_postgres_cdc_sink.py:32-64).
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def env(op: String, id: Long, name: String, tsMs: Long): String = {
+    val before = if (op == "c") "null" else s"""{"id":$id,"name":"old"}"""
+    val after = if (op == "d") "null" else s"""{"id":$id,"name":"$name"}"""
+    s"""{"payload":{"before":$before,"after":$after,"op":"$op","ts_ms":$tsMs,
+       |"source":{"connector":"graft","db":"graftdb","table":"users"}}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  test("canonical c->u->d sequence leaves the key absent; others persist") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val parsed = CdcStream.parse(source.toDF().withColumnRenamed("value", "value"))
+    val state = new CdcStream.SnapshotHandle(spark)
+    val q = CdcStream.start(parsed, state)
+
+    source.addData(env("c", 1, "alice", 100), env("c", 2, "bob", 101))
+    q.processAllAvailable()
+    assert(state.snapshot.count() == 2)
+
+    source.addData(env("u", 1, "alice2", 200))
+    q.processAllAvailable()
+    val afterU = state.snapshot.as[(Long, String)].collect().toMap
+    assert(afterU(1L) == "alice2" && afterU(2L) == "bob")
+
+    source.addData(env("d", 1, "", 300))
+    q.processAllAvailable()
+    q.stop()
+    val fin = state.snapshot.as[(Long, String)].collect().toMap
+    assert(fin == Map(2L -> "bob"), "c->u->d leaves only the untouched key")
+  }
+
+  test("within-batch ordering: last writer wins by ts_ms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val state = new CdcStream.SnapshotHandle(spark)
+    val q = CdcStream.start(CdcStream.parse(source.toDF()), state)
+    // One micro-batch containing create+update+update for the same key.
+    source.addData(env("c", 7, "v1", 100), env("u", 7, "v3", 300),
+      env("u", 7, "v2", 200))
+    q.processAllAvailable()
+    q.stop()
+    val fin = state.snapshot.as[(Long, String)].collect().toMap
+    assert(fin == Map(7L -> "v3"))
+  }
+
+  test("idempotent replay: reprocessing the same batch is a no-op") {
+    import spark.implicits._
+    val batch = CdcStream.parse(
+      Seq(env("c", 1, "a", 100), env("u", 1, "b", 200)).toDF("value"))
+    val once = CdcStream.mergeCdcBatch(
+      Seq((9L, "keep")).toDF("id", "name"), batch)
+    val twice = CdcStream.mergeCdcBatch(once, batch)
+    assert(once.orderBy("id").collect().sameElements(twice.orderBy("id").collect()))
+  }
+
+  test("debezium parse round-trips the envelope builder") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 123L)).toDF("id", "name", "ms")
+      .select(Debezium.envelope(Debezium.nullRow,
+        struct(col("id"), col("name")), lit("c"), col("ms"), "users").as("value"))
+    val flat = CdcStream.parse(df).as[(String, Long, Long, String)].collect()
+    assert(flat.toSeq == Seq(("c", 123L, 1L, "x")))
+  }
+
+  test("replay stats batch the backlog in id order") {
+    import spark.implicits._
+    val buffer = (1L to 1050L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val stats = CdcStream.replayStats(buffer, 500)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.length == 3)
+    assert(stats(0) == (0L, 500L, 1L, 500L))
+    assert(stats(2) == (2L, 50L, 1001L, 1050L))
+  }
+
+  test("windowed throughput aggregates op counts in event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val agg = CdcStream.windowedThroughput(CdcStream.parse(source.toDF()), 5)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("thr").start()
+    source.addData(env("c", 1, "a", 1000), env("c", 2, "b", 2000),
+      env("u", 1, "c", 7000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("thr")
+      .select(col("op"), col("n")).as[(String, Long)].collect().toMap
+    assert(rows == Map("c" -> 2L, "u" -> 1L))
+    spark.sql("DROP TABLE IF EXISTS thr")
+  }
+
+  test("latency segments are non-negative and ordered") {
+    import spark.implicits._
+    val parsed = CdcStream.parse(
+      Seq(env("c", 1, "a", System.currentTimeMillis() - 50)).toDF("value"))
+      .withColumn("broker_ts_ms", col("ts_ms") + 10)
+    val r = CdcStream.latencySegments(parsed)
+      .select("lat_capture_to_broker", "lat_broker_to_apply", "lat_e2e")
+      .head()
+    assert(r.getLong(0) == 10)
+    assert(r.getLong(1) >= 0)
+    assert(r.getLong(2) >= r.getLong(0))
+  }
+}
