@@ -1,24 +1,84 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — mirrors the reference harness's measurement protocol
+  * (BASELINE.md): one untimed warm-up per query (buffer cache + codegen
+  * JIT, like demo_did_graph/03_equalization/benchmark_scenario_a.py:75-78),
+  * then N timed executions; reports per-query P50/P95/P99 latency (ms) and
+  * throughput (q/s) exactly as common/bench_utils.py:37-60 does, plus the
+  * driver-contract total/queries fields.
+  *
+  * Headline set = the BASELINE.md Q1-Q7 shapes plus the heaviest pipeline
+  * operators; the remaining catalog queries run once (cold) so the full
+  * surface stays exercised.
+  */
 object Bench {
+
+  // Q1..Q7 analogs + pipeline heavies (see BASELINE.md table).
+  private val headline = Seq(
+    "r1_chain_levels",    // Q1 recursive chain count
+    "r5_role_tagged",     // Q2 role-tagged expansion
+    "j5_three_way_join",  // Q3 expansion ⋈ fact
+    "j8_hier_vc_count",   // Q4 var-length + reverse expand
+    "r3_wot_path_count",  // Q5 WoT path count
+    "r4_abac_decision",   // Q6 ABAC decision
+    "m8_cdc_apply",       // Q7 CDC apply
+    "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine", "u2_vc_roundtrip")
+
+  private def pct(sorted: Array[Double], p: Double): Double = {
+    if (sorted.isEmpty) return 0.0
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stats = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    headline.filter(SparkEntry.queries.contains).foreach { name =>
+      run(name) // warm-up, untimed
+      val lat = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray.sorted
+      if (lat.nonEmpty) {
+        val total = lat.sum
+        perQuery(name) = pct(lat, 0.5)
+        stats(name) =
+          f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
+          f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
+      } else { perQuery(name) = -1.0; stats(name) = """{"error":true}""" }
+    }
+
+    // Cold single pass over the rest of the catalog.
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(headline.contains).foreach(n => perQuery(n) = run(n))
+
+    val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = perQuery.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,6 +56,21 @@ object CryptoFunctions {
   def publicKeyFromDer(algo: String, der: Array[Byte]): PublicKey =
     KeyFactory.getInstance(algo).generatePublic(new X509EncodedKeySpec(der))
 
+  // DER→key parsing is ~10x the cost of an Ed25519 signature itself, and
+  // sign/verify UDFs receive the same key bytes on every row — memoize per
+  // executor. Keys are a handful of entries; the map never grows beyond the
+  // distinct keys used in a session.
+  private val privCache = new java.util.concurrent.ConcurrentHashMap[String, PrivateKey]()
+  private val pubCache = new java.util.concurrent.ConcurrentHashMap[String, PublicKey]()
+  private def ck(algo: String, der: Array[Byte]): String =
+    algo + ":" + java.util.Base64.getEncoder.encodeToString(der)
+
+  def privateKeyCached(algo: String, der: Array[Byte]): PrivateKey =
+    privCache.computeIfAbsent(ck(algo, der), _ => privateKeyFromDer(algo, der))
+
+  def publicKeyCached(algo: String, der: Array[Byte]): PublicKey =
+    pubCache.computeIfAbsent(ck(algo, der), _ => publicKeyFromDer(algo, der))
+
   private def sigAlgoFor(keyAlgo: String): String = keyAlgo match {
     case "Ed25519" => "Ed25519"
     case "EC" => "SHA256withECDSA"
@@ -65,7 +80,7 @@ object CryptoFunctions {
 
   def sign(keyAlgo: String, privDer: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Signature.getInstance(sigAlgoFor(keyAlgo))
-    s.initSign(privateKeyFromDer(keyAlgo, privDer))
+    s.initSign(privateKeyCached(keyAlgo, privDer))
     s.update(data)
     s.sign()
   }
@@ -73,7 +88,7 @@ object CryptoFunctions {
   def verify(keyAlgo: String, pubDer: Array[Byte], data: Array[Byte],
       sig: Array[Byte]): Boolean = {
     val v = Signature.getInstance(sigAlgoFor(keyAlgo))
-    v.initVerify(publicKeyFromDer(keyAlgo, pubDer))
+    v.initVerify(publicKeyCached(keyAlgo, pubDer))
     v.update(data)
     v.verify(sig)
   }
@@ -95,7 +110,7 @@ object CryptoFunctions {
     c.init(Cipher.ENCRYPT_MODE, aes, new GCMParameterSpec(128, nonce))
     val ct = c.doFinal(plaintext)
     val wrap = Cipher.getInstance("RSA/ECB/OAEPWithSHA-256AndMGF1Padding")
-    wrap.init(Cipher.ENCRYPT_MODE, publicKeyFromDer("RSA", rsaPubDer))
+    wrap.init(Cipher.ENCRYPT_MODE, publicKeyCached("RSA", rsaPubDer))
     val ek = wrap.doFinal(aes.getEncoded)
     HybridBlob(ek, nonce, ct, sign("RSA", rsaSignPrivDer, ct))
   }
@@ -104,7 +119,7 @@ object CryptoFunctions {
       blob: HybridBlob): Option[Array[Byte]] = {
     if (!verify("RSA", rsaSignPubDer, blob.ciphertext, blob.signature)) return None
     val unwrap = Cipher.getInstance("RSA/ECB/OAEPWithSHA-256AndMGF1Padding")
-    unwrap.init(Cipher.DECRYPT_MODE, privateKeyFromDer("RSA", rsaPrivDer))
+    unwrap.init(Cipher.DECRYPT_MODE, privateKeyCached("RSA", rsaPrivDer))
     val aes = new SecretKeySpec(unwrap.doFinal(blob.encKey), "AES")
     val c = Cipher.getInstance("AES/GCM/NoPadding")
     c.init(Cipher.DECRYPT_MODE, aes, new GCMParameterSpec(128, blob.nonce))
@@ -113,14 +128,21 @@ object CryptoFunctions {
 
   // ---- Column forms ----
 
+  // Marked nondeterministic on purpose: not for semantics (signatures are
+  // deterministic) but as an optimizer barrier. Catalyst pushes
+  // deterministic projections/filters below repartition exchanges, which
+  // would sink the whole crypto stage back into the (often single-task)
+  // scan stage and serialize it; the nondeterministic flag keeps the
+  // expensive per-row work on the post-shuffle side where it parallelizes.
   def sign_udf(keyAlgo: String): (Column, Column) => Column = {
     val f = udf((priv: Array[Byte], data: Array[Byte]) => sign(keyAlgo, priv, data))
+      .asNondeterministic()
     (priv, data) => f(priv, data)
   }
 
   def verify_udf(keyAlgo: String): (Column, Column, Column) => Column = {
     val f = udf((pub: Array[Byte], data: Array[Byte], sig: Array[Byte]) =>
-      verify(keyAlgo, pub, data, sig))
+      verify(keyAlgo, pub, data, sig)).asNondeterministic()
     (pub, data, sig) => f(pub, data, sig)
   }
 }

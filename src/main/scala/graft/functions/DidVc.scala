@@ -73,16 +73,19 @@ object DidVc {
 
   // ---- Column forms ----
 
+  // asNondeterministic = optimizer barrier, not semantics: stops Catalyst
+  // sinking the expensive signing work below repartition exchanges into a
+  // single-task scan stage (see CryptoFunctions.sign_udf).
   def sign_vc_udf(privDer: Array[Byte], verificationMethod: String): Column => Column = {
     val f = udf((docJson: String) => {
       val JObj(fields) = parse(docJson): @unchecked
       signVc(JObj(fields), privDer, "2024-01-01T00:00:00Z", verificationMethod)
-    })
+    }).asNondeterministic()
     c => f(c)
   }
 
   def verify_vc_udf(pubDer: Array[Byte]): Column => Column = {
-    val f = udf((vcJson: String) => verifyVc(vcJson, pubDer))
+    val f = udf((vcJson: String) => verifyVc(vcJson, pubDer)).asNondeterministic()
     c => f(c)
   }
 }

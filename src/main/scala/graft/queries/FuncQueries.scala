@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object FuncQueries {
 
+  /** The test parquet files are single-row-group (one scan partition), so
+    * CPU-bound crypto stages must repartition to use all cores; on a real
+    * cluster this is the same move — crypto throughput scales with
+    * executors, and the shuffle is negligible next to the per-row cost.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** U1: Ed25519 mission-signature round-trip over orders (the classic-sig
     * path A: sign payload, store, re-verify all).
     */
@@ -25,7 +33,7 @@ object FuncQueries {
     val pub = kp.getPublic.getEncoded
     val signU = CryptoFunctions.sign_udf("Ed25519")
     val verifyU = CryptoFunctions.verify_udf("Ed25519")
-    Tables.orders(spark, d)
+    spread(Tables.orders(spark, d))
       .withColumn("payload",
         concat(col("o_orderkey").cast("string"), lit("|"), col("o_orderpriority"))
           .cast("binary"))
@@ -48,8 +56,9 @@ object FuncQueries {
         DidVc.buildVcDoc(s"VC$custkey", issuer, DidVc.mintDid(s"C$custkey"),
           s"M$custkey", s"D$custkey", "2024-01-01T00:00:00Z"),
         priv, "2024-01-01T00:00:00Z", s"$issuer#key-1"))
+      .asNondeterministic() // optimizer barrier — see CryptoFunctions.sign_udf
     val verifyU = DidVc.verify_vc_udf(pub)
-    Tables.customer(spark, d)
+    spread(Tables.customer(spark, d))
       .withColumn("vc_json", buildSign(col("c_custkey")))
       .withColumn("ok", verifyU(col("vc_json")))
       .filter(col("ok"))
@@ -63,7 +72,7 @@ object FuncQueries {
     val pub = kp.getPublic.getEncoded
     val signU = CryptoFunctions.sign_udf("EC")
     val verifyU = CryptoFunctions.verify_udf("EC")
-    Tables.supplier(spark, d)
+    spread(Tables.supplier(spark, d))
       .withColumn("sig", signU(lit(priv), col("s_name").cast("binary")))
       .withColumn("ok", verifyU(lit(pub), col("s_name").cast("binary"), col("sig")))
       .filter(col("ok"))
@@ -93,7 +102,7 @@ object FuncQueries {
       CryptoFunctions.hybridDecrypt(encPriv, sigPub,
           CryptoFunctions.HybridBlob(ek, nonce, ct, s))
         .map(new String(_, "UTF-8")).orNull)
-    Tables.documents(spark, d)
+    spread(Tables.documents(spark, d))
       .withColumn("blob", encryptU(col("text")))
       .withColumn("decrypted", decryptU(col("blob._1"), col("blob._2"),
         col("blob._3"), col("blob._4")))
