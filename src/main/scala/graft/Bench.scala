@@ -74,6 +74,20 @@ object Bench {
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(headline.contains).foreach(n => perQuery(n) = run(n))
 
+    // S7: CSV result sink in the reference's column layout
+    // (scenario, scale_up, depth, p50_ms, p95_ms, p99_ms, tps —
+    // demo_did_graph/02_topology_dynamic/benchmark_scenario_a.py:141).
+    sys.env.get("SPARK_GRAFT_CSV_OUT").foreach { path =>
+      import spark.implicits._
+      headline.filter(perQuery.contains).map { n =>
+        val s = stats.getOrElse(n, "{}")
+        def f(key: String): Double =
+          s".*\"$key\":([-0-9.]+).*".r.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(-1)
+        (n, sfDir, 4, f("p50_ms"), f("p95_ms"), f("p99_ms"), f("tps"))
+      }.toDF("scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    }
+
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum

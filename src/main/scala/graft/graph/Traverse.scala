@@ -105,6 +105,41 @@ object Traverse {
     levels.result().reduce(_ union _) // UNION ALL — bag semantics, like the reference
   }
 
+  /** True iff the runtime supports native `WITH RECURSIVE` (SPARK-24497,
+    * shipped in Spark 4.x). Probed once per JVM; [[expandRcte]] uses the
+    * native form and the iterative [[expand]] loop is the portable
+    * fallback with identical bag semantics.
+    */
+  def nativeRcteSupported(spark: org.apache.spark.sql.SparkSession): Boolean =
+    rcteProbe.synchronized {
+      rcteProbe.getOrElseUpdate((), try {
+        spark.sql("WITH RECURSIVE __p AS (SELECT 1 AS n UNION ALL " +
+          "SELECT n + 1 FROM __p WHERE n < 2) SELECT * FROM __p").collect()
+        true
+      } catch { case _: Exception => false })
+    }
+  private val rcteProbe = scala.collection.mutable.Map[Unit, Boolean]()
+
+  /** Native recursive-CTE expansion: same contract as [[expand]] for the
+    * no-carry, no-payload case (node + lvl output). Catalyst plans the
+    * whole recursion as one UnionLoop operator instead of a driver loop —
+    * one job, no per-level lineage growth.
+    */
+  def expandRcte(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+      seedNode: String, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child"): DataFrame = {
+    val view = s"__graft_edges_${System.identityHashCode(edges).toHexString}"
+    edges.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH RECURSIVE chain AS (
+         |  SELECT $childCol AS node, 1 AS lvl FROM $view WHERE $parentCol = '$seedNode'
+         |  UNION ALL
+         |  SELECT e.$childCol, c.lvl + 1 FROM chain c
+         |  JOIN $view e ON e.$parentCol = c.node
+         |  WHERE c.lvl < $maxDepth
+         |) SELECT node, lvl FROM chain""".stripMargin)
+  }
+
   /** Path-count between a single source and a single target within `maxLen`
     * hops: the web-of-trust shape (reference:
     * demo_did_graph/04_web_of_trust/benchmark_scenario_d.py:200-203 counts

@@ -40,6 +40,20 @@ object GraphQueries {
       .groupBy(col("lvl")).agg(count(lit(1)).as("n"))
       .orderBy(col("lvl"))
 
+  /** R1 via native `WITH RECURSIVE` (SPARK-24497): the same chain as
+    * [[r1ChainLevels]] planned as one Catalyst UnionLoop instead of the
+    * driver-side join loop; falls back to the loop on runtimes without
+    * recursive-CTE support.
+    */
+  def r1ChainLevelsRcte(spark: SparkSession, d: String): DataFrame = {
+    val edges = GraphData.hierarchyEdges(spark, d).drop("child_type")
+    val chain =
+      if (Traverse.nativeRcteSupported(spark))
+        Traverse.expandRcte(spark, edges, "R0", maxDepth = 3)
+      else Traverse.expand(seed(spark, "R0"), edges, maxDepth = 3)
+    chain.groupBy(col("lvl")).agg(count(lit(1)).as("n")).orderBy(col("lvl"))
+  }
+
   /** R2: Cypher-style var-length `*1..4` with endpoint label filter
     * (reference: demo_did_graph/01_multi_layer/benchmark_scenario_c.py:47-53).
     */
@@ -121,6 +135,23 @@ object GraphQueries {
       .orderBy(col("user_id"))
   }
 
+  /** R4 Cypher twin: the reference's Cypher formulation walks `MEMBER_OF*`
+    * while the SQL twin walks the subgroup chain — an intentional semantic
+    * divergence (SURVEY.md §2.5 R4, 05_abac/benchmark_scenario_c.py:167-170).
+    * MEMBER_OF edges only go user→group, so the transitive walk reaches
+    * exactly the direct groups: permission holds only for users directly in
+    * the permission-holding group. Both formulations are exposed; each pins
+    * its own oracle.
+    */
+  def r4AbacCypherTwin(spark: SparkSession, d: String): DataFrame = {
+    val member = GraphData.abacMember(spark, d)
+    val perm = GraphData.abacPermission(spark, d)
+      .filter(col("resource_id") === "RES0")
+    member.join(perm, member("group_id") === perm("group_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
   /** J11: zero-hop cross pattern — cartesian of two point lookups producing
     * a new edge row (reference: `MATCH (hq),(d) CREATE (hq)-[:DELEGATES]->(d)`,
     * demo_did_graph/02_topology_dynamic/benchmark_scenario_c.py:58-64).
@@ -135,16 +166,27 @@ object GraphQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_chain_levels" -> r1ChainLevels,
+    "r1_chain_levels_rcte" -> r1ChainLevelsRcte,
     "r2_varlen_endpoint" -> r2VarlenEndpoint,
     "r5_role_tagged" -> r5RoleTagged,
     "j8_hier_vc_count" -> j8HierVcCount,
     "j7_two_hop" -> j7TwoHop,
     "r3_wot_path_count" -> r3WotPathCount,
     "r4_abac_decision" -> r4AbacDecision,
+    "r4_abac_cypher_twin" -> r4AbacCypherTwin,
     "j11_edge_create" -> j11EdgeCreate)
 
   val oracles: Map[String, String] = Map(
     "r1_chain_levels" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |chain AS (
+        |  SELECT child AS node, 1 AS lvl FROM edges WHERE parent = 'R0'
+        |  UNION ALL
+        |  SELECT e.child, c.lvl + 1 FROM chain c JOIN edges e ON e.parent = c.node
+        |  WHERE c.lvl < 3
+        |)
+        |SELECT lvl, count(*) AS n FROM chain GROUP BY lvl ORDER BY lvl""".stripMargin,
+    "r1_chain_levels_rcte" ->
       s"""WITH RECURSIVE $edgesCte,
         |chain AS (
         |  SELECT child AS node, 1 AS lvl FROM edges WHERE parent = 'R0'
@@ -223,6 +265,20 @@ object GraphQueries {
         |)
         |SELECT user_id, count(*) AS n
         |FROM reach JOIN perm ON perm.group_id = reach.node
+        |WHERE perm.resource_id = 'RES0'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "r4_abac_cypher_twin" ->
+      """WITH member AS (
+        |  SELECT 'C' || c_custkey AS user_id, 'G' || c_nationkey AS group_id
+        |  FROM customer
+        |),
+        |perm AS (
+        |  SELECT 'G' || (SELECT max(n_nationkey) FROM nation) AS group_id,
+        |         'RES' || r_regionkey AS resource_id
+        |  FROM region
+        |)
+        |SELECT user_id, count(*) AS n
+        |FROM member JOIN perm ON perm.group_id = member.group_id
         |WHERE perm.resource_id = 'RES0'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "j11_edge_create" ->

@@ -46,6 +46,9 @@ object Snapshot {
   def delete(current: DataFrame, cond: Column): DataFrame =
     current.filter(!cond)
 
+  /** M5: TRUNCATE — next snapshot is empty with the same schema. */
+  def truncate(current: DataFrame): DataFrame = current.limit(0)
+
   /** M3: edge rewire — drop all edges into the batch's target nodes, then
     * append the replacement edges (the reference's `UNWIND ... DELETE r`
     * followed by `MATCH ... CREATE` per chunk).

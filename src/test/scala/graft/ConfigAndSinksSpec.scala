@@ -1,0 +1,56 @@
+package graft
+
+import graft.graph.{GraphData, Traverse}
+import graft.state.Snapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigAndSinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("config loader parses reference-shaped JSON with defaults") {
+    val cfg = GraftConfig.parse(
+      """{"headquarters_id": "HQ9", "scale_up_nodes": [10, 20],
+        |"depths": [4], "iterations": 7, "unknown_key": {"x": 1}}""".stripMargin)
+    assert(cfg.headquartersId == "HQ9")
+    assert(cfg.scaleUpNodes == Seq(10, 20))
+    assert(cfg.depths == Seq(4))
+    assert(cfg.iterations == 7)
+    assert(cfg.chunkSize == 500)   // default
+    assert(cfg.randomSeed == 42L)  // default
+  }
+
+  test("truncate empties the snapshot but keeps the schema") {
+    import spark.implicits._
+    val snap = Seq((1, "a")).toDF("id", "v")
+    val t = Snapshot.truncate(snap)
+    assert(t.count() == 0)
+    assert(t.schema == snap.schema)
+  }
+
+  test("native rcte expansion matches the iterative loop") {
+    import spark.implicits._
+    assume(Traverse.nativeRcteSupported(spark))
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphData.hierarchyEdges(spark, sf).drop("child_type")
+    val loop = Traverse.expand(Seq("R0").toDF("node"), edges, 3)
+      .groupBy("lvl").count().orderBy("lvl")
+      .as[(Int, Long)].collect().toSeq
+    val rcte = Traverse.expandRcte(spark, edges, "R0", 3)
+      .groupBy("lvl").count().orderBy("lvl")
+      .as[(Int, Long)].collect().toSeq
+    assert(loop == rcte)
+  }
+
+  test("csv result sink round-trips the reference layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq(("q1", "sf0.1", 4, 12.5, 15.0, 16.0, 80.0))
+      .toDF("scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq ==
+      Seq("scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps"))
+    assert(back.count() == 1)
+  }
+}
