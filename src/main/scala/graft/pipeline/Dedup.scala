@@ -73,7 +73,17 @@ object Dedup {
       shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleLen)
+
+    // Shingle the corpus ONCE; the cached set feeds both the signature
+    // aggregation and the exact-verify join (shingling is the most
+    // expensive map-side expression in the pipeline).
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("shset")).cache()
+
+    val sh = sets.select(col(idCol), explode(col("shset")).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
     // Band buckets: hash each row-slice of the signature; same (band,
     // bucket) ⇒ candidate. slice() is 1-based.
@@ -88,8 +98,6 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
 
     // Exact verify on shingle sets (only candidate pairs reach this join).
-    val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
     candidates
       .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
