@@ -1,0 +1,62 @@
+package graft
+
+import graft.graph.Traverse
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests for the recursion operator (SURVEY.md §5 plan):
+  * depth monotonicity and bag-semantics path counting on random DAGs.
+  * Raw ScalaCheck generators sampled with a fixed seed (no scalatestplus
+  * bridge in the offline dependency set); each case spins Spark jobs, so
+  * the sample count is small but the cases are re-derivable.
+  */
+class TraversePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Random DAG: edges only go from lower to higher node id — acyclic by
+  // construction, so brute-force path enumeration terminates.
+  private val dagGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 8)
+    edges <- Gen.listOf(for {
+      a <- Gen.choose(0, n - 2)
+      b <- Gen.choose(a + 1, n - 1)
+    } yield (s"v$a", s"v$b"))
+  } yield edges.distinct
+
+  private def samples(count: Int): Seq[List[(String, String)]] =
+    (0 until count).flatMap(i =>
+      dagGen(Gen.Parameters.default, Seed(42L + i))).filter(_.nonEmpty)
+
+  test("depth monotonicity: result(d) rows are identical within result(d+1)") {
+    samples(8).foreach { edges =>
+      val e = edges.toDF("parent", "child")
+      val seed = Seq("v0").toDF("node")
+      val d = 1 + edges.size % 4
+      def counts(depth: Int) =
+        Traverse.expand(seed, e, depth).groupBy("node", "lvl").count()
+          .as[(String, Int, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val rd = counts(d)
+      val rd1 = counts(d + 1)
+      rd.foreach { case (k, c) =>
+        assert(rd1.getOrElse(k, 0L) == c,
+          s"depth-$d rows must persist in depth-${d + 1} run (edges=$edges)")
+      }
+    }
+  }
+
+  test("path counts on random DAGs equal brute-force enumeration") {
+    samples(8).foreach { edges =>
+      val e = edges.toDF("parent", "child")
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def paths(from: String, depth: Int): Long =
+        if (depth == 0) 0L
+        else adj.getOrElse(from, Nil).map(n => 1L + paths(n, depth - 1)).sum
+      val expected = paths("v0", 8)
+      val got = Traverse.expand(Seq("v0").toDF("node"), e, 8).count()
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+}
