@@ -125,11 +125,16 @@ object FuncQueries {
         concat(lit("did:example:"), md5(col("c_name").cast("binary"))).as("did"))
       .orderBy(col("c_custkey"))
 
-  /** U6: canonical JSON (Python json.dumps sort_keys=True byte-compat). */
-  def u6CanonicalJson(spark: SparkSession, d: String): DataFrame =
+  /** U6: canonical JSON (Python json.dumps sort_keys=True byte-compat),
+    * via the native codegen expression — no UDF boundary in the plan.
+    */
+  def u6CanonicalJson(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.CanonicalJsonExpr.register(spark)
     Tables.events(spark, d)
-      .select(col("event_id"), JsonCanon.canonical_json(col("props")).as("cj"))
+      .select(col("event_id"),
+        call_function("canonical_json", col("props")).as("cj"))
       .orderBy(col("event_id"))
+  }
 
   /** U8: hex encoding of byte content. */
   def u8Hex(spark: SparkSession, d: String): DataFrame =

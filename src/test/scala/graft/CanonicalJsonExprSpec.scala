@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{CanonicalJsonExpr, JsonCanon}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonicalJsonExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native expression output equals the scala function, nulls pass through") {
+    CanonicalJsonExpr.register(spark)
+    val in = Seq(
+      """{"b": 1, "a": "x"}""",
+      """{"z": [3, 1, 2], "a": {"c": true, "b": null}}""",
+      null)
+    val out = in.toDF("j")
+      .select(call_function("canonical_json", col("j")).as("cj"))
+      .as[String].collect()
+    assert(out(0) == JsonCanon.canonicalize(in(0)))
+    assert(out(1) == JsonCanon.canonicalize(in(1)))
+    assert(out(2) == null)
+  }
+
+  test("plan stays inside whole-stage codegen with no ScalaUDF") {
+    CanonicalJsonExpr.register(spark)
+    // Parquet-backed input: a local literal would be constant-folded into
+    // a LocalTableScan with no codegen stage at all.
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(call_function("canonical_json", col("props")).as("cj"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage.
+    assert(plan.contains("*(1) Project [canonical_json"), plan)
+    assert(df.head().getString(0).startsWith("""{"k": """))
+  }
+
+  test("sql surface resolves the native function") {
+    CanonicalJsonExpr.register(spark)
+    val r = spark.sql("""SELECT canonical_json('{"b":2, "a":1}') AS cj""")
+      .head().getString(0)
+    assert(r == """{"a": 1, "b": 2}""")
+  }
+
+  test("extensions class injects without error") {
+    // getOrCreate reuses the suite session and would ignore withExtensions,
+    // so exercise the injection API directly.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
