@@ -115,6 +115,32 @@ object CdcStream {
         max(col("id")).as("to_id"))
       .orderBy(col("batch_no"))
 
+  /** Custom keyed state via flatMapGroupsWithState: in-stream exactly-once
+    * dedup on (id, ts_ms) — drops CDC events already seen for a key, e.g.
+    * when an at-least-once source replays a producer batch after the
+    * reference's offline-recovery path (03_recovery.py re-sends buffered
+    * rows). State per key is only the high-water ts_ms mark, so state size
+    * is O(keys) regardless of stream length; the GroupState timeout would
+    * bound it further in production.
+    */
+  def statefulDedup(parsed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select("op", "ts_ms", "id", "name")
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[(String, Long, Long, String)],
+         state: GroupState[Long]) =>
+          val highWater = state.getOption.getOrElse(Long.MinValue)
+          val fresh = events.filter(_._2 > highWater).toSeq.sortBy(_._2)
+          if (fresh.nonEmpty) state.update(fresh.map(_._2).max)
+          fresh.iterator
+      }
+  }
+
   /** Processing-time tumbling throughput (events/sec parity metric —
     * the reference has no event-time windows; ordering is by monotonic id,
     * so a tumbling window on the carried timestamp suffices and late data

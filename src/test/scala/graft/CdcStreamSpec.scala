@@ -106,6 +106,27 @@ class CdcStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS thr")
   }
 
+  test("stateful dedup drops replayed events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val deduped = CdcStream.statefulDedup(CdcStream.parse(source.toDF()))
+    val q = deduped.toDF("op", "ts_ms", "id", "name").writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    source.addData(env("c", 1, "a", 100), env("u", 1, "b", 200))
+    q.processAllAvailable()
+    // Replay the same events (at-least-once source) plus one genuinely new.
+    source.addData(env("c", 1, "a", 100), env("u", 1, "b", 200),
+      env("u", 1, "c", 300))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup").as[(String, Long, Long, String)]
+      .collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(100L, 200L, 300L),
+      s"replayed ts must be dropped, got: ${rows.toSeq}")
+    spark.sql("DROP TABLE IF EXISTS dedup")
+  }
+
   test("latency segments are non-negative and ordered") {
     import spark.implicits._
     val parsed = CdcStream.parse(
