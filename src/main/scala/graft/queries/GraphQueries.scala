@@ -31,6 +31,39 @@ object GraphQueries {
     Seq(node).toDF("node")
   }
 
+  /** S2: graph vertex scan — all ids of one label (reference:
+    * `MATCH (d:Drone) RETURN d.id`,
+    * demo_did_graph/02_topology_dynamic/benchmark_scenario_c.py:225).
+    */
+  def s2VertexScan(spark: SparkSession, d: String): DataFrame =
+    GraphData.hierarchyEdges(spark, d)
+      .filter(col("child_type") === "Order")
+      .select(col("child").as("id"))
+      .orderBy(col("id"))
+
+  /** S3: filtered vertex scan — candidates excluding the anchor (reference:
+    * `MATCH (e:Entity) WHERE e.did <> $a RETURN e.did`,
+    * demo_did_graph/04_web_of_trust/benchmark_scenario_d.py:195).
+    */
+  def s3FilteredVertexScan(spark: SparkSession, d: String): DataFrame =
+    GraphData.trustChain(spark, d)
+      .select(col("child").as("did"))
+      .filter(col("did") =!= "E1")
+      .orderBy(col("did"))
+
+  /** J6: FK-integrity join — every fact row must resolve both dimension
+    * FKs (reference: vc_test ⋈ did_issuer ⋈ did_subject,
+    * demo_did_graph/scripts/traversal_verify.py:68-73).
+    */
+  def j6FkIntegrity(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .agg(count(lit(1)).as("resolved"))
+  }
+
   /** R1: recursive delegation chain from one root, per-level path counts
     * (reference: demo_did_graph/common/bench_utils.py:9-34).
     */
@@ -165,6 +198,9 @@ object GraphQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_vertex_scan" -> s2VertexScan,
+    "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
+    "j6_fk_integrity" -> j6FkIntegrity,
     "r1_chain_levels" -> r1ChainLevels,
     "r1_chain_levels_rcte" -> r1ChainLevelsRcte,
     "r2_varlen_endpoint" -> r2VarlenEndpoint,
@@ -177,6 +213,17 @@ object GraphQueries {
     "j11_edge_create" -> j11EdgeCreate)
 
   val oracles: Map[String, String] = Map(
+    "s2_vertex_scan" ->
+      "SELECT 'O' || o_orderkey AS id FROM orders ORDER BY id",
+    "s3_filtered_vertex_scan" ->
+      """SELECT 'E' || b.c_custkey AS did
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |WHERE 'E' || b.c_custkey <> 'E1'
+        |ORDER BY did""".stripMargin,
+    "j6_fk_integrity" ->
+      """SELECT count(*) AS resolved FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "r1_chain_levels" ->
       s"""WITH RECURSIVE $edgesCte,
         |chain AS (
