@@ -143,19 +143,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** D4: exact n-gram (word-set) Jaccard pairs within a blocking key. */
+  /** D4: exact n-gram (word-set) Jaccard pairs within a blocking key.
+    *
+    * Relational formulation (token equi-join instead of per-pair array
+    * intersection): explode distinct words, self-join on (block, word) to
+    * count shared words per pair, derive union size as |A|+|B|-inter.
+    * Pairs sharing zero words never materialize — they cannot pass any
+    * positive threshold — so the quadratic per-block pair enumeration of
+    * the array formulation disappears; work scales with the inverted-index
+    * join fan-out, which is what survives at corpus scale.
+    */
   def ngramJaccard(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.9): DataFrame = {
     val sets = docs.select(col(blockCol), col(idCol),
-      array_distinct(words(col(textCol))).as("ws"))
-    val a = sets.select(col(blockCol), col(idCol).as("doc_a"), col("ws").as("ws_a"))
-    val b = sets.select(col(blockCol), col(idCol).as("doc_b"), col("ws").as("ws_b"))
-    a.join(b, Seq(blockCol))
+      array_distinct(words(col(textCol))).as("ws")).cache()
+    val toks = sets.select(col(blockCol), col(idCol), explode(col("ws")).as("w"))
+    val sizes = sets.select(col(idCol), size(col("ws")).as("sz"))
+    val a = toks.select(col(blockCol), col(idCol).as("doc_a"), col("w"))
+    val b = toks.select(col(blockCol), col(idCol).as("doc_b"), col("w"))
+    a.join(b, Seq(blockCol, "w"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
-      .withColumn("uni", size(array_union(col("ws_a"), col("ws_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 }
