@@ -91,8 +91,68 @@ object Bench {
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum
+    val cdc = cdcMetrics(spark, sfDir)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"iterations":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** CDC-side metrics matching the reference harness (BASELINE.md):
+    * apply throughput (ops/s) through the real micro-batch pipeline,
+    * inter-event gap percentiles from the ordered log, and recovery
+    * replay rate over the full backlog
+    * (reference: demo_sqlite_cdc/02_benchmark/01_local_cdc_capture.py:119-135,
+    * 03_recovery.py:106-117).
+    */
+  private def cdcMetrics(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    try {
+      val events = graft.Tables.events(spark, sfDir)
+      // Envelope strings for the change stream (insert per event).
+      val envs = events.select(graft.functions.Debezium.envelope(
+        graft.functions.Debezium.nullRow,
+        struct(col("event_id").as("id"),
+          concat(lit("u"), col("user_id").cast("string")).as("name")),
+        lit("c"), unix_millis(col("ts")), "users").as("value"))
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+
+      // Apply throughput through the real streaming pipeline (5 micro-batches).
+      implicit val sqlCtx = spark.sqlContext
+      implicit val strEnc = org.apache.spark.sql.Encoders.STRING
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val source = MemoryStream[String]
+      val state = new CdcStream.SnapshotHandle(spark)
+      val q = CdcStream.start(CdcStream.parse(source.toDF()), state)
+      val t0 = System.nanoTime()
+      envs.grouped(math.max(1, envs.length / 5)).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val applySec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+
+      // Inter-event gap stats over the ordered log (the lag-window shape).
+      val gaps = graft.queries.RelQueries.o3LagGaps(spark, sfDir)
+      val g = gaps.agg(
+        percentile(col("gap_ms"), lit(0.5)).as("p50"),
+        percentile(col("gap_ms"), lit(0.95)).as("p95"),
+        percentile(col("gap_ms"), lit(0.99)).as("p99")).head()
+
+      // Recovery: ordered replay batching + full re-apply of the backlog.
+      val t1 = System.nanoTime()
+      val batches = CdcStream.replayStats(
+        events.select(col("event_id").as("id")), 500).count()
+      val replayed = CdcStream.mergeCdcBatch(
+        state.snapshot.limit(0),
+        CdcStream.parse(spark.createDataset(envs.toIndexedSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("value"))).count()
+      val recoverSec = (System.nanoTime() - t1) / 1e9
+
+      f"""{"apply_ops_per_sec":${envs.length / applySec}%.1f,""" +
+        f""""events":${envs.length},"micro_batches":5,""" +
+        f""""gap_ms":{"p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
+        f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${envs.length / recoverSec}%.1f}}"""
+    } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
   }
 }
