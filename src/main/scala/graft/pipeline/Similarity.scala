@@ -91,6 +91,43 @@ object Similarity {
     (0 until dim).map(row.getDouble)
   }
 
+  /** IVF (inverted-file) ANN: k-means the corpus once (seeded, MLlib),
+    * store each vector under its cluster id, and probe only the
+    * `nProbe` clusters whose centroids are nearest the query. The
+    * centroid table is tiny (k rows) and lives broadcast; the probe is a
+    * cluster-pruned scan — at 100 TB the cluster id is the partition key
+    * and unprobed partitions are never read. Same plumbing as
+    * [[lshBucketTopK]] with learned buckets instead of random ones.
+    */
+  def ivfTopK(vectors: DataFrame, queryId: Long, k: Int, nClusters: Int = 16,
+      nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    val ml = vectors.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
+      .fit(ml)
+    val assigned = model.transform(ml).withColumnRenamed("prediction", "cluster")
+    // Rank clusters by centroid distance to the query vector (driver-side:
+    // k centroids only).
+    val qVec = ml.filter(col(idCol) === queryId)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val probe = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec) }
+      .take(nProbe).map(_._2)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    assigned.filter(col("cluster").isin(probe.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket. */
   def lshBucketTopK(vectors: DataFrame, queryId: Long, k: Int,
       numPlanes: Int = 8, dim: Int = 64, idCol: String = "vec_id",

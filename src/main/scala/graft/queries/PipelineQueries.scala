@@ -56,6 +56,13 @@ object PipelineQueries {
     Similarity.lshBucketTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10,
       numPlanes = 4)
 
+  /** ANN scale path 2: IVF — learned k-means clusters instead of random
+    * hyperplanes, probing the 2 nearest of 8 cells (rows-only).
+    */
+  def annIvfTopk(spark: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10,
+      nClusters = 8, nProbe = 2)
+
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -115,6 +122,7 @@ object PipelineQueries {
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,

@@ -84,6 +84,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.intersect(lsh).nonEmpty)
   }
 
+  test("ivf ANN recovers planted clusters like brute force") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f)
+    val c1 = Array.fill(64)(rnd.nextFloat())
+    val c2 = Array.fill(64)(rnd.nextFloat() - 2f)
+    val vecs = ((0L to 9L).map(i => (i, jitter(c1), 0)) ++
+      (10L to 19L).map(i => (i, jitter(c2), 1))).toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.ivfTopK(vecs, 0L, 3, nClusters = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.nonEmpty && ivf.subsetOf((1L to 9L).toSet),
+      "probe must stay in the query's learned cluster")
+    val brute = Similarity.bruteForceTopK(vecs, 0L, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.intersect(ivf).nonEmpty)
+  }
+
   test("langid picks marked language; und when no markers") {
     val docs = Seq(
       (0L, "we saw the dog and the cat near the house"),
