@@ -62,11 +62,20 @@ object Traverse {
       childCol: String = "child",
       nodeCol: String = "node",
       earlyExit: Boolean = true,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      keepPaths: Boolean = false): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
 
+    // keepPaths materializes the visited-node string `path`
+    // ("seed->a->b") on every output row — the Cypher `RETURN path`
+    // surface. It rides through the loop as an ordinary carry column, so
+    // the join structure (and scale behavior) is unchanged; row width
+    // grows O(depth).
+    val pathSeed =
+      if (keepPaths) seed.withColumn("path", col(nodeCol)) else seed
+
     val payloadCols = edges.columns.filterNot(c => c == parentCol || c == childCol).toSeq
-    val carryCols = seed.columns.filterNot(_ == nodeCol).toSeq
+    val carryCols = pathSeed.columns.filterNot(_ == nodeCol).toSeq
     val overlap = carryCols.intersect(payloadCols)
     require(overlap.isEmpty, s"seed carry columns collide with edge payload columns: $overlap")
 
@@ -76,7 +85,15 @@ object Traverse {
       .withColumnRenamed(childCol, "__child")
       .cache()
 
-    var frontier = seed // carry ++ node
+    // Carry columns pass through unchanged except `path`, which extends
+    // with the newly reached node on every step.
+    def carried: Seq[org.apache.spark.sql.Column] = carryCols.map {
+      case "path" if keepPaths =>
+        concat(col("f.path"), lit("->"), col("e.__child")).as("path")
+      case c => col(s"f.$c")
+    }
+
+    var frontier = pathSeed // carry ++ node
     val levels = Seq.newBuilder[DataFrame]
     var lvl = 1
     var done = false
@@ -84,14 +101,14 @@ object Traverse {
       val joined = frontier.alias("f")
         .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))
       val outCols =
-        carryCols.map(c => col(s"f.$c")) ++
+        carried ++
         payloadCols.map(c => col(s"e.$c")) ++
         Seq(col("e.__child").as(nodeCol), lit(lvl).as("lvl"))
       levels += joined.select(outCols: _*)
 
       if (lvl < maxDepth) {
         var next = joined.select(
-          (carryCols.map(c => col(s"f.$c")) :+ col("e.__child").as(nodeCol)): _*)
+          (carried :+ col("e.__child").as(nodeCol)): _*)
         if (checkpointEvery > 0 && lvl % checkpointEvery == 0) {
           // Eager checkpoint truncates lineage AND materializes the frontier,
           // so the emptiness probe below is nearly free.

@@ -148,6 +148,17 @@ object GraphQueries {
       .filter(col("node") === "E15")
       .agg(count(lit(1)).as("n_paths"))
 
+  /** R3 with materialized paths: the Cypher `RETURN path` surface —
+    * enumerate the actual trust paths from the client toward the anchor
+    * (reference shape: demo_did_graph/04_web_of_trust/
+    * benchmark_scenario_d.py:200-203, which counts `path` objects).
+    */
+  def r3WotPathList(spark: SparkSession, d: String): DataFrame =
+    Traverse.expand(seed(spark, "E0"), GraphData.trustChain(spark, d),
+        maxDepth = 8, keepPaths = true)
+      .select(col("path"), col("node"), col("lvl"))
+      .orderBy(col("lvl"))
+
   /** R4/J10: ABAC permission decision — member hop, bounded subgroup walk,
     * permission join, per-user path count (reference SQL twin:
     * demo_did_graph/04_web_of_trust/benchmark_scenario_a.py:267-278).
@@ -208,6 +219,7 @@ object GraphQueries {
     "j8_hier_vc_count" -> j8HierVcCount,
     "j7_two_hop" -> j7TwoHop,
     "r3_wot_path_count" -> r3WotPathCount,
+    "r3_wot_path_list" -> r3WotPathList,
     "r4_abac_decision" -> r4AbacDecision,
     "r4_abac_cypher_twin" -> r4AbacCypherTwin,
     "j11_edge_create" -> j11EdgeCreate)
@@ -290,6 +302,20 @@ object GraphQueries {
         |  WHERE p.lvl < 20
         |)
         |SELECT count(*) AS n_paths FROM paths WHERE node = 'E15'""".stripMargin,
+    "r3_wot_path_list" ->
+      """WITH RECURSIVE trust AS (
+        |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
+        |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |),
+        |paths AS (
+        |  SELECT 'E0' || '->' || child AS path, child AS node, 1 AS lvl
+        |  FROM trust WHERE parent = 'E0'
+        |  UNION ALL
+        |  SELECT p.path || '->' || t.child, t.child, p.lvl + 1
+        |  FROM paths p JOIN trust t ON t.parent = p.node
+        |  WHERE p.lvl < 8
+        |)
+        |SELECT path, node, lvl FROM paths ORDER BY lvl""".stripMargin,
     "r4_abac_decision" ->
       """WITH RECURSIVE member AS (
         |  SELECT 'C' || c_custkey AS user_id, 'G' || c_nationkey AS group_id

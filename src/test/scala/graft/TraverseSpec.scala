@@ -73,6 +73,15 @@ class TraverseSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("orig", "t1", "b", 1), ("orig", "t2", "c", 2)))
   }
 
+  test("keepPaths materializes distinct path strings for each bag row") {
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    val paths = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 2,
+        keepPaths = true)
+      .filter($"node" === "d").select("path").as[String].collect().toSet
+    assert(paths == Set("a->b->d", "a->c->d"),
+      "diamond yields two distinct materialized paths")
+  }
+
   test("pathCount counts bag paths between endpoints") {
     val e = edges("s" -> "m1", "s" -> "m2", "m1" -> "t", "m2" -> "t")
     assert(Traverse.pathCount(e, "s", "t", 3) == 2)
