@@ -35,6 +35,11 @@ object JsonCanon {
 
   /** Python repr() for doubles — shortest round-trip digits re-formatted
     * with Python's fixed/scientific switch.
+    *
+    * Shortest digits are derived explicitly (probe precisions 1..17 and keep
+    * the first that round-trips): JDK 17's `Double.toString` does not always
+    * emit the shortest form (Ryu landed in JDK 19), and ~1% of doubles would
+    * otherwise carry an extra digit and break byte-compat with CPython.
     */
   def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
@@ -42,19 +47,22 @@ object JsonCanon {
     if (d.isNegInfinity) return "-Infinity"
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0
-    val s = java.lang.Double.toString(math.abs(d)) // shortest round-trip
-    // Parse Java's form into (digits, decExp): value = 0.digits * 10^(decExp+1)
-    val (mant, exp10) = s.indexOf('E') match {
-      case -1 => (s, 0)
-      case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+    val a = math.abs(d)
+    var prec = 0
+    var s: String = null
+    while (s == null) {
+      val cand = String.format(java.util.Locale.ROOT, "%." + prec + "e", java.lang.Double.valueOf(a))
+      if (prec == 16 || java.lang.Double.parseDouble(cand) == a) s = cand
+      prec += 1
     }
-    val dot = mant.indexOf('.')
-    val digitsRaw = (mant.substring(0, dot) + mant.substring(dot + 1))
-    val lead = digitsRaw.indexWhere(_ != '0')
-    val digits0 = digitsRaw.substring(lead).reverse.dropWhile(_ == '0').reverse
+    // %e always yields a nonzero leading digit, so the exponent is decExp
+    // directly: value = d1.d2... * 10^decExp
+    val ei = s.indexOf('e')
+    val mant = s.substring(0, ei)
+    val decExp = s.substring(ei + 1).toInt
+    val digitsRaw = mant.filter(_ != '.')
+    val digits0 = digitsRaw.reverse.dropWhile(_ == '0').reverse
     val digits = if (digits0.isEmpty) "0" else digits0
-    // decExp: exponent of the first significant digit (d1.d2... * 10^decExp)
-    val decExp = dot - 1 - lead + exp10
     val sb = new StringBuilder
     if (neg) sb.append('-')
     if (decExp >= -4 && decExp < 16) {

@@ -40,6 +40,37 @@ class JsonCanonSpec extends AnyFunSuite {
     assert(pyFloatRepr(1e100) == "1e+100")
   }
 
+  test("shortest round-trip digits on JDK 17 (Double.toString over-long cases)") {
+    // CPython: repr(4.6339927102834509e17) == '4.633992710283451e+17' —
+    // JDK 17 Double.toString gives "4.6339927102834509E17" (one extra digit).
+    assert(pyFloatRepr(4.6339927102834509e17) == "4.633992710283451e+17")
+    assert(pyFloatRepr(2.2250738585072014e-308) == "2.2250738585072014e-308")
+    // Every emitted repr must round-trip to the identical double, and be
+    // no longer than what a 17-sig-digit print would give.
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        val r = pyFloatRepr(d)
+        val parsed = java.lang.Double.parseDouble(r)
+        assert(parsed == d || (d == 0.0 && parsed == 0.0), s"round-trip fail: $d -> $r")
+      }
+    }
+  }
+
+  test("byte-compat with CPython repr on 10k golden vectors") {
+    // src/test/resources/cpython_float_repr.tsv: "<ieee754 bits>\t<repr(d)>"
+    // generated with CPython 3.11 (seed 123) + targeted boundary cases.
+    val in = getClass.getResourceAsStream("/cpython_float_repr.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    assert(lines.size > 9000)
+    lines.foreach { ln =>
+      val Array(bits, want) = ln.split("\t")
+      val d = java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(bits))
+      assert(pyFloatRepr(d) == want, s"bits=$bits d=$d")
+    }
+  }
+
   test("idempotent and stable under key reordering") {
     val a = """{"x": 1, "y": {"b": 2, "a": 3}}"""
     val b = """{"y": {"a": 3, "b": 2}, "x": 1}"""
