@@ -68,11 +68,16 @@ object Bench {
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
       } else { perQuery(name) = -1.0; stats(name) = """{"error":true}""" }
+      // Release operator-internal caches between queries (kept across the
+      // iterations of one query — the warm path reuses them, as a resident
+      // service would).
+      CacheRegistry.releaseAll()
     }
 
     // Cold single pass over the rest of the catalog.
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(headline.contains).foreach(n => perQuery(n) = run(n))
+      .filterNot(headline.contains)
+      .foreach { n => perQuery(n) = run(n); CacheRegistry.releaseAll() }
 
     // S7: CSV result sink in the reference's column layout
     // (scenario, scale_up, depth, p50_ms, p95_ms, p99_ms, tps —

@@ -80,10 +80,14 @@ object Traverse {
     require(overlap.isEmpty, s"seed carry columns collide with edge payload columns: $overlap")
 
     // Cache the reused side once; rename join columns to avoid capture.
-    val e = edges
-      .withColumnRenamed(parentCol, "__parent")
-      .withColumnRenamed(childCol, "__child")
-      .cache()
+    // Registered so callers can release it after materializing the result
+    // (graft.CacheRegistry.releaseAll) — long-lived sessions would
+    // otherwise accumulate cached edge tables.
+    val e = graft.CacheRegistry.register(
+      edges
+        .withColumnRenamed(parentCol, "__parent")
+        .withColumnRenamed(childCol, "__child")
+        .cache())
 
     // Carry columns pass through unchanged except `path`, which extends
     // with the newly reached node on every step.
@@ -145,17 +149,30 @@ object Traverse {
   def expandRcte(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
       seedNode: String, maxDepth: Int,
       parentCol: String = "parent", childCol: String = "child"): DataFrame = {
-    val view = s"__graft_edges_${System.identityHashCode(edges).toHexString}"
+    // Unique view name (identityHashCode can collide after GC); the seed is
+    // bound as a named parameter, never interpolated — a quote in the seed
+    // must not break or inject SQL. Column names and the depth bound are
+    // code-owned identifiers/literals, not user data.
+    val view = s"__graft_edges_${rcteViewId.incrementAndGet()}"
     edges.createOrReplaceTempView(view)
-    spark.sql(
-      s"""WITH RECURSIVE chain AS (
-         |  SELECT $childCol AS node, 1 AS lvl FROM $view WHERE $parentCol = '$seedNode'
-         |  UNION ALL
-         |  SELECT e.$childCol, c.lvl + 1 FROM chain c
-         |  JOIN $view e ON e.$parentCol = c.node
-         |  WHERE c.lvl < $maxDepth
-         |) SELECT node, lvl FROM chain""".stripMargin)
+    try {
+      val out = spark.sql(
+        s"""WITH RECURSIVE chain AS (
+           |  SELECT $childCol AS node, 1 AS lvl FROM $view WHERE $parentCol = :seed
+           |  UNION ALL
+           |  SELECT e.$childCol, c.lvl + 1 FROM chain c
+           |  JOIN $view e ON e.$parentCol = c.node
+           |  WHERE c.lvl < $maxDepth
+           |) SELECT node, lvl FROM chain""".stripMargin,
+        Map("seed" -> seedNode))
+      // Analysis is eager, so the resolved plan no longer needs the view.
+      spark.catalog.dropTempView(view)
+      out
+    } catch {
+      case e: Exception => spark.catalog.dropTempView(view); throw e
+    }
   }
+  private val rcteViewId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Path-count between a single source and a single target within `maxLen`
     * hops: the web-of-trust shape (reference:

@@ -77,8 +77,8 @@ object Dedup {
     // Shingle the corpus ONCE; the cached set feeds both the signature
     // aggregation and the exact-verify join (shingling is the most
     // expensive map-side expression in the pipeline).
-    val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleLen)).as("shset")).cache()
+    val sets = graft.CacheRegistry.register(docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("shset")).cache())
 
     val sh = sets.select(col(idCol), explode(col("shset")).as("sh"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
@@ -155,8 +155,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.9): DataFrame = {
-    val sets = docs.select(col(blockCol), col(idCol),
-      array_distinct(words(col(textCol))).as("ws")).cache()
+    val sets = graft.CacheRegistry.register(docs.select(col(blockCol), col(idCol),
+      array_distinct(words(col(textCol))).as("ws")).cache())
     val toks = sets.select(col(blockCol), col(idCol), explode(col("ws")).as("w"))
     val sizes = sets.select(col(idCol), size(col("ws")).as("sz"))
     val a = toks.select(col(blockCol), col(idCol).as("doc_a"), col("w"))

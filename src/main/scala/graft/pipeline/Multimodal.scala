@@ -39,7 +39,11 @@ object Multimodal {
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
-    StructField("features", ArrayType(FloatType, containsNull = false))))
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    // Exact integer per-block byte sums alongside the float means: float
+    // columns hash differently across engines, so the correctness gate
+    // verifies the exact sums (the means are sums / block length).
+    StructField("block_sums", ArrayType(LongType, containsNull = false))))
 
   /** STUB decode + feature extraction.
     *
@@ -57,11 +61,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // One reusable buffer per partition — the mapInPandas batch shape.
         val feats = new Array[Float](numFeatures)
+        val sums = new Array[Long](numFeatures)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val n = bytes.length
           java.util.Arrays.fill(feats, 0f)
+          java.util.Arrays.fill(sums, 0L)
           var j = 0
           while (j < numFeatures) {
             val lo = j * n / numFeatures
@@ -69,10 +75,11 @@ object Multimodal {
             var s = 0L
             var i = lo
             while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+            sums(j) = s
             feats(j) = s.toFloat / (hi - lo)
             j += 1
           }
-          Row(id, n, feats.clone().toSeq)
+          Row(id, n, feats.clone().toSeq, sums.clone().toSeq)
         }
       }(enc)
   }

@@ -98,11 +98,16 @@ object PipelineQueries {
         col("height"), col("fmt"))
       .orderBy(col("doc_id"))
 
-  /** MM2: stubbed decode + feature extraction via per-partition batches
-    * (rows-only: float feature arrays).
+  /** MM2: stubbed decode + feature extraction via per-partition batches.
+    * The gate projects hash-stable scalars — payload size plus the exact
+    * per-block byte sums as one comma-joined string (the float means are
+    * `sums / block_len`, verified transitively; raw float arrays are not
+    * engine-hashable and crash the driver's pandas compare).
     */
   def mm2Features(spark: SparkSession, d: String): DataFrame =
     Multimodal.fakeDecodeFeatures(Multimodal.mediaTable(spark, d))
+      .select(col("doc_id"), col("n_bytes"),
+        concat_ws(",", col("block_sums").cast("array<string>")).as("block_sums"))
       .orderBy(col("doc_id"))
 
   /** MM3: frame-sampling chunk counts (the chunk fingerprints themselves
@@ -219,6 +224,21 @@ object PipelineQueries {
         |  CAST(48 + doc_id % 48 AS INT) AS height,
         |  'fake/raw' AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm2_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text))::INT AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_bytes,
+        |  array_to_string(
+        |    list_transform(range(0, 8), j ->
+        |      list_sum(list_transform(
+        |        range(j*n//8, greatest(j*n//8 + 1, (j+1)*n//8)),
+        |        i -> 16*(strpos('0123456789ABCDEF', h[2*i+1]) - 1)
+        |             + strpos('0123456789ABCDEF', h[2*i+2]) - 1))::VARCHAR),
+        |    ',') AS block_sums
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm3_frames" ->
       """SELECT doc_id,
         |  ((octet_length(encode(text))::INT - 1) // 64 + 1)::INT AS n_frames

@@ -38,10 +38,21 @@ object CdcStream {
 
   /** Reduce a CDC micro-batch to its final per-key effect, keeping the
     * delete markers (unlike Snapshot.applyCdc, the merge needs them).
+    *
+    * Equal-ts_ms events for one key must not resolve nondeterministically
+    * (the reference applies events in change_id order; a bare ts_ms window
+    * could apply a delete instead of the later upsert). Tiebreak on the
+    * source offset when the source carries one (kafka), else on a
+    * deterministic hash of the full event — matching Snapshot.applyCdc's
+    * multi-column orderCols.
     */
   def lastPerKey(batch: DataFrame): DataFrame = {
+    val tiebreak =
+      if (batch.columns.contains("offset")) col("offset").cast("long")
+      else if (batch.columns.contains("seq")) col("seq").cast("long")
+      else xxhash64(struct(batch.columns.map(col): _*))
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("ts_ms").desc)
+      .orderBy(col("ts_ms").desc, tiebreak.desc)
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -135,7 +146,11 @@ object CdcStream {
         (_: Long, events: Iterator[(String, Long, Long, String)],
          state: GroupState[Long]) =>
           val highWater = state.getOption.getOrElse(Long.MinValue)
-          val fresh = events.filter(_._2 > highWater).toSeq.sortBy(_._2)
+          // Dedup against state AND within the batch: replayed duplicates
+          // can land in the same micro-batch, where the high-water filter
+          // alone would pass both copies.
+          val fresh = events.filter(_._2 > highWater).toSeq
+            .sortBy(_._2).distinctBy(_._2)
           if (fresh.nonEmpty) state.update(fresh.map(_._2).max)
           fresh.iterator
       }
