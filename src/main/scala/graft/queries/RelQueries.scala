@@ -131,6 +131,25 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** O3 at scale: the sharded default form of [[o3LagGaps]] — gaps are
+    * computed within a shard (the event's day), so the window exchange is
+    * `hashpartitioning(day)` instead of a single task holding the whole
+    * log. At 100 TB the day (or producer shard) is also the parquet
+    * partition key, so the sort feeding each window is partition-local.
+    * Cross-shard boundary gaps are not emitted — at scale nobody diffs
+    * the last event of one shard against the first of another.
+    */
+  def o3LagGapsSharded(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .select(col("event_id"),
+        (unix_millis(col("ts")) - col("prev_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.7: UNION ALL (the only set op in the reference). */
   def setUnionAll(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.events(spark, d)
@@ -152,6 +171,7 @@ object RelQueries {
     "a4_percentiles" -> a4Percentiles,
     "o1_order_by" -> o1OrderBy,
     "o3_lag_gaps" -> o3LagGaps,
+    "o3_lag_gaps_sharded" -> o3LagGapsSharded,
     "set_union_all" -> setUnionAll)
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +226,12 @@ object RelQueries {
         |ORDER BY event_id""".stripMargin,
     "o3_lag_gaps" ->
       """SELECT event_id, ms - lag(ms) OVER (ORDER BY ts, event_id) AS gap_ms
+        |FROM (SELECT event_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events)
+        |QUALIFY gap_ms IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "o3_lag_gaps_sharded" ->
+      """SELECT event_id, ms - lag(ms) OVER (
+        |    PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS gap_ms
         |FROM (SELECT event_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events)
         |QUALIFY gap_ms IS NOT NULL
         |ORDER BY event_id""".stripMargin,
