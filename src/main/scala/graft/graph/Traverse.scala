@@ -63,7 +63,8 @@ object Traverse {
       nodeCol: String = "node",
       earlyExit: Boolean = true,
       checkpointEvery: Int = 4,
-      keepPaths: Boolean = false): DataFrame = {
+      keepPaths: Boolean = false,
+      probeThreshold: Long = 1000L): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
 
     // keepPaths materializes the visited-node string `path`
@@ -101,6 +102,7 @@ object Traverse {
     val levels = Seq.newBuilder[DataFrame]
     var lvl = 1
     var done = false
+    var tinyFrontier = false
     while (lvl <= maxDepth && !done) {
       val joined = frontier.alias("f")
         .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))
@@ -113,11 +115,20 @@ object Traverse {
       if (lvl < maxDepth) {
         var next = joined.select(
           (carried :+ col("e.__child").as(nodeCol)): _*)
-        if (checkpointEvery > 0 && lvl % checkpointEvery == 0) {
+        // Checkpoint on the fixed cadence — and on EVERY level once the
+        // frontier has shrunk below probeThreshold. Deep bounded walks over
+        // near-chains (the WoT shape: depth 20, frontier ~1 row) otherwise
+        // pay up to checkpointEvery extra sequential join stages after the
+        // frontier empties, and accumulate lineage between probes; when the
+        // frontier is tiny the eager checkpoint costs one sub-ms job and
+        // keeps every level's plan flat.
+        if (checkpointEvery > 0 && (lvl % checkpointEvery == 0 || tinyFrontier)) {
           // Eager checkpoint truncates lineage AND materializes the frontier,
-          // so the emptiness probe below is nearly free.
+          // so the count probe below reads cached partitions — nearly free.
           next = next.localCheckpoint(true)
-          if (earlyExit && next.isEmpty) done = true
+          val n = next.count()
+          if (earlyExit && n == 0) done = true
+          tinyFrontier = n <= probeThreshold
         }
         frontier = next
       }

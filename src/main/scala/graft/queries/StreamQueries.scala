@@ -35,9 +35,17 @@ object StreamQueries {
     CdcStream.replayStats(
       Tables.events(spark, d).select(col("event_id").as("id")), 500)
 
+  /** S4/M9 scale twin: arithmetic batch key, no global window (the plan a
+    * 100 TB backlog needs — see CdcStream.replayStatsSharded scaladoc).
+    */
+  def s4ReplayStatsSharded(spark: SparkSession, d: String): DataFrame =
+    CdcStream.replayStatsSharded(
+      Tables.events(spark, d).select(col("event_id").as("id")), 500)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
-    "s4_replay_stats" -> s4ReplayStats)
+    "s4_replay_stats" -> s4ReplayStats,
+    "s4_replay_stats_sharded" -> s4ReplayStatsSharded)
 
   val oracles: Map[String, String] = Map(
     "s5_cdc_parse" ->
@@ -50,6 +58,13 @@ object StreamQueries {
         |FROM (
         |  SELECT event_id AS id,
         |    (row_number() OVER (ORDER BY event_id) - 1) // 500 AS batch_no
+        |  FROM events
+        |) GROUP BY batch_no ORDER BY batch_no""".stripMargin,
+    "s4_replay_stats_sharded" ->
+      """SELECT batch_no, count(*) AS n, min(id) AS from_id, max(id) AS to_id
+        |FROM (
+        |  SELECT event_id AS id,
+        |    (event_id - (SELECT min(event_id) FROM events)) // 500 AS batch_no
         |  FROM events
         |) GROUP BY batch_no ORDER BY batch_no""".stripMargin)
 }

@@ -126,6 +126,26 @@ object CdcStream {
         max(col("id")).as("to_id"))
       .orderBy(col("batch_no"))
 
+  /** Scale twin of [[replayStats]]: the un-partitioned `row_number` window
+    * above pulls the whole backlog through ONE task — fine for the
+    * small-scale oracle, a single-executor bottleneck at a 100 TB backlog.
+    * Here the batch key is arithmetic — `floor((id - min_id) / batchSize)`
+    * — so the only shuffle is the batch_no aggregation and every partition
+    * computes its keys independently (min_id is a 1-row broadcast). Batches
+    * are id-range slabs rather than exact-size chunks when the id space has
+    * gaps; replay order and coverage are identical.
+    */
+  def replayStatsSharded(buffer: DataFrame, batchSize: Int): DataFrame = {
+    val lo = buffer.agg(min(col("id")).as("__min_id"))
+    buffer.crossJoin(broadcast(lo))
+      .withColumn("batch_no",
+        floor((col("id") - col("__min_id")) / batchSize))
+      .groupBy(col("batch_no"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("from_id"),
+        max(col("id")).as("to_id"))
+      .orderBy(col("batch_no"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: in-stream exactly-once
     * dedup on (id, ts_ms) — drops CDC events already seen for a key, e.g.
     * when an at-least-once source replays a producer batch after the

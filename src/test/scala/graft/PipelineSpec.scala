@@ -60,9 +60,12 @@ class PipelineSpec extends AnyFunSuite {
       (2L, Array(0f, 1f, 0f, 0f), 0),
       (3L, Array(0f, 0f, 1f, 0f), 0))
       .toDF("vec_id", "embedding", "label")
-    val pairs = Similarity.cosinePairs(vecs, "label", 0.9)
+    val pairs = Similarity.cosinePairs(vecs, "label", 0.9, dim = 4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+    val exact = Similarity.cosinePairsExact(vecs, "label", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact == pairs, "LSH candidate path matches the exact all-pairs form")
     val top = Similarity.bruteForceTopK(vecs, 0L, 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(top.head == 1L)
