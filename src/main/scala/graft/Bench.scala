@@ -3,11 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — mirrors the reference harness's measurement protocol
-  * (BASELINE.md): one untimed warm-up per query (buffer cache + codegen
+  * (BASELINE.md): two untimed warm-ups per query (buffer cache + codegen
   * JIT, like demo_did_graph/03_equalization/benchmark_scenario_a.py:75-78),
   * then N timed executions; reports per-query P50/P95/P99 latency (ms) and
-  * throughput (q/s) exactly as common/bench_utils.py:37-60 does, plus the
-  * driver-contract total/queries fields.
+  * throughput (q/s) exactly as common/bench_utils.py:37-60 does — plus min
+  * and stddev, so round-over-round comparisons can tell a plan change from
+  * JIT/GC noise — plus the driver-contract total/queries fields.
+  * Iterations default to 20: at local[32] with concurrent GC, 5 samples
+  * cannot resolve a 2x latency change (observed 3-6x p50 swings on
+  * identical code).
   *
   * Headline set = the BASELINE.md Q1-Q7 shapes plus the heaviest pipeline
   * operators; the remaining catalog queries run once (cold) so the full
@@ -37,7 +41,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,14 +63,17 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
 
     headline.filter(SparkEntry.queries.contains).foreach { name =>
-      run(name) // warm-up, untimed
+      run(name); run(name) // two warm-ups, untimed
       val lat = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray.sorted
       if (lat.nonEmpty) {
         val total = lat.sum
+        val mean = total / lat.length
+        val sd = math.sqrt(lat.map(x => (x - mean) * (x - mean)).sum / lat.length)
         perQuery(name) = pct(lat, 0.5)
         stats(name) =
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
-          f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
+          f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
+          f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
       } else { perQuery(name) = -1.0; stats(name) = """{"error":true}""" }
       // Release operator-internal caches between queries (kept across the
       // iterations of one query — the warm path reuses them, as a resident
@@ -97,9 +104,51 @@ object Bench {
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum
     val cdc = cdcMetrics(spark, sfDir)
+    val dyn = dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"iterations":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"dynamic":$dyn,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Dynamic-topology scenario block matching the reference's interleaved
+    * mutate→query protocol (demo_did_graph/02_topology_dynamic/
+    * benchmark_scenario_a.py:25-45): per turn-taking step, apply the step's
+    * delegation rewrite, materialize the snapshot (the reference's
+    * committed table state), then time the depth-bounded chain query —
+    * p50/p95/p99/tps per depth, exactly the reference's per-row CSV output.
+    * Plus one chain-churn cycle (total sec + mutate-and-query throughput).
+    */
+  private def dynamicMetrics(spark: SparkSession, sfDir: String,
+      iters: Int): String = {
+    import graft.scenario.DynamicReplay
+    try {
+      var delegation = DynamicReplay.baseDelegation(spark, sfDir)
+      val perDepth = Seq(4, 8, 12, 16).zipWithIndex.map { case (depth, i) =>
+        delegation = CacheRegistry.register(
+          DynamicReplay.mutateStep(delegation, i + 1).cache())
+        delegation.count() // materialize post-mutation state
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          DynamicReplay.chainCount(spark, delegation, depth).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm-up
+        val lat = (1 to iters).map(_ => run()).toArray.sorted
+        f""""d$depth":{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,""" +
+          f""""p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
+          f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,""" +
+          f""""tps":${lat.length / lat.sum}%.3f}"""
+      }
+      val t0 = System.nanoTime()
+      graft.queries.ScenarioQueries.dynChainChurn(spark, sfDir).count()
+      val churnSec = (System.nanoTime() - t0) / 1e9
+      CacheRegistry.releaseAll()
+      f"""{"turn_taking":${perDepth.mkString("{", ",", "}")},""" +
+        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${7 / churnSec}%.3f}}"""
+    } catch { case e: Throwable =>
+      CacheRegistry.releaseAll()
+      s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** CDC-side metrics matching the reference harness (BASELINE.md):

@@ -16,7 +16,15 @@ final case class GraftConfig(
     depths: Seq[Int] = Seq(2, 4, 6, 8),
     iterations: Int = 100,
     chunkSize: Int = 500,
-    randomSeed: Long = 42L)
+    randomSeed: Long = 42L,
+    // CDC transport (reference: demo_sqlite_cdc/01_unit_test/
+    // 07_test_kafka_producer.py:39-41 — KAFKA_BOOTSTRAP/TOPIC env pair).
+    // "kafka" reads/writes the broker; "file" tails a directory of
+    // envelope lines; "memory" is the in-process test source.
+    cdcSource: String = "memory",
+    kafkaBootstrap: String = "localhost:9092",
+    kafkaTopic: String = "cdc-events",
+    cdcSourcePath: String = "")
 
 object GraftConfig {
 
@@ -41,7 +49,11 @@ object GraftConfig {
       depths = ints("depths", Seq(2, 4, 6, 8)),
       iterations = int("iterations", 100),
       chunkSize = int("chunk_size", 500),
-      randomSeed = int("random_seed", 42).toLong)
+      randomSeed = int("random_seed", 42).toLong,
+      cdcSource = str("cdc_source", "memory"),
+      kafkaBootstrap = str("kafka_bootstrap", "localhost:9092"),
+      kafkaTopic = str("kafka_topic", "cdc-events"),
+      cdcSourcePath = str("cdc_source_path", ""))
   }
 
   def load(path: String): GraftConfig =

@@ -26,7 +26,8 @@ object SparkEntry {
       (MutQueries.defs, MutQueries.oracles),
       (FuncQueries.defs, FuncQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
-      (StreamQueries.defs, StreamQueries.oracles))
+      (StreamQueries.defs, StreamQueries.oracles),
+      (ScenarioQueries.defs, ScenarioQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

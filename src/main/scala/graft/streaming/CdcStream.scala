@@ -36,6 +36,56 @@ object CdcStream {
     */
   def parse(values: DataFrame): DataFrame = Debezium.flatten(values, "value")
 
+  /** Kafka CDC source — the broker hop of the reference pipeline
+    * (demo_sqlite_cdc/01_unit_test/06_postgres_cdc_sink.py:76-90:
+    * KafkaConsumer on the topic, earliest offset, JSON value decode).
+    * Emits the envelope string plus the source `offset` (the lastPerKey
+    * tiebreak) and the broker receive stamp (the middle leg of the
+    * 3-segment latency in [[latencySegments]]). Requires the
+    * spark-sql-kafka connector on the classpath at runtime.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"), col("offset"),
+        unix_millis(col("timestamp")).as("broker_ts_ms"))
+
+  /** Kafka CDC sink — the producer half
+    * (demo_sqlite_cdc/01_unit_test/07_test_kafka_producer.py:39-74:
+    * KafkaProducer sending Debezium JSON values). `envelopes` must carry
+    * the JSON string in `value`.
+    */
+  def toKafka(envelopes: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): StreamingQuery =
+    envelopes.select(col("value").cast("string").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Config-selected CDC source (graft.GraftConfig.cdcSource): "kafka" →
+    * the broker; "file" → a tailed directory of envelope lines (the
+    * reference's offline buffer file, 03_recovery.py); "memory" → caller
+    * supplies a MemoryStream DataFrame via `fallback` (test harness).
+    * Every branch yields the same `value: string` contract into [[parse]],
+    * so the pipeline downstream of the source is transport-agnostic.
+    */
+  def source(spark: SparkSession, cfg: graft.GraftConfig,
+      fallback: => DataFrame = null): DataFrame = cfg.cdcSource match {
+    case "kafka" => fromKafka(spark, cfg.kafkaBootstrap, cfg.kafkaTopic)
+    case "file" =>
+      require(cfg.cdcSourcePath.nonEmpty, "file source needs cdc_source_path")
+      spark.readStream.text(cfg.cdcSourcePath)
+    case _ =>
+      require(fallback != null, "memory source needs a caller-supplied stream")
+      fallback
+  }
+
   /** Reduce a CDC micro-batch to its final per-key effect, keeping the
     * delete markers (unlike Snapshot.applyCdc, the merge needs them).
     *
