@@ -59,10 +59,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Iteration aid: SPARK_GRAFT_ONLY="a,b" restricts the headline set and
+    // skips the cold pass + cdc/dynamic blocks. Not used by the driver.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n))).foreach { name =>
       run(name); run(name) // two warm-ups, untimed
       val lat = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray.sorted
       if (lat.nonEmpty) {
@@ -82,7 +87,7 @@ object Bench {
     }
 
     // Cold single pass over the rest of the catalog.
-    SparkEntry.queries.keys.toSeq.sorted
+    if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
       .filterNot(headline.contains)
       .foreach { n => perQuery(n) = run(n); CacheRegistry.releaseAll() }
 
@@ -103,8 +108,9 @@ object Bench {
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum
-    val cdc = cdcMetrics(spark, sfDir)
-    val dyn = dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
+    val cdc = if (only.isEmpty) cdcMetrics(spark, sfDir) else "{}"
+    val dyn = if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
+              else "{}"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"dynamic":$dyn,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()

@@ -115,20 +115,28 @@ object Traverse {
       if (lvl < maxDepth) {
         var next = joined.select(
           (carried :+ col("e.__child").as(nodeCol)): _*)
-        // Checkpoint on the fixed cadence — and on EVERY level once the
-        // frontier has shrunk below probeThreshold. Deep bounded walks over
-        // near-chains (the WoT shape: depth 20, frontier ~1 row) otherwise
-        // pay up to checkpointEvery extra sequential join stages after the
-        // frontier empties, and accumulate lineage between probes; when the
-        // frontier is tiny the eager checkpoint costs one sub-ms job and
-        // keeps every level's plan flat.
-        if (checkpointEvery > 0 && (lvl % checkpointEvery == 0 || tinyFrontier)) {
-          // Eager checkpoint truncates lineage AND materializes the frontier,
-          // so the count probe below reads cached partitions — nearly free.
+        // Lineage is truncated by an eager localCheckpoint ONLY on the fixed
+        // cadence — the count probe piggybacks on it (reads cached
+        // partitions, nearly free). Off-cadence, once the frontier has
+        // shrunk below probeThreshold, probe emptiness with the much cheaper
+        // `isEmpty` (a take(1)-style job over a ≤checkpointEvery-deep plan of
+        // tiny joins) so deep bounded walks over near-chains (the WoT shape:
+        // depth 20, frontier ~1 row) still exit at the exact fixpoint level
+        // instead of up to checkpointEvery-1 levels late. Checkpointing every
+        // tiny level (round-4 behavior) materialized a full job per level and
+        // doubled shallow-walk medians — the probe must stay O(first row).
+        if (checkpointEvery > 0 && lvl % checkpointEvery == 0) {
           next = next.localCheckpoint(true)
           val n = next.count()
           if (earlyExit && n == 0) done = true
           tinyFrontier = n <= probeThreshold
+        } else if (earlyExit && tinyFrontier &&
+            checkpointEvery > 1 && lvl % checkpointEvery == checkpointEvery / 2 &&
+            next.isEmpty) {
+          // One probe per cadence window (mid-cadence) bounds exit lateness
+          // at ~checkpointEvery/2 empty levels while halving probe jobs on
+          // walks whose tiny frontier never empties before the depth bound.
+          done = true
         }
         frontier = next
       }
