@@ -150,7 +150,7 @@ object Bench {
       val churnSec = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
       f"""{"turn_taking":${perDepth.mkString("{", ",", "}")},""" +
-        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${7 / churnSec}%.3f}}"""
+        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${DynamicReplay.DefaultCycle.length / churnSec}%.3f}}"""
     } catch { case e: Throwable =>
       CacheRegistry.releaseAll()
       s"""{"error":"${e.getClass.getSimpleName}"}"""

@@ -143,6 +143,40 @@ object Similarity {
         round(col("hits").cast("double") / col("k"), 4).as("recall"))
   }
 
+  /** All bit masks over `numPlanes` bits with popcount ≤ `maxHamming`,
+    * enumerated directly as C(numPlanes, 0..maxHamming) bit-position
+    * combinations — never the 2^numPlanes power set, which at production
+    * plane counts (24+) would burn millions of driver iterations and
+    * overflow outright at numPlanes ≥ 63.
+    */
+  def hammingMasks(numPlanes: Int, maxHamming: Int): Seq[Long] = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1, 62], got $numPlanes")
+    (0 to math.min(maxHamming, numPlanes)).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(_.map(1L << _).sum))
+  }
+
+  /** Pair-level recall of an approximate near-dup pair set against the
+    * exact pair set: |approx ∩ exact| / |exact| over (vec_a, vec_b). The
+    * quality self-check for [[cosinePairs]]: its LSH candidate generation
+    * can in principle miss a borderline pair (documented ~3e-4 per pair at
+    * the gate threshold), and without this row such a miss would surface
+    * only as an opaque hash mismatch on the pair gate — here it reads as a
+    * named recall drop. Empty exact set ⇒ recall 1.0 (nothing to find).
+    */
+  def pairRecall(exact: DataFrame, approx: DataFrame, method: String)
+      : DataFrame = {
+    val e = exact.select(col("vec_a"), col("vec_b"))
+    val hits = e.join(approx.select(col("vec_a"), col("vec_b")),
+      Seq("vec_a", "vec_b"), "left_semi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .select(lit(method).as("method"), col("n_exact").cast("int").as("n_exact"),
+        when(col("n_exact") === 0, 1.0)
+          .otherwise(round(col("hits").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(seed)
@@ -226,8 +260,7 @@ object Similarity {
     val means = typedlit(dimMeans(vectors, dim, vecCol))
     val centered = zip_with(col(vecCol), means, (x, m) => x.cast("double") - m)
     val bucketed = vectors.withColumn("bucket", lshBucket(centered, planes))
-    val masks = (0L until (1L << numPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val masks = hammingMasks(numPlanes, probeHamming)
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))

@@ -59,25 +59,49 @@ object PipelineQueries {
       numPlanes = 4, probeHamming = 2)
 
   /** ANN scale path 2: IVF — learned k-means clusters instead of random
-    * hyperplanes, probing the 4 nearest of 8 cells (recall gated by
-    * `ann_ivf_recall`; near-uniform corpus needs half the cells — see
-    * [[annLshTopk]]).
+    * hyperplanes, probing the 5 nearest of 8 cells (recall gated by
+    * `ann_ivf_recall`; the near-uniform synthetic corpus needs most of the
+    * cells to hold the ≥0.8 floor at every test scale — measured 1.0/0.8/
+    * 0.8 at sf0.001/0.01/0.1. A clustered real corpus probes 1-2 of many
+    * more cells — see [[annLshTopk]]).
     */
   def annIvfTopk(spark: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10,
-      nClusters = 8, nProbe = 4)
+      nClusters = 8, nProbe = 5)
 
-  /** ANN quality gates: recall@10 of each approximate path against the
-    * exact baseline, computed in-engine. Deterministic (seeded hyperplanes
-    * / seeded k-means over the same input), so the oracle pins the
-    * measured value — moving both approximate paths from rows-only checks
-    * to hash-checked gates.
+  /** ANN quality gates. `ann_lsh_recall` is fully oracle-derived: the
+    * hyperplane LSH is deterministic given its seed, so the oracle SQL
+    * re-runs the WHOLE algorithm in DuckDB — same embedded plane constants,
+    * same mean-centering, same multi-probe mask set, same top-k ordering —
+    * and derives recall@10 independently ([[annLshRecallOracle]]). The IVF
+    * path cannot be reproduced in SQL (MLlib k-means), so `ann_ivf_recall`
+    * gates the ≥0.8 quality floor as a boolean instead of pinning the
+    * measured constant — a Spark/MLlib upgrade that shifts recall within
+    * the floor no longer flips the gate.
     */
   def annLshRecall(spark: SparkSession, d: String): DataFrame =
     Similarity.recallAtK(annTopk(spark, d), annLshTopk(spark, d), "lsh")
 
+  val IvfRecallFloor = 0.8
+
   def annIvfRecall(spark: SparkSession, d: String): DataFrame =
     Similarity.recallAtK(annTopk(spark, d), annIvfTopk(spark, d), "ivf")
+      .select(col("method"), col("k"),
+        lit(IvfRecallFloor).as("recall_floor"),
+        (col("recall") >= IvfRecallFloor).as("meets_floor"))
+
+  /** Pair-level recall of the LSH candidate-generation near-dup path
+    * ([[Similarity.cosinePairs]]) against the exact all-pairs form, on the
+    * same block/threshold as `d5_embed_cosine`. The oracle derives the
+    * exact pair count in SQL and pins recall at the 1.0 contract — a
+    * borderline pair missed by the banding surfaces here as a named recall
+    * drop instead of only an opaque hash mismatch on d5.
+    */
+  def d5CosineLshRecall(spark: SparkSession, d: String): DataFrame =
+    Similarity.pairRecall(
+      Similarity.cosinePairsExact(Tables.embeddings(spark, d), "label", 0.4),
+      Similarity.cosinePairs(Tables.embeddings(spark, d), "label", 0.4),
+      "cosine_lsh")
 
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
@@ -146,6 +170,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
+    "d5_cosine_lsh_recall" -> d5CosineLshRecall,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -153,6 +178,55 @@ object PipelineQueries {
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
     "mm3_frames" -> mm3Frames)
+
+  /** Fully-derived DuckDB oracle for `ann_lsh_recall`: reproduces
+    * [[Similarity.lshBucketTopK]] end to end in SQL. The hyperplanes are
+    * deterministic given the seed, so their values are embedded as list
+    * literals generated from the SAME [[Similarity.hyperplanes]] call the
+    * engine uses (parameters must mirror [[annLshTopk]]); mean-centering,
+    * bucket bits, the multi-probe mask set, candidate pruning, and top-k
+    * ordering are all recomputed by DuckDB from the raw parquet — recall
+    * is derived, not pinned. The centered dot product is written as the
+    * same left-to-right element sum the engine's zip_with/aggregate
+    * produces, so sign decisions agree bit-for-bit.
+    */
+  private def annLshRecallOracle: String = {
+    val numPlanes = 4; val dim = 64; val probeHamming = 2; val k = 10
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val masks = Similarity.hammingMasks(numPlanes, probeHamming)
+    val muList = (1 to dim).map(i => s"avg(e[$i])").mkString("[", ", ", "]")
+    val planeCols = planes.zipWithIndex.map { case (p, j) =>
+      p.mkString("[", ", ", s"] AS p$j")
+    }.mkString(",\n    ")
+    val bucketExpr = planes.indices.map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> (e[i] - mu[i]) * p$j[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val maskVals = masks.map(m => s"($m)").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |mu AS (SELECT $muList AS mu FROM v),
+       |pl AS (SELECT
+       |    $planeCols),
+       |b AS (SELECT vec_id, e,
+       |    $bucketExpr AS bucket
+       |  FROM v, mu, pl),
+       |q AS (SELECT bucket, e FROM b WHERE vec_id = 0),
+       |probes AS (SELECT xor(q.bucket, t.msk) AS bucket
+       |  FROM q, (VALUES $maskVals) t(msk)),
+       |appr AS (
+       |  SELECT c.vec_id, round(list_cosine_similarity(c.e, q.e), 4) AS sim
+       |  FROM b c, q
+       |  WHERE c.vec_id <> 0 AND c.bucket IN (SELECT bucket FROM probes)
+       |  ORDER BY sim DESC, c.vec_id LIMIT $k),
+       |ex AS (
+       |  SELECT w.vec_id, round(list_cosine_similarity(w.e, q2.e), 4) AS sim
+       |  FROM v w, (SELECT e FROM v WHERE vec_id = 0) q2
+       |  WHERE w.vec_id <> 0
+       |  ORDER BY sim DESC, w.vec_id LIMIT $k)
+       |SELECT 'lsh' AS method, (SELECT count(*) FROM ex)::INT AS k,
+       |  round((SELECT count(*)::DOUBLE FROM ex JOIN appr USING (vec_id)) /
+       |        (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
+  }
 
   private val langScoreSql =
     """SELECT doc_id,
@@ -195,15 +269,24 @@ object PipelineQueries {
         |SELECT v.vec_id, round(list_cosine_similarity(v.e, q.e), 4) AS sim
         |FROM v, q WHERE v.vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    // Determinism pins: recall@10 is measured in-engine against the exact
-    // baseline (seeded hyperplanes / seeded k-means over the same single
-    // parquet split — verified stable across SPARK_GRAFT_CPUS 4/8/16), so
-    // the oracle pins the deterministic value at the gate scale. The ≥0.8
-    // quality floor itself is asserted in PipelineSpec.
-    "ann_lsh_recall" ->
-      "SELECT 'lsh' AS method, 10 AS k, CAST(0.9 AS DOUBLE) AS recall",
+    "ann_lsh_recall" -> annLshRecallOracle,
     "ann_ivf_recall" ->
-      "SELECT 'ivf' AS method, 10 AS k, CAST(0.8 AS DOUBLE) AS recall",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ex AS (
+        |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
+        |  WHERE w.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(w.e, q.e), 4) DESC, w.vec_id
+        |  LIMIT 10)
+        |SELECT 'ivf' AS method, (SELECT count(*) FROM ex)::INT AS k,
+        |  CAST(0.8 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+    "d5_cosine_lsh_recall" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
+        |SELECT 'cosine_lsh' AS method, count(*)::INT AS n_exact,
+        |  CAST(1.0 AS DOUBLE) AS recall FROM pairs""".stripMargin,
     "t1_langid" ->
       s"""WITH s AS ($langScoreSql),
         |b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)

@@ -94,7 +94,7 @@ object ScenarioQueries {
     "dyn_partition" -> dynPartition)
 
   val oracles: Map[String, String] = Map(
-    "dyn_turn_taking" -> stepsOracle(Seq(4, 8, 12, 16)),
-    "dyn_chain_churn" -> stepsOracle(Seq(4, 8, 12, 16, 12, 8, 4)),
+    "dyn_turn_taking" -> stepsOracle(DynamicReplay.DefaultDepths),
+    "dyn_chain_churn" -> stepsOracle(DynamicReplay.DefaultCycle),
     "dyn_partition" -> partitionOracle(8))
 }

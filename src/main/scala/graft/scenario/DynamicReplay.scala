@@ -41,6 +41,13 @@ object DynamicReplay {
 
   val DefaultFanout = 64
   val DefaultModulo = 20
+  /** Turn-taking depth schedule and churn depth cycle — shared with the
+    * oracle SQL generators (ScenarioQueries) and the bench's
+    * steps-per-second denominator, so changing a schedule cannot silently
+    * desynchronize the oracle or the reported throughput.
+    */
+  val DefaultDepths: Seq[Int] = Seq(4, 8, 12, 16)
+  val DefaultCycle: Seq[Int] = Seq(4, 8, 12, 16, 12, 8, 4)
 
   /** Deterministic delegation snapshot: `delegation(drone_id, hq_id)` over
     * the customer keys (contiguous 0..N-1 in the test data).
@@ -83,7 +90,7 @@ object DynamicReplay {
     * per depth (benchmark_scenario_a.py:36-45).
     */
   def turnTaking(spark: SparkSession, sfDir: String,
-      depths: Seq[Int] = Seq(4, 8, 12, 16)): DataFrame = {
+      depths: Seq[Int] = DefaultDepths): DataFrame = {
     var delegation = baseDelegation(spark, sfDir)
     val rows = depths.zipWithIndex.map { case (depth, i) =>
       val step = i + 1
@@ -99,7 +106,7 @@ object DynamicReplay {
     * (benchmark_scenario_a.py:49-68 — `depth_cycle`).
     */
   def chainChurn(spark: SparkSession, sfDir: String,
-      cycle: Seq[Int] = Seq(4, 8, 12, 16, 12, 8, 4)): DataFrame = {
+      cycle: Seq[Int] = DefaultCycle): DataFrame = {
     var delegation = baseDelegation(spark, sfDir)
     val rows = cycle.zipWithIndex.map { case (depth, i) =>
       val step = i + 1

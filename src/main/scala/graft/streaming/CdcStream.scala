@@ -81,9 +81,11 @@ object CdcStream {
     case "file" =>
       require(cfg.cdcSourcePath.nonEmpty, "file source needs cdc_source_path")
       spark.readStream.text(cfg.cdcSourcePath)
-    case _ =>
+    case "memory" =>
       require(fallback != null, "memory source needs a caller-supplied stream")
       fallback
+    case other => throw new IllegalArgumentException(
+      s"unknown cdc_source '$other' — valid values: kafka, file, memory")
   }
 
   /** Reduce a CDC micro-batch to its final per-key effect, keeping the

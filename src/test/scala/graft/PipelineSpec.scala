@@ -103,6 +103,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("hammingMasks enumerates exactly the popcount<=h masks") {
+    assert(Similarity.hammingMasks(4, 2).toSet ==
+      (0L until 16L).filter(m => java.lang.Long.bitCount(m) <= 2).toSet)
+    assert(Similarity.hammingMasks(8, 0) == Seq(0L))
+    // Direct combination counts — no 2^n blowup: C(40,0)+C(40,1)+C(40,2).
+    assert(Similarity.hammingMasks(40, 2).length == 1 + 40 + 40 * 39 / 2)
+    assert(Similarity.hammingMasks(62, 1).length == 63)
+  }
+
+  test("ANN recall floors hold at the gate scale") {
+    // sf0.01 is the driver's correctness-gate scale; the synthetic
+    // embeddings differ per sf, so floors are pinned where the gate runs.
+    val d = "/root/testdata/sf0.01"
+    val lsh = graft.queries.PipelineQueries.annLshRecall(spark, d)
+      .select("recall").as[Double].head()
+    assert(lsh >= 0.8, s"LSH recall@10 $lsh below 0.8 floor")
+    val ivf = graft.queries.PipelineQueries.annIvfRecall(spark, d)
+      .select("meets_floor").as[Boolean].head()
+    assert(ivf, "IVF recall@10 below 0.8 floor")
+  }
+
+  test("pairRecall: LSH cosine pairs find every exact pair; empty set is 1.0") {
+    val d = "/root/testdata/sf0.001"
+    val r = graft.queries.PipelineQueries.d5CosineLshRecall(spark, d)
+      .as[(String, Int, Double)].head()
+    assert(r._1 == "cosine_lsh" && r._2 > 0 && r._3 == 1.0,
+      s"LSH pair recall must be 1.0 on the gate corpus, got $r")
+    val none = Similarity.pairRecall(
+      spark.emptyDataset[(Long, Long)].toDF("vec_a", "vec_b"),
+      spark.emptyDataset[(Long, Long)].toDF("vec_a", "vec_b"), "x")
+      .select("recall").as[Double].head()
+    assert(none == 1.0)
+  }
+
   test("langid picks marked language; und when no markers") {
     val docs = Seq(
       (0L, "we saw the dog and the cat near the house"),
