@@ -6,11 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal) as gate queries. Approximate operators
-  * (MinHash-LSH, SimHash, LSH-ANN) have no SQL oracle — they get rows-only
-  * checks here and planted-duplicate assertions in PipelineSpec; the exact
-  * operators (exact dedup, n-gram Jaccard, cosine pairs, brute-force ANN,
-  * all text stats) hash-match DuckDB.
+  * analysis, multimodal) as gate queries. Only operators whose algorithm
+  * genuinely cannot run in SQL stay rows-only (MinHash-LSH's seeded
+  * xxhash64 signatures, the LSH/IVF top-k lists) — and each of those is
+  * covered by a derived quality gate instead (`ann_*_recall`,
+  * `d5_cosine_lsh_recall`) plus planted-duplicate assertions in
+  * PipelineSpec. Everything else — exact dedup, n-gram Jaccard, cosine
+  * pairs, brute-force ANN, SimHash (sha256-based fingerprints), text
+  * stats, LSH recall — hash-matches DuckDB.
   */
 object PipelineQueries {
 
@@ -23,7 +26,10 @@ object PipelineQueries {
     Dedup.minHashLsh(Tables.documents(spark, d), threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** D3: SimHash pairs within source blocks (approximate; rows-only). */
+  /** D3: SimHash pairs within source blocks — oracle-gated: the sha256
+    * word hash makes the fingerprint DuckDB-reproducible
+    * ([[d3SimhashOracle]]).
+    */
   def d3Simhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simHash(Tables.documents(spark, d), blockCol = "source",
         maxHamming = 16)
@@ -179,6 +185,48 @@ object PipelineQueries {
     "mm2_features" -> mm2Features,
     "mm3_frames" -> mm3Frames)
 
+  /** DuckDB oracle for `d3_simhash`: mechanical translation of
+    * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
+    * sha256 (identical in both engines — the reason the fingerprint uses
+    * it); the 64 per-bit votes read shift/mask bits of the 16 hex nibbles,
+    * and the fingerprint is assembled as two 32-bit halves so Hamming
+    * distance is `bit_count(xor(lo)) + bit_count(xor(hi))` without touching
+    * the signed-64 top bit.
+    */
+  private def d3SimhashOracle(maxHamming: Int): String = {
+    val votes = (0 until 64).map { j =>
+      s"sum(CASE WHEN (nib[${16 - j / 4}] >> ${j % 4}) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n    ")
+    def half(lo: Int): String = (lo until lo + 32).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << (j - lo)} ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, list_transform(range(1, 17),
+       |    i -> strpos('0123456789abcdef',
+       |           substr(sha256(word), i::INT, 1)) - 1) AS nib
+       |  FROM w),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM n GROUP BY doc_id),
+       |f AS (
+       |  SELECT d.source, v.doc_id,
+       |    ${half(0)} AS lo,
+       |    ${half(32)} AS hi
+       |  FROM v JOIN documents d USING (doc_id))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  (bit_count(xor(a.lo::BIGINT, b.lo::BIGINT))
+       |   + bit_count(xor(a.hi::BIGINT, b.hi::BIGINT)))::INT AS hamming
+       |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo::BIGINT, b.lo::BIGINT))
+       |    + bit_count(xor(a.hi::BIGINT, b.hi::BIGINT)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Fully-derived DuckDB oracle for `ann_lsh_recall`: reproduces
     * [[Similarity.lshBucketTopK]] end to end in SQL. The hyperplanes are
     * deterministic given the seed, so their values are embedded as list
@@ -269,6 +317,7 @@ object PipelineQueries {
         |SELECT v.vec_id, round(list_cosine_similarity(v.e, q.e), 4) AS sim
         |FROM v, q WHERE v.vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "d3_simhash" -> d3SimhashOracle(16),
     "ann_lsh_recall" -> annLshRecallOracle,
     "ann_ivf_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
