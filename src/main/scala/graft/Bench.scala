@@ -149,8 +149,13 @@ object Bench {
       graft.queries.ScenarioQueries.dynChainChurn(spark, sfDir).count()
       val churnSec = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
+      val t1 = System.nanoTime()
+      graft.queries.ScenarioQueries.dynRewire(spark, sfDir).count()
+      val rewireSec = (System.nanoTime() - t1) / 1e9
+      CacheRegistry.releaseAll()
       f"""{"turn_taking":${perDepth.mkString("{", ",", "}")},""" +
-        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${DynamicReplay.DefaultCycle.length / churnSec}%.3f}}"""
+        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${DynamicReplay.DefaultCycle.length / churnSec}%.3f},""" +
+        f""""rewire":{"cycle_sec":$rewireSec%.3f,"steps_per_sec":${DynamicReplay.DefaultDepths.length / rewireSec}%.3f}}"""
     } catch { case e: Throwable =>
       CacheRegistry.releaseAll()
       s"""{"error":"${e.getClass.getSimpleName}"}"""

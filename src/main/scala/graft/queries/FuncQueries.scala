@@ -136,6 +136,43 @@ object FuncQueries {
       .orderBy(col("event_id"))
   }
 
+  /** U12: chained-hash document packaging + verification (reference:
+    * demo_offline/02_offline_did_and_hash/packaging_with_did_and_hash.py:8-27
+    * — each document embeds `hash = sha256(canonical_json(doc))`, and
+    * packages chain by hashing over the previous package). Per `source`
+    * block: build the DID-document JSON per doc, embed its sha256, verify
+    * every embedded hash by re-extracting it from the packaged JSON and
+    * recomputing from the body, then fold the packages in doc_id order
+    * into a chain head `h_i = sha256(h_{i-1} || packaged_i)`.
+    *
+    * Scale shape: one chain per block — blocks hash in parallel, and the
+    * sequential fold (inherent to hash chaining) runs as a codegen'd
+    * `aggregate` over each group's sorted packages, not a driver loop.
+    */
+  def u12HashChain(spark: SparkSession, d: String): DataFrame = {
+    val dj = concat(lit("{\"id\": \"did:example:"),
+      md5(col("text").cast("binary")),
+      lit("\", \"seq\": "), col("doc_id").cast("string"), lit("}"))
+    Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"), dj.as("dj"))
+      .withColumn("h", sha2(col("dj"), 256))
+      .withColumn("packaged",
+        concat(lit("{\"hash\": \""), col("h"), lit("\", "),
+          expr("substring(dj, 2)")))
+      .withColumn("ok",
+        get_json_object(col("packaged"), "$.hash") === sha2(col("dj"), 256))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ok"), 1)).as("verified"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("packaged")))),
+            s => s.getField("packaged")),
+          lit("GENESIS"),
+          (acc, x) => sha2(concat(acc, x), 256)).as("chain_head"))
+      .orderBy(col("source"))
+  }
+
   /** U8: hex encoding of byte content. */
   def u8Hex(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -169,6 +206,7 @@ object FuncQueries {
     "u5_did_mint" -> u5DidMint,
     "u6_canonical_json" -> u6CanonicalJson,
     "u8_hex" -> u8Hex,
+    "u12_hash_chain" -> u12HashChain,
     "u10_epoch_ms" -> u10EpochMs,
     "u11_debezium_envelope" -> u11DebeziumEnvelope)
 
@@ -190,6 +228,22 @@ object FuncQueries {
     "u8_hex" ->
       """SELECT doc_id, hex(substr(text, 1, 16)) AS hx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Derived end-to-end: DuckDB rebuilds the same packaged docs and folds
+    // the same chain; `verified` is the cardinality (the engine count only
+    // matches if every embedded hash re-verified — the u1 pattern).
+    "u12_hash_chain" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    '{"id": "did:example:' || md5(text) || '", "seq": ' || doc_id || '}' AS dj
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id,
+        |    '{"hash": "' || sha256(dj) || '", ' || substr(dj, 2) AS packaged
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs, count(*) AS verified,
+        |  list_reduce(list_prepend('GENESIS', list(packaged ORDER BY doc_id)),
+        |    (acc, x) -> sha256(acc || x)) AS chain_head
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "u10_epoch_ms" ->
       "SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events ORDER BY event_id",
     "u11_debezium_envelope" ->

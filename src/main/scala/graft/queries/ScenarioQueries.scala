@@ -21,6 +21,13 @@ object ScenarioQueries {
   def dynPartition(spark: SparkSession, d: String): DataFrame =
     DynamicReplay.partitionReconcile(spark, d)
 
+  /** Rewire-mechanic twin of [[dynTurnTaking]] — same schedule through
+    * M3 delete+create instead of M2 UPDATE, so it shares the oracle: hash
+    * equality proves both mutation styles produce the same post-state.
+    */
+  def dynRewire(spark: SparkSession, d: String): DataFrame =
+    DynamicReplay.rewireReplay(spark, d)
+
   // ── Oracle SQL generators (mirror DynamicReplay's constants) ──────────
 
   private val fanout = DynamicReplay.DefaultFanout
@@ -91,10 +98,12 @@ object ScenarioQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dyn_turn_taking" -> dynTurnTaking,
     "dyn_chain_churn" -> dynChainChurn,
-    "dyn_partition" -> dynPartition)
+    "dyn_partition" -> dynPartition,
+    "dyn_rewire" -> dynRewire)
 
   val oracles: Map[String, String] = Map(
     "dyn_turn_taking" -> stepsOracle(DynamicReplay.DefaultDepths),
     "dyn_chain_churn" -> stepsOracle(DynamicReplay.DefaultCycle),
-    "dyn_partition" -> partitionOracle(8))
+    "dyn_partition" -> partitionOracle(8),
+    "dyn_rewire" -> stepsOracle(DynamicReplay.DefaultDepths))
 }

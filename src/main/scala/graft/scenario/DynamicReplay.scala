@@ -117,6 +117,39 @@ object DynamicReplay {
     rows.reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Scenario 4 (rewire twin of turn-taking): the same modular mutation
+    * schedule executed with the reference's OTHER mutation mechanic — the
+    * Cypher delete+create edge batch (`UNWIND ... MATCH ()-[r]->(d) DELETE
+    * r` then `MATCH (hq),(d) CREATE (hq)-[:DELEGATES]->(d)`,
+    * demo_did_graph/02_topology_dynamic/benchmark_scenario_c.py:46-65) via
+    * [[Snapshot.rewire]] (M3) over the (parent, child) edge view, instead
+    * of the UPDATE-style [[mutateStep]]. Post-mutation state is identical
+    * by construction, so the oracle is the same stacked-CASE schedule —
+    * hash equality proves the two mutation styles converge.
+    *
+    * The rewire batch is derived from the base key table (not from the
+    * evolving edge snapshot), keeping each step's plan a flat anti-join +
+    * union rather than a self-referential pyramid.
+    */
+  def rewireReplay(spark: SparkSession, sfDir: String,
+      depths: Seq[Int] = DefaultDepths, modulo: Int = DefaultModulo,
+      fanout: Int = DefaultFanout): DataFrame = {
+    import spark.implicits._
+    var e = edges(baseDelegation(spark, sfDir, fanout))
+    val rows = depths.zipWithIndex.map { case (depth, i) =>
+      val step = i + 1
+      val batch = Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") % modulo === step)
+        .select(col("c_custkey").cast("string").as("child"))
+      val newEdges = batch.select(lit("HQ").as("parent"), col("child"))
+      e = Snapshot.rewire(e, batch, newEdges)
+      Traverse.expand(Seq("HQ").toDF("node"), e, maxDepth = depth)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(step).as("step"), lit(depth).as("depth"), col("n"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   /** Scenario 3 (partition + reconciliation,
     * benchmark_scenario_a.py:71-93): during the split the two halves of the
     * top-level drones report to their own partition headquarters; after
