@@ -168,32 +168,40 @@ object Bench {
     * replay rate over the full backlog
     * (reference: demo_sqlite_cdc/02_benchmark/01_local_cdc_capture.py:119-135,
     * 03_recovery.py:106-117).
+    *
+    * The envelope backlog is staged as text files (the reference's offline
+    * buffer file) written distributed — nothing collects to the driver at
+    * any sf — and replayed through the engine's `cdc_source:"file"` branch
+    * with `maxFilesPerTrigger=1`, so the apply path is the same
+    * readStream→parse→foreachBatch-merge pipeline production would run.
+    * Recovery re-reads the same files as a batch: sharded replay batching
+    * (no single-partition window) + full keyed merge.
     */
   private def cdcMetrics(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcStream
+    val microBatches = 5
+    val dir = new java.io.File(s"target/bench_cdc_${System.nanoTime()}")
     try {
       val events = graft.Tables.events(spark, sfDir)
-      // Envelope strings for the change stream (insert per event).
-      val envs = events.select(graft.functions.Debezium.envelope(
+      val nEvents = events.count()
+      // Stage the envelope backlog: one file per intended micro-batch.
+      events.select(graft.functions.Debezium.envelope(
         graft.functions.Debezium.nullRow,
         struct(col("event_id").as("id"),
           concat(lit("u"), col("user_id").cast("string")).as("name")),
         lit("c"), unix_millis(col("ts")), "users").as("value"))
-        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+        .repartition(microBatches)
+        .write.mode("overwrite").text(dir.getPath)
 
-      // Apply throughput through the real streaming pipeline (5 micro-batches).
-      implicit val sqlCtx = spark.sqlContext
-      implicit val strEnc = org.apache.spark.sql.Encoders.STRING
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val source = MemoryStream[String]
+      // Apply throughput through the real file-source streaming pipeline.
+      val cfg = graft.GraftConfig(cdcSource = "file",
+        cdcSourcePath = dir.getPath, cdcMaxFilesPerTrigger = 1)
       val state = new CdcStream.SnapshotHandle(spark)
-      val q = CdcStream.start(CdcStream.parse(source.toDF()), state)
+      val q = CdcStream.start(
+        CdcStream.parse(CdcStream.source(spark, cfg)), state)
       val t0 = System.nanoTime()
-      envs.grouped(math.max(1, envs.length / 5)).foreach { chunk =>
-        source.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      }
+      q.processAllAvailable()
       val applySec = (System.nanoTime() - t0) / 1e9
       q.stop()
 
@@ -204,20 +212,26 @@ object Bench {
         percentile(col("gap_ms"), lit(0.95)).as("p95"),
         percentile(col("gap_ms"), lit(0.99)).as("p99")).head()
 
-      // Recovery: ordered replay batching + full re-apply of the backlog.
+      // Recovery: ordered replay batching (sharded — arithmetic batch keys,
+      // no one-task window) + full re-apply of the backlog from the files.
       val t1 = System.nanoTime()
-      val batches = CdcStream.replayStats(
-        events.select(col("event_id").as("id")), 500).count()
+      val backlog = CdcStream.parse(spark.read.text(dir.getPath))
+      val batches = CdcStream.replayStatsSharded(
+        backlog.select(col("id")), 500).count()
       val replayed = CdcStream.mergeCdcBatch(
-        state.snapshot.limit(0),
-        CdcStream.parse(spark.createDataset(envs.toIndexedSeq)(
-          org.apache.spark.sql.Encoders.STRING).toDF("value"))).count()
+        state.snapshot.limit(0), backlog).count()
       val recoverSec = (System.nanoTime() - t1) / 1e9
 
-      f"""{"apply_ops_per_sec":${envs.length / applySec}%.1f,""" +
-        f""""events":${envs.length},"micro_batches":5,""" +
+      f"""{"apply_ops_per_sec":${nEvents / applySec}%.1f,""" +
+        f""""events":$nEvents,"micro_batches":$microBatches,""" +
         f""""gap_ms":{"p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
-        f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${envs.length / recoverSec}%.1f}}"""
+        f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${nEvents / recoverSec}%.1f}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
   }
 }

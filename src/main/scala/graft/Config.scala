@@ -24,7 +24,10 @@ final case class GraftConfig(
     cdcSource: String = "memory",
     kafkaBootstrap: String = "localhost:9092",
     kafkaTopic: String = "cdc-events",
-    cdcSourcePath: String = "")
+    cdcSourcePath: String = "",
+    // 0 = process all available files per micro-batch; >0 bounds each
+    // micro-batch (the file-source twin of Kafka's maxOffsetsPerTrigger).
+    cdcMaxFilesPerTrigger: Int = 0)
 
 object GraftConfig {
 
@@ -53,7 +56,8 @@ object GraftConfig {
       cdcSource = str("cdc_source", "memory"),
       kafkaBootstrap = str("kafka_bootstrap", "localhost:9092"),
       kafkaTopic = str("kafka_topic", "cdc-events"),
-      cdcSourcePath = str("cdc_source_path", ""))
+      cdcSourcePath = str("cdc_source_path", ""),
+      cdcMaxFilesPerTrigger = int("cdc_max_files_per_trigger", 0))
   }
 
   def load(path: String): GraftConfig =

@@ -80,7 +80,10 @@ object CdcStream {
     case "kafka" => fromKafka(spark, cfg.kafkaBootstrap, cfg.kafkaTopic)
     case "file" =>
       require(cfg.cdcSourcePath.nonEmpty, "file source needs cdc_source_path")
-      spark.readStream.text(cfg.cdcSourcePath)
+      val reader = spark.readStream
+      if (cfg.cdcMaxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", cfg.cdcMaxFilesPerTrigger)
+      reader.text(cfg.cdcSourcePath)
     case "memory" =>
       require(fallback != null, "memory source needs a caller-supplied stream")
       fallback
