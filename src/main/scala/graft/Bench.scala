@@ -109,11 +109,126 @@ object Bench {
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum
     val cdc = if (only.isEmpty) cdcMetrics(spark, sfDir) else "{}"
+    val e2e = if (only.isEmpty) e2eMetrics(spark, sfDir) else "{}"
     val dyn = if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
               else "{}"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"dynamic":$dyn,"iterations":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"e2e":$e2e,"dynamic":$dyn,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** E2E 3-segment latency + process resource envelope, mirroring the
+    * reference's Kafka pipeline benchmark (demo_sqlite_cdc/02_benchmark/
+    * 02_e2e_cdc.py:44-64,126-141: capture→broker, broker→apply, end-to-end
+    * with count/avg/min/max/stddev/p50/p95/p99 each) and its 1 Hz CPU/RSS
+    * monitor thread (01_local_cdc_capture.py:20-26,138-145).
+    *
+    * The broker hop is synthesized: envelopes are staged to files stamped
+    * with the capture time, the stream stamps `broker_ts_ms` when a
+    * micro-batch is read, and [[graft.streaming.CdcStream.latencySegments]]
+    * stamps apply time after the snapshot merge. Per-event latencies are
+    * written as parquet by each micro-batch (never collected) and
+    * summarized with one distributed aggregation.
+    */
+  private[graft] def e2eMetrics(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val dir = new java.io.File(s"target/bench_e2e_${System.nanoTime()}")
+    val latDir = new java.io.File(dir, "lat")
+    // 1 Hz resource sampler (reference MONITOR_FREQ = 1.0).
+    val samples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    @volatile var stopSampling = false
+    val sampler = new Thread(() => {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      while (!stopSampling) {
+        val cpu = math.max(0.0, os.getProcessCpuLoad * 100)
+        val rssMb = try {
+          val src = scala.io.Source.fromFile("/proc/self/status")
+          try src.getLines().find(_.startsWith("VmRSS"))
+            .map(_.split("\\s+")(1).toDouble / 1024)
+            .getOrElse(Runtime.getRuntime.totalMemory / 1048576.0)
+          finally src.close()
+        } catch { case _: Exception =>
+          Runtime.getRuntime.totalMemory / 1048576.0 }
+        samples.synchronized { samples += ((cpu, rssMb)) }
+        Thread.sleep(1000)
+      }
+    })
+    sampler.setDaemon(true)
+    try {
+      // Stage envelopes stamped with capture time (ts_ms = staging clock).
+      graft.Tables.events(spark, sfDir)
+        .select(graft.functions.Debezium.envelope(
+          graft.functions.Debezium.nullRow,
+          struct(col("event_id").as("id"),
+            concat(lit("u"), col("user_id").cast("string")).as("name")),
+          lit("c"), unix_millis(current_timestamp()), "users").as("value"))
+        .repartition(5)
+        .write.mode("overwrite").text(new java.io.File(dir, "in").getPath)
+
+      sampler.start()
+      val cfg = graft.GraftConfig(cdcSource = "file",
+        cdcSourcePath = new java.io.File(dir, "in").getPath,
+        cdcMaxFilesPerTrigger = 1)
+      val state = new CdcStream.SnapshotHandle(spark)
+      // Broker stamp rides alongside the parsed columns (parse projects the
+      // envelope fields only, so stamp after it — same micro-batch clock).
+      val parsed = CdcStream.parse(CdcStream.source(spark, cfg))
+        .withColumn("broker_ts_ms", unix_millis(current_timestamp()))
+      val q = parsed.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state.set(CdcStream.mergeCdcBatch(state.get(batch.sparkSession), batch))
+          // Apply stamp evaluates when this write runs — after the merge.
+          CdcStream.latencySegments(batch)
+            .select("lat_capture_to_broker", "lat_broker_to_apply", "lat_e2e")
+            .write.mode("append").parquet(latDir.getPath)
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      stopSampling = true
+      sampler.join(2000)
+
+      val segs = Seq("lat_capture_to_broker" -> "capture_to_broker",
+        "lat_broker_to_apply" -> "broker_to_apply", "lat_e2e" -> "end_to_end")
+      val aggCols = segs.flatMap { case (c, _) => Seq(
+        count(col(c)).cast("double"), avg(col(c)).cast("double"),
+        min(col(c)).cast("double"), max(col(c)).cast("double"),
+        coalesce(stddev(col(c)), lit(0.0)),
+        percentile(col(c), lit(0.5)).cast("double"),
+        percentile(col(c), lit(0.95)).cast("double"),
+        percentile(col(c), lit(0.99)).cast("double")) }
+      val r = spark.read.parquet(latDir.getPath)
+        .agg(aggCols.head, aggCols.tail: _*).head()
+      val segJson = segs.zipWithIndex.map { case ((_, name), i) =>
+        val o = i * 8
+        f""""$name":{"count":${r.getDouble(o).toLong},""" +
+          f""""avg_ms":${r.getDouble(o + 1)}%.2f,"min_ms":${r.getDouble(o + 2)}%.1f,""" +
+          f""""max_ms":${r.getDouble(o + 3)}%.1f,"stddev_ms":${r.getDouble(o + 4)}%.2f,""" +
+          f""""p50_ms":${r.getDouble(o + 5)}%.1f,"p95_ms":${r.getDouble(o + 6)}%.1f,""" +
+          f""""p99_ms":${r.getDouble(o + 7)}%.1f}"""
+      }.mkString(",")
+      val snap = samples.synchronized(samples.toArray)
+      val cpus = snap.map(_._1).sorted
+      val mems = snap.map(_._2).sorted
+      def mean(a: Array[Double]) = if (a.isEmpty) 0.0 else a.sum / a.length
+      val res =
+        f""""resource":{"samples":${snap.length},""" +
+          f""""cpu_avg_pct":${mean(cpus)}%.1f,"cpu_max_pct":${if (cpus.isEmpty) 0.0 else cpus.last}%.1f,""" +
+          f""""cpu_p95_pct":${pct(cpus, 0.95)}%.1f,""" +
+          f""""rss_avg_mb":${mean(mems)}%.1f,"rss_max_mb":${if (mems.isEmpty) 0.0 else mems.last}%.1f,""" +
+          f""""rss_p95_mb":${pct(mems, 0.95)}%.1f}"""
+      s"{$segJson,$res}"
+    } catch { case e: Throwable =>
+      stopSampling = true
+      val cause = Option(e.getCause).map(_.getClass.getSimpleName).getOrElse("")
+      s"""{"error":"${e.getClass.getSimpleName}","cause":"$cause"}"""
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
   }
 
   /** Dynamic-topology scenario block matching the reference's interleaved
