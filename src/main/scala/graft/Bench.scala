@@ -112,9 +112,71 @@ object Bench {
     val e2e = if (only.isEmpty) e2eMetrics(spark, sfDir) else "{}"
     val dyn = if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
               else "{}"
+    val scale = if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4))
+                else "{}"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"e2e":$e2e,"dynamic":$dyn,"iterations":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"e2e":$e2e,"dynamic":$dyn,"scale":$scale,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Scale-up sweep — the reference's scale_up protocol (fresh state per
+    * scale step, demo_did_graph/03_equalization/benchmark_scenario_c.py:
+    * 41-58; scale list 02_topology_dynamic/benchmark_scenario_a.py:110):
+    * run the headline set at every test scale factor and report per-query
+    * p50 plus the ratio between consecutive scales. The testdata steps are
+    * 10× each, so a ~1 ratio means the plan is pruned/broadcast-bound
+    * (scale-insensitive), ~10 means a full-scan-bound linear plan, and
+    * anything super-linear is a red flag. This is the measured evidence
+    * behind the 100×-design claims in the operator scaladocs.
+    *
+    * Caveat baked into the JSON: documents/embeddings are fixed 500-row
+    * tables at every sf, so the pipeline queries' ratios sit near 1 by
+    * construction — the sweep is meaningful for the TPC-H-derived and
+    * graph/event queries.
+    */
+  private def scaleMetrics(spark: SparkSession, iters: Int): String = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").toSeq.filter(d => new java.io.File(d).isDirectory)
+    if (dirs.size < 2) return "{}"
+    def sfName(d: String) = d.split("/").last
+    try {
+      val p50 = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.LinkedHashMap[String, Double]]()
+      dirs.foreach { d =>
+        headline.filter(SparkEntry.queries.contains).foreach { q =>
+          def run(): Double = {
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(q)(spark, d).count()
+            catch { case _: Throwable => return -1.0 }
+            (System.nanoTime() - t0) / 1e9
+          }
+          run() // one warm-up per (query, scale)
+          val lat = (1 to iters).map(_ => run()).filter(_ >= 0).toArray.sorted
+          if (lat.nonEmpty)
+            p50.getOrElseUpdate(q,
+              scala.collection.mutable.LinkedHashMap())(sfName(d)) =
+              pct(lat, 0.5) * 1000
+          CacheRegistry.releaseAll()
+        }
+      }
+      val p50Json = p50.map { case (q, bySf) =>
+        s""""$q":${bySf.map { case (sf, ms) => f""""$sf":$ms%.2f""" }
+          .mkString("{", ",", "}")}"""
+      }.mkString("{", ",", "}")
+      val ratioJson = dirs.sliding(2).map { case Seq(lo, hi) =>
+        val key = s"${sfName(hi)}_over_${sfName(lo)}"
+        val rs = p50.flatMap { case (q, bySf) =>
+          for (l <- bySf.get(sfName(lo)); h <- bySf.get(sfName(hi)) if l > 0)
+            yield f""""$q":${h / l}%.2f"""
+        }.mkString("{", ",", "}")
+        s""""$key":$rs"""
+      }.mkString(",")
+      s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
+        .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
+        s""""note":"documents/embeddings are fixed 500-row tables at every sf; pipeline-query ratios ~1 by construction"}"""
+    } catch { case e: Throwable =>
+      s"""{"error":"${e.getClass.getSimpleName}"}""" }
   }
 
   /** E2E 3-segment latency + process resource envelope, mirroring the
