@@ -126,6 +126,40 @@ object CryptoFunctions {
     Some(c.doFinal(blob.ciphertext))
   }
 
+  // ---- Passphrase-keyed AES-GCM (the encrypted-wallet-at-rest model:
+  // ---- SQLCipher `PRAGMA key = '...'`, reference demo_offline/05_sqlite/
+  // ---- 02initdb.py:12-42 — a passphrase-derived key encrypts every row).
+
+  /** PBKDF2-HMAC-SHA256 key derivation (SQLCipher's own KDF family). */
+  def passphraseKey(passphrase: String, salt: Array[Byte],
+      iterations: Int = 64000): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      passphrase.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  /** AES-256-GCM with a fresh random nonce; returns (nonce, ciphertext). */
+  def aesGcmEncrypt(key: Array[Byte], plaintext: Array[Byte],
+      rnd: SecureRandom = new SecureRandom()): (Array[Byte], Array[Byte]) = {
+    val nonce = new Array[Byte](12)
+    rnd.nextBytes(nonce)
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new GCMParameterSpec(128, nonce))
+    (nonce, c.doFinal(plaintext))
+  }
+
+  /** GCM-authenticated decrypt; None on tag failure (wrong key/tamper). */
+  def aesGcmDecrypt(key: Array[Byte], nonce: Array[Byte],
+      ciphertext: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val c = Cipher.getInstance("AES/GCM/NoPadding")
+      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+        new GCMParameterSpec(128, nonce))
+      Some(c.doFinal(ciphertext))
+    } catch { case _: Exception => None }
+
   // ---- Column forms ----
 
   // Marked nondeterministic on purpose: not for semantics (signatures are

@@ -173,6 +173,42 @@ object FuncQueries {
       .orderBy(col("source"))
   }
 
+  /** U13: encrypted wallet round-trip (reference: demo_offline/05_sqlite —
+    * SQLCipher wallet with did_document / verifiable_credential /
+    * private_keys tables). Each table is sealed under a passphrase
+    * ([[graft.state.Wallet.seal]]: per-row JSON → AES-GCM with a
+    * PBKDF2-derived key) and re-opened; `verified` counts rows that
+    * survive the decrypt+parse round-trip intact (multiset equality via
+    * exceptAll), and a wrong-passphrase open must yield zero rows
+    * (`wrong_pass_rows`). Oracle = the same sha256-derived table contents
+    * and cardinalities — counts only match if every row round-tripped.
+    */
+  def u13WalletRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import graft.state.Wallet
+    val pass = "securepassword" // the reference's PRAGMA key literal
+    def metric(name: String, t: DataFrame, keyCol: String,
+        ddl: String): DataFrame = {
+      val sealedT = Wallet.seal(t, pass)
+      val opened = Wallet.open(sealedT, pass, ddl)
+      val wrong = Wallet.open(sealedT, "wrong-passphrase", ddl)
+      t.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(keyCol)).as("n_distinct"))
+        .crossJoin(t.exceptAll(opened).agg(count(lit(1)).as("missing")))
+        .crossJoin(wrong.agg(count(lit(1)).as("wrong_pass_rows")))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("missing")).as("verified"),
+          col("wrong_pass_rows"))
+    }
+    metric("did_document", Wallet.didDocuments(spark, d), "did",
+        "did STRING, public_key STRING, service_endpoint STRING")
+      .unionByName(metric("private_keys", Wallet.privateKeys(spark, d), "did",
+        "did STRING, private_key STRING"))
+      .unionByName(metric("verifiable_credential",
+        Wallet.verifiableCredentials(spark, d), "vc_id",
+        "vc_id STRING, issuer STRING, holder STRING, credential_data STRING, signature STRING"))
+      .orderBy(col("tbl"))
+  }
+
   /** U8: hex encoding of byte content. */
   def u8Hex(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -207,6 +243,7 @@ object FuncQueries {
     "u6_canonical_json" -> u6CanonicalJson,
     "u8_hex" -> u8Hex,
     "u12_hash_chain" -> u12HashChain,
+    "u13_wallet_roundtrip" -> u13WalletRoundtrip,
     "u10_epoch_ms" -> u10EpochMs,
     "u11_debezium_envelope" -> u11DebeziumEnvelope)
 
@@ -228,6 +265,26 @@ object FuncQueries {
     "u8_hex" ->
       """SELECT doc_id, hex(substr(text, 1, 16)) AS hx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Wallet: DuckDB re-derives the same sha256-built table contents; the
+    // engine's verified/wrong_pass_rows only match if AES-GCM round-trips
+    // succeeded for every row and the wrong key authenticated none.
+    "u13_wallet_roundtrip" ->
+      """WITH dd AS (
+        |  SELECT 'did:example:' || substr(sha256(c_name), 1, 10) AS did
+        |  FROM customer),
+        |vc AS (
+        |  SELECT sha256('did:example:issuer' || did || 'M' || c_custkey) AS vc_id
+        |  FROM (SELECT c_custkey,
+        |          'did:example:' || substr(sha256(c_name), 1, 10) AS did
+        |        FROM customer))
+        |SELECT 'did_document' AS tbl, count(*) AS n_rows,
+        |  count(DISTINCT did) AS n_distinct, count(*) AS verified,
+        |  0::BIGINT AS wrong_pass_rows FROM dd
+        |UNION ALL SELECT 'private_keys', count(*), count(DISTINCT did),
+        |  count(*), 0::BIGINT FROM dd
+        |UNION ALL SELECT 'verifiable_credential', count(*),
+        |  count(DISTINCT vc_id), count(*), 0::BIGINT FROM vc
+        |ORDER BY tbl""".stripMargin,
     // Derived end-to-end: DuckDB rebuilds the same packaged docs and folds
     // the same chain; `verified` is the cardinality (the engine count only
     // matches if every embedded hash re-verified — the u1 pattern).

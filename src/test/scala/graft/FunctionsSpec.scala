@@ -117,6 +117,27 @@ class CryptoSpec extends AnyFunSuite {
       wrong.getPublic.getEncoded, blob).isEmpty)
   }
 
+  test("wallet seal/open round-trip; wrong passphrase and tamper drop rows") {
+    val key = passphraseKey("securepassword", "salt".getBytes)
+    val (nonce, ct) = aesGcmEncrypt(key, "row".getBytes("UTF-8"))
+    assert(aesGcmDecrypt(key, nonce, ct).map(new String(_, "UTF-8"))
+      .contains("row"))
+    val wrongKey = passphraseKey("other", "salt".getBytes)
+    assert(aesGcmDecrypt(wrongKey, nonce, ct).isEmpty)
+    val tampered = ct.clone(); tampered(0) = (tampered(0) ^ 1).toByte
+    assert(aesGcmDecrypt(key, nonce, tampered).isEmpty)
+
+    val spark = SparkTestSession.spark
+    val d = "/root/testdata/sf0.001"
+    val t = graft.state.Wallet.privateKeys(spark, d)
+    val sealedT = graft.state.Wallet.seal(t, "pw")
+    assert(sealedT.columns.toSeq == Seq("nonce", "ciphertext"))
+    val ddl = "did STRING, private_key STRING"
+    val opened = graft.state.Wallet.open(sealedT, "pw", ddl)
+    assert(t.exceptAll(opened).count() == 0 && opened.count() == t.count())
+    assert(graft.state.Wallet.open(sealedT, "bad", ddl).count() == 0)
+  }
+
   test("vc sign/verify through canonical json; tamper detection") {
     val kp = seededKeyPair("Ed25519", 7L)
     val doc = DidVc.buildVcDoc("VC1", "did:example:iss", "did:example:sub",
