@@ -143,8 +143,11 @@ object Dedup {
     */
   def simHash(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val fp = simHashFingerprint(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(blockCol)), idCol)
+    // Fingerprints feed BOTH sides of the block self-join — cache them so
+    // the 64-vote aggregation runs once, not once per side.
+    val fp = graft.CacheRegistry.register(
+      simHashFingerprint(docs, idCol, textCol)
+        .join(docs.select(col(idCol), col(blockCol)), idCol).cache())
     val a = fp.select(col(blockCol), col(idCol).as("doc_a"), col("simhash").as("fp_a"))
     val b = fp.select(col(blockCol), col(idCol).as("doc_b"), col("simhash").as("fp_b"))
     a.join(b, Seq(blockCol))

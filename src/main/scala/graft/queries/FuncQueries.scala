@@ -186,9 +186,13 @@ object FuncQueries {
   def u13WalletRoundtrip(spark: SparkSession, d: String): DataFrame = {
     import graft.state.Wallet
     val pass = "securepassword" // the reference's PRAGMA key literal
-    def metric(name: String, t: DataFrame, keyCol: String,
+    def metric(name: String, tRaw: DataFrame, keyCol: String,
         ddl: String): DataFrame = {
-      val sealedT = Wallet.seal(t, pass)
+      // The table feeds three consumers (counts, seal, exceptAll) and the
+      // sealed form two (open with right + wrong passphrase): cache both
+      // so the sha derivations and the AES pass each run once.
+      val t = graft.CacheRegistry.register(tRaw.cache())
+      val sealedT = graft.CacheRegistry.register(Wallet.seal(t, pass).cache())
       val opened = Wallet.open(sealedT, pass, ddl)
       val wrong = Wallet.open(sealedT, "wrong-passphrase", ddl)
       t.agg(count(lit(1)).as("n_rows"),
