@@ -126,6 +126,26 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Cost-based pair search: pick the exact all-pairs form when the
+    * measured per-block fan-out is bounded, the LSH candidate path above
+    * it. The statistic is Σ block_size² — the exact join's output bound —
+    * computed with one tiny aggregation (driver reads a single number,
+    * like the IVF centroid ranking). Defaults give exact up to ~5M
+    * candidate pairs — seconds of work — while a 100 TB corpus with a hot
+    * block key lands far above the budget and takes the banded-LSH plan.
+    * Both branches produce identical output whenever LSH recall is 1.0
+    * (gated by `d5_cosine_lsh_recall`); the choice is a cost decision,
+    * not a semantic one.
+    */
+  def cosinePairsAuto(vectors: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pairBudget: Long = 5000000L): DataFrame = {
+    val fanOut = vectors.groupBy(col(blockCol)).count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    if (fanOut <= pairBudget) cosinePairsExact(vectors, blockCol, threshold, idCol, vecCol)
+    else cosinePairs(vectors, blockCol, threshold, idCol, vecCol)
+  }
+
   /** Recall@k of an approximate ANN result against the exact baseline,
     * computed in-engine: |approx ∩ exact| / |exact| over the id column.
     * One output row `(method, k, recall)` — the quality gate that keeps

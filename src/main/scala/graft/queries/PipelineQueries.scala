@@ -43,10 +43,15 @@ object PipelineQueries {
         threshold = 0.9)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** D5: exact embedding-cosine near-dup pairs within label blocks. */
+  /** D5: embedding-cosine near-dup pairs within label blocks, through the
+    * cost-based selector ([[Similarity.cosinePairsAuto]]): exact all-pairs
+    * at the gate's bounded fan-out, banded LSH above the budget. The LSH
+    * branch itself is exercised and recall-gated by
+    * `d5_cosine_lsh_recall`.
+    */
   def d5EmbedCosine(spark: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairs(Tables.embeddings(spark, d), blockCol = "label",
-        threshold = 0.4)
+    Similarity.cosinePairsAuto(Tables.embeddings(spark, d),
+        blockCol = "label", threshold = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** ANN baseline: exact brute-force cosine top-10 for query vector 0. */

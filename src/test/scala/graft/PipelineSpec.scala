@@ -103,6 +103,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("cosinePairsAuto picks exact under budget, LSH above; same result") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d)
+    val auto = Similarity.cosinePairsAuto(emb, "label", 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val forcedLsh = Similarity.cosinePairsAuto(emb, "label", 0.4, pairBudget = 0L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(auto == forcedLsh, "both branches agree on the gate corpus")
+  }
+
   test("hammingMasks enumerates exactly the popcount<=h masks") {
     assert(Similarity.hammingMasks(4, 2).toSet ==
       (0L until 16L).filter(m => java.lang.Long.bitCount(m) <= 2).toSet)
