@@ -159,6 +159,24 @@ object GraphQueries {
       .select(col("path"), col("node"), col("lvl"))
       .orderBy(col("lvl"))
 
+  /** Prepared-statement surface: one parameterized WoT reachability query
+    * ([[Prepared.wotPathCount]]) bound three times with different
+    * client/anchor/length parameters — the reference's prepare-once,
+    * bind-per-iteration protocol (05_abac/benchmark_scenario_b.py:264-299).
+    * Third binding's length (5) is below the 15-hop distance ⇒ 0 paths.
+    */
+  def prepWotCount(spark: SparkSession, d: String): DataFrame = {
+    val pq = Prepared.wotPathCount(spark, d)
+    def one(client: String, len: Int, anchor: String) =
+      pq.bind(Map("client" -> client, "length" -> len, "anchor" -> anchor))
+        .select(lit(client).as("client"), lit(anchor).as("anchor"),
+          lit(len).as("len"), col("n_paths"))
+    one("E0", 20, "E15")
+      .unionByName(one("E3", 5, "E8"))
+      .unionByName(one("E0", 5, "E15"))
+      .orderBy(col("client"), col("anchor"), col("len"))
+  }
+
   /** R4/J10: ABAC permission decision — member hop, bounded subgroup walk,
     * permission join, per-user path count (reference SQL twin:
     * demo_did_graph/04_web_of_trust/benchmark_scenario_a.py:267-278).
@@ -219,10 +237,37 @@ object GraphQueries {
     "j8_hier_vc_count" -> j8HierVcCount,
     "j7_two_hop" -> j7TwoHop,
     "r3_wot_path_count" -> r3WotPathCount,
+    "prep_wot_count" -> prepWotCount,
     "r3_wot_path_list" -> r3WotPathList,
     "r4_abac_decision" -> r4AbacDecision,
     "r4_abac_cypher_twin" -> r4AbacCypherTwin,
     "j11_edge_create" -> j11EdgeCreate)
+
+  /** Oracle for `prep_wot_count`: one recursive block per binding, the
+    * bound values inlined (DuckDB has no named-parameter surface) over the
+    * same derived trust chain.
+    */
+  private def prepWotOracle(bindings: Seq[(String, Int, String)]): String = {
+    val blocks = bindings.zipWithIndex.map { case ((client, len, _), i) =>
+      s"""p$i(node, lvl) AS (
+         |  SELECT child, 1 FROM trust WHERE parent = '$client'
+         |  UNION ALL
+         |  SELECT t.child, p.lvl + 1 FROM p$i p JOIN trust t ON t.parent = p.node
+         |  WHERE p.lvl < $len
+         |)""".stripMargin
+    }
+    val selects = bindings.zipWithIndex.map { case ((client, len, anchor), i) =>
+      s"SELECT '$client' AS client, '$anchor' AS anchor, $len AS len, " +
+        s"(SELECT count(*) FROM p$i WHERE node = '$anchor') AS n_paths"
+    }
+    s"""WITH RECURSIVE trust AS (
+       |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
+       |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+       |),
+       |${blocks.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL ")}
+       |ORDER BY client, anchor, len""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "s2_vertex_scan" ->
@@ -290,6 +335,8 @@ object GraphQueries {
         |JOIN customer ON n_nationkey = c_nationkey
         |JOIN orders ON c_custkey = o_custkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "prep_wot_count" -> prepWotOracle(
+      Seq(("E0", 20, "E15"), ("E3", 5, "E8"), ("E0", 5, "E15"))),
     "r3_wot_path_count" ->
       """WITH RECURSIVE trust AS (
         |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
