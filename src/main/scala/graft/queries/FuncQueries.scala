@@ -213,6 +213,70 @@ object FuncQueries {
       .orderBy(col("tbl"))
   }
 
+  /** U14: W3C DID Document builder with `verificationMethod[]` (reference:
+    * demo_offline/01_offline_did/packaging_with_did.py:8-17 — @context /
+    * id / verificationMethod array with controller, key id, type, and
+    * publicKeyBase58; the reference uses a placeholder key string, here
+    * the key material is a real base58 encoding). The document is
+    * canonical JSON (sorted keys, CPython separators) and hashed; base58
+    * is computed positionally with `div`/`mod` column arithmetic — fully
+    * codegen'd, no UDF — over a 60-bit key digest, so the DuckDB oracle
+    * re-derives every byte including the base58 digits.
+    */
+  def u14DidDocument(spark: SparkSession, d: String): DataFrame = {
+    val alpha = Base58Alphabet
+    // 11 base58 digits cover 58^11 > 2^60; most-significant first.
+    val b58 = expr((10 to 0 by -1).map { k =>
+      val p = BigInt(58).pow(k).toLong
+      s"substr('$alpha', CAST((val div ${p}L) % 58 AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")"))
+    Tables.customer(spark, d)
+      .select(col("c_custkey"),
+        concat(lit("did:example:"), md5(col("c_name").cast("binary"))).as("did"))
+      .withColumn("val",
+        conv(substring(sha2(col("did").cast("binary"), 256), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("public_key_b58", b58)
+      .withColumn("doc", concat(
+        lit("{\"@context\": \"https://w3id.org/did/v1\", \"id\": \""),
+        col("did"),
+        lit("\", \"verificationMethod\": [{\"controller\": \""), col("did"),
+        lit("\", \"id\": \""), col("did"),
+        lit("#keys-1\", \"publicKeyBase58\": \""), col("public_key_b58"),
+        lit("\", \"type\": \"Ed25519VerificationKey2018\"}]}")))
+      .select(col("c_custkey"), col("did"), col("public_key_b58"),
+        sha2(col("doc").cast("binary"), 256).as("doc_sha"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val Base58Alphabet =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  private def u14Oracle: String = {
+    val digits = (10 to 0 by -1).map { k =>
+      val p = BigInt(58).pow(k).toLong
+      s"substr('$Base58Alphabet', ((val // $p) % 58)::INT + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH d0 AS (
+       |  SELECT c_custkey, 'did:example:' || md5(c_name) AS did FROM customer),
+       |v AS (
+       |  SELECT c_custkey, did,
+       |    list_reduce(list_transform(range(1, 16),
+       |      i -> (strpos('0123456789abcdef',
+       |              substr(sha256(did), i::INT, 1)) - 1)::BIGINT),
+       |      (acc, x) -> acc * 16 + x) AS val
+       |  FROM d0),
+       |b AS (
+       |  SELECT c_custkey, did, $digits AS public_key_b58 FROM v)
+       |SELECT c_custkey, did, public_key_b58,
+       |  sha256('{"@context": "https://w3id.org/did/v1", "id": "' || did ||
+       |    '", "verificationMethod": [{"controller": "' || did ||
+       |    '", "id": "' || did || '#keys-1", "publicKeyBase58": "' ||
+       |    public_key_b58 ||
+       |    '", "type": "Ed25519VerificationKey2018"}]}') AS doc_sha
+       |FROM b ORDER BY c_custkey""".stripMargin
+  }
+
   /** U8: hex encoding of byte content. */
   def u8Hex(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -248,6 +312,7 @@ object FuncQueries {
     "u8_hex" -> u8Hex,
     "u12_hash_chain" -> u12HashChain,
     "u13_wallet_roundtrip" -> u13WalletRoundtrip,
+    "u14_did_document" -> u14DidDocument,
     "u10_epoch_ms" -> u10EpochMs,
     "u11_debezium_envelope" -> u11DebeziumEnvelope)
 
@@ -269,6 +334,7 @@ object FuncQueries {
     "u8_hex" ->
       """SELECT doc_id, hex(substr(text, 1, 16)) AS hx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "u14_did_document" -> u14Oracle,
     // Wallet: DuckDB re-derives the same sha256-built table contents; the
     // engine's verified/wrong_pass_rows only match if AES-GCM round-trips
     // succeeded for every row and the wrong key authenticated none.
