@@ -219,19 +219,21 @@ object Bench {
     })
     sampler.setDaemon(true)
     try {
-      // Stage envelopes stamped with capture time (ts_ms = staging clock).
-      graft.Tables.events(spark, sfDir)
-        .select(graft.functions.Debezium.envelope(
-          graft.functions.Debezium.nullRow,
-          struct(col("event_id").as("id"),
-            concat(lit("u"), col("user_id").cast("string")).as("name")),
-          lit("c"), unix_millis(current_timestamp()), "users").as("value"))
-        .repartition(5)
-        .write.mode("overwrite").text(new java.io.File(dir, "in").getPath)
+      // The watched directory starts empty; each micro-batch's envelopes
+      // are produced with a fresh capture stamp just before their file is
+      // moved in (the reference produces events progressively, not as one
+      // pre-staged burst), so capture→broker measures produce→discover→
+      // read latency per batch rather than cumulative backlog wait.
+      // rename(2) is atomic on one filesystem — the source never sees a
+      // partial file.
+      val watch = new java.io.File(dir, "in")
+      watch.mkdirs()
+      val events = graft.Tables.events(spark, sfDir).cache()
+      val nBatches = 5
 
       sampler.start()
       val cfg = graft.GraftConfig(cdcSource = "file",
-        cdcSourcePath = new java.io.File(dir, "in").getPath,
+        cdcSourcePath = watch.getPath,
         cdcMaxFilesPerTrigger = 1)
       val state = new CdcStream.SnapshotHandle(spark)
       // Broker stamp rides alongside the parsed columns (parse projects the
@@ -246,8 +248,29 @@ object Bench {
             .select("lat_capture_to_broker", "lat_broker_to_apply", "lat_e2e")
             .write.mode("append").parquet(latDir.getPath)
         }.start()
-      q.processAllAvailable()
+      // Feed the live stream batch by batch: produce batch i's envelopes
+      // (capture-stamped now), move its part files in, drain.
+      (0 until nBatches).foreach { i =>
+        val stage = new java.io.File(dir, s"stage$i")
+        events.filter(col("event_id") % nBatches === i)
+          .select(graft.functions.Debezium.envelope(
+            graft.functions.Debezium.nullRow,
+            struct(col("event_id").as("id"),
+              concat(lit("u"), col("user_id").cast("string")).as("name")),
+            lit("c"), unix_millis(current_timestamp()), "users").as("value"))
+          .coalesce(1)
+          .write.mode("overwrite").text(stage.getPath)
+        Option(stage.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .foreach { f =>
+            if (!f.renameTo(new java.io.File(watch, s"b$i-${f.getName}")))
+              throw new java.io.IOException(s"rename failed: ${f.getName}")
+          }
+        q.processAllAvailable()
+      }
       q.stop()
+      events.unpersist()
       stopSampling = true
       sampler.join(2000)
 
