@@ -243,7 +243,11 @@ object PipelineQueries {
     * same left-to-right element sum the engine's zip_with/aggregate
     * produces, so sign decisions agree bit-for-bit.
     */
-  private def annLshRecallOracle: String = {
+  /** Shared CTE prefix reproducing [[Similarity.lshBucketTopK]] in DuckDB
+    * up to the approximate top-k list (`appr`) and the exact top-k (`ex`)
+    * — the base of both the `ann_lsh_topk` and `ann_lsh_recall` oracles.
+    */
+  private def annLshCtePrefix: String = {
     val numPlanes = 4; val dim = 64; val probeHamming = 2; val k = 10
     val planes = Similarity.hyperplanes(numPlanes, dim)
     val masks = Similarity.hammingMasks(numPlanes, probeHamming)
@@ -275,11 +279,18 @@ object PipelineQueries {
        |  SELECT w.vec_id, round(list_cosine_similarity(w.e, q2.e), 4) AS sim
        |  FROM v w, (SELECT e FROM v WHERE vec_id = 0) q2
        |  WHERE w.vec_id <> 0
-       |  ORDER BY sim DESC, w.vec_id LIMIT $k)
+       |  ORDER BY sim DESC, w.vec_id LIMIT $k)""".stripMargin
+  }
+
+  private def annLshTopkOracle: String =
+    s"""$annLshCtePrefix
+       |SELECT vec_id, sim FROM appr ORDER BY sim DESC, vec_id""".stripMargin
+
+  private def annLshRecallOracle: String =
+    s"""$annLshCtePrefix
        |SELECT 'lsh' AS method, (SELECT count(*) FROM ex)::INT AS k,
        |  round((SELECT count(*)::DOUBLE FROM ex JOIN appr USING (vec_id)) /
        |        (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
-  }
 
   private val langScoreSql =
     """SELECT doc_id,
@@ -323,6 +334,7 @@ object PipelineQueries {
         |FROM v, q WHERE v.vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "d3_simhash" -> d3SimhashOracle(16),
+    "ann_lsh_topk" -> annLshTopkOracle,
     "ann_lsh_recall" -> annLshRecallOracle,
     "ann_ivf_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
