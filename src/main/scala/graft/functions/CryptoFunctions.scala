@@ -99,8 +99,15 @@ object CryptoFunctions {
   final case class HybridBlob(encKey: Array[Byte], nonce: Array[Byte],
       ciphertext: Array[Byte], signature: Array[Byte])
 
+  // One process-wide RNG for nonce/key generation: SecureRandom is
+  // thread-safe, and the default-argument position means a per-call
+  // `new SecureRandom()` would run once per ROW inside UDF closures
+  // (Wallet.seal) — measurable constructor + reseed cost for no security
+  // gain. Callers that need determinism still pass their own instance.
+  private val sharedRnd = new SecureRandom()
+
   def hybridEncrypt(rsaPubDer: Array[Byte], rsaSignPrivDer: Array[Byte],
-      plaintext: Array[Byte], rnd: SecureRandom = new SecureRandom()): HybridBlob = {
+      plaintext: Array[Byte], rnd: SecureRandom = sharedRnd): HybridBlob = {
     val kg = KeyGenerator.getInstance("AES")
     kg.init(256, rnd)
     val aes = kg.generateKey()
@@ -139,9 +146,17 @@ object CryptoFunctions {
       .generateSecret(spec).getEncoded
   }
 
-  /** AES-256-GCM with a fresh random nonce; returns (nonce, ciphertext). */
+  /** AES-256-GCM with a fresh random nonce; returns (nonce, ciphertext).
+    *
+    * Key-rotation caveat: with random 96-bit nonces, NIST SP 800-38D bounds
+    * GCM at 2^32 messages per key (collision risk beyond that). A 100 TB
+    * seal under ONE passphrase key can exceed that — rotate keys for very
+    * large seals, e.g. derive a per-shard subkey
+    * `passphraseKey(pass, salt ++ shardId)` so each shard stays far under
+    * the bound.
+    */
   def aesGcmEncrypt(key: Array[Byte], plaintext: Array[Byte],
-      rnd: SecureRandom = new SecureRandom()): (Array[Byte], Array[Byte]) = {
+      rnd: SecureRandom = sharedRnd): (Array[Byte], Array[Byte]) = {
     val nonce = new Array[Byte](12)
     rnd.nextBytes(nonce)
     val c = Cipher.getInstance("AES/GCM/NoPadding")

@@ -140,8 +140,11 @@ object Similarity {
   def cosinePairsAuto(vectors: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       pairBudget: Long = 5000000L): DataFrame = {
-    val fanOut = vectors.groupBy(col(blockCol)).count()
-      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    // sum() over zero groups is NULL — an empty corpus must read as zero
+    // fan-out (exact branch over nothing), not an NPE.
+    val fanOutRow = vectors.groupBy(col(blockCol)).count()
+      .agg(sum(col("count") * col("count"))).head()
+    val fanOut = if (fanOutRow.isNullAt(0)) 0L else fanOutRow.getLong(0)
     if (fanOut <= pairBudget) cosinePairsExact(vectors, blockCol, threshold, idCol, vecCol)
     else cosinePairs(vectors, blockCol, threshold, idCol, vecCol)
   }

@@ -185,7 +185,10 @@ object FuncQueries {
     */
   def u13WalletRoundtrip(spark: SparkSession, d: String): DataFrame = {
     import graft.state.Wallet
-    val pass = "securepassword" // the reference's PRAGMA key literal
+    // Fixture pin, not a secret: the reference's own SQLCipher passphrase
+    // literal (`PRAGMA key = 'securepassword'`,
+    // demo_offline/05_sqlite/02initdb.py) — public test-suite content.
+    val pass = "securepassword"
     def metric(name: String, tRaw: DataFrame, keyCol: String,
         ddl: String): DataFrame = {
       // The table feeds three consumers (counts, seal, exceptAll) and the

@@ -65,6 +65,11 @@ object Wallet {
   /** Seal a wallet table: each row → canonical JSON → AES-GCM under the
     * passphrase key. Output is (nonce, ciphertext) only — nothing readable
     * without the passphrase.
+    *
+    * At very large row counts (≳2^32 rows under one key) the random-nonce
+    * GCM collision bound applies — see the key-rotation caveat on
+    * [[CryptoFunctions.aesGcmEncrypt]]; shard-derived subkeys keep each
+    * shard under the bound.
     */
   def seal(table: DataFrame, passphrase: String,
       salt: Array[Byte] = DefaultSalt): DataFrame = {
