@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * Headline set = the BASELINE.md Q1-Q7 shapes plus the heaviest pipeline
   * operators; the remaining catalog queries run once (cold) so the full
   * surface stays exercised.
+  *
+  * Output protocol: the harness that captures this process keeps only the
+  * LAST ~2 KB of stdout, so evidence is ordered for a tail capture — each
+  * section prints as its own `{"block":...}` line as soon as it is
+  * computed (full precision), the complete line set is also written to
+  * `BENCH_FULL.jsonl`, and the FINAL line is a compact (<2 KB) standalone
+  * JSON object carrying the driver contract fields plus the headline
+  * stats, e2e latency segments, dynamic cycle p50s, and the top scale
+  * ratio — the facts a tail reader must always see.
   */
 object Bench {
 
@@ -29,6 +38,11 @@ object Bench {
     "r4_abac_decision",   // Q6 ABAC decision
     "m8_cdc_apply",       // Q7 CDC apply
     "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine", "u2_vc_roundtrip")
+
+  /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
+    * appended to the sweep whenever it exists on disk.
+    */
+  private val Sf1Dir = "/root/repo/benchdata/sf1"
 
   private def pct(sorted: Array[Double], p: Double): Double = {
     if (sorted.isEmpty) return 0.0
@@ -52,10 +66,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Failed queries record the exception class instead of a silent -1.
+    val runErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        runErrors(name) = e.getClass.getSimpleName; return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -65,6 +82,7 @@ object Bench {
 
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
+    val compact = scala.collection.mutable.LinkedHashMap[String, String]()
 
     headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n))).foreach { name =>
@@ -79,7 +97,15 @@ object Bench {
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
           f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
-      } else { perQuery(name) = -1.0; stats(name) = """{"error":true}""" }
+        compact(name) =
+          f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
+          f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
+      } else {
+        perQuery(name) = -1.0
+        val err = runErrors.getOrElse(name, "unknown")
+        stats(name) = s"""{"error":"$err"}"""
+        compact(name) = s"""{"error":"$err"}"""
+      }
       // Release operator-internal caches between queries (kept across the
       // iterations of one query — the warm path reuses them, as a resident
       // service would).
@@ -105,17 +131,49 @@ object Bench {
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
     }
 
+    // ---- Evidence emission: full-precision block lines first (also
+    // ---- collected for BENCH_FULL.jsonl), compact contract line LAST.
+    val emitted = scala.collection.mutable.ArrayBuffer[String]()
+    def emit(line: String): Unit = { println(line); emitted += line }
+
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errJson = runErrors.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     val total = perQuery.values.filter(_ >= 0).sum
+    emit(s"""{"block":"queries","queries":$qs,"errors":$errJson}""")
+    emit(s"""{"block":"stats","iterations":$iters,"stats":$st}""")
+
     val cdc = if (only.isEmpty) cdcMetrics(spark, sfDir) else "{}"
-    val e2e = if (only.isEmpty) e2eMetrics(spark, sfDir) else "{}"
-    val dyn = if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
-              else "{}"
-    val scale = if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4))
-                else "{}"
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"cdc":$cdc,"e2e":$e2e,"dynamic":$dyn,"scale":$scale,"iterations":$iters,"sf":"$sfDir"}""")
+    emit(s"""{"block":"cdc","cdc":$cdc}""")
+    val (dyn, dynCompact) =
+      if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
+      else ("{}", "{}")
+    emit(s"""{"block":"dynamic","dynamic":$dyn}""")
+    val (scale, scaleCompact) =
+      if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4))
+      else ("{}", "{}")
+    emit(s"""{"block":"scale","scale":$scale}""")
+    val (e2e, e2eCompact) = if (only.isEmpty) e2eMetrics(spark, sfDir)
+                            else ("{}", "{}")
+    emit(s"""{"block":"e2e","e2e":$e2e}""")
+
+    val cs = compact.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsHead = perQuery.filter(kv => headline.contains(kv._1))
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val finalLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsHead,""" +
+      s""""stats":$cs,"e2e":$e2eCompact,"dynamic":$dynCompact,""" +
+      s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
+      s""""full":"BENCH_FULL.jsonl"}"""
+
+    // Full-precision evidence file (the stdout tail is capped; this isn't).
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.jsonl")
+      try { emitted.foreach(w.println); w.println(finalLine) } finally w.close()
+    } catch { case _: Exception => () }
+
+    println(finalLine)
     spark.stop()
   }
 
@@ -129,21 +187,31 @@ object Bench {
     * anything super-linear is a red flag. This is the measured evidence
     * behind the 100×-design claims in the operator scaladocs.
     *
+    * Decades: the three driver-provided sfs plus the generated sf1
+    * ([[graft.scale.ScaleGen]], 10× sf0.1 — the reference's own 1M-node
+    * scale, 02_topology_dynamic/benchmark_scenario_a.py:110) when present.
+    * sf1 runs fewer iterations (p50-of-3) to bound sweep wall time.
+    *
     * Caveat baked into the JSON: documents/embeddings are fixed 500-row
     * tables at every sf, so the pipeline queries' ratios sit near 1 by
     * construction — the sweep is meaningful for the TPC-H-derived and
     * graph/event queries.
+    *
+    * Returns (full block JSON, compact top-boundary ratio JSON for the
+    * final contract line).
     */
-  private def scaleMetrics(spark: SparkSession, iters: Int): String = {
+  private def scaleMetrics(spark: SparkSession, iters: Int): (String, String) = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
-      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
+        Sf1Dir)
       .split(",").toSeq.filter(d => new java.io.File(d).isDirectory)
-    if (dirs.size < 2) return "{}"
+    if (dirs.size < 2) return ("{}", "{}")
     def sfName(d: String) = d.split("/").last
     try {
       val p50 = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.LinkedHashMap[String, Double]]()
       dirs.foreach { d =>
+        val dirIters = if (sfName(d) == "sf1") math.min(3, iters) else iters
         headline.filter(SparkEntry.queries.contains).foreach { q =>
           def run(): Double = {
             val t0 = System.nanoTime()
@@ -152,7 +220,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           run() // one warm-up per (query, scale)
-          val lat = (1 to iters).map(_ => run()).filter(_ >= 0).toArray.sorted
+          val lat = (1 to dirIters).map(_ => run()).filter(_ >= 0).toArray.sorted
           if (lat.nonEmpty)
             p50.getOrElseUpdate(q,
               scala.collection.mutable.LinkedHashMap())(sfName(d)) =
@@ -164,19 +232,25 @@ object Bench {
         s""""$q":${bySf.map { case (sf, ms) => f""""$sf":$ms%.2f""" }
           .mkString("{", ",", "}")}"""
       }.mkString("{", ",", "}")
-      val ratioJson = dirs.sliding(2).map { case Seq(lo, hi) =>
-        val key = s"${sfName(hi)}_over_${sfName(lo)}"
-        val rs = p50.flatMap { case (q, bySf) =>
+      def ratioOf(lo: String, hi: String): String =
+        p50.flatMap { case (q, bySf) =>
           for (l <- bySf.get(sfName(lo)); h <- bySf.get(sfName(hi)) if l > 0)
             yield f""""$q":${h / l}%.2f"""
         }.mkString("{", ",", "}")
-        s""""$key":$rs"""
+      val ratioJson = dirs.sliding(2).map { case Seq(lo, hi) =>
+        s""""${sfName(hi)}_over_${sfName(lo)}":${ratioOf(lo, hi)}"""
       }.mkString(",")
-      s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
-        .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
-        s""""note":"documents/embeddings are fixed 500-row tables at every sf; pipeline-query ratios ~1 by construction"}"""
+      val full =
+        s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
+          .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
+          s""""note":"documents/embeddings are fixed 500-row tables at every sf; pipeline-query ratios ~1 by construction"}"""
+      val top = dirs.takeRight(2)
+      val compactRatio =
+        s"""{"${sfName(top(1))}_over_${sfName(top(0))}":${ratioOf(top(0), top(1))}}"""
+      (full, compactRatio)
     } catch { case e: Throwable =>
-      s"""{"error":"${e.getClass.getSimpleName}"}""" }
+      val err = s"""{"error":"${e.getClass.getSimpleName}"}"""
+      (err, err) }
   }
 
   /** E2E 3-segment latency + process resource envelope, mirroring the
@@ -191,8 +265,12 @@ object Bench {
     * stamps apply time after the snapshot merge. Per-event latencies are
     * written as parquet by each micro-batch (never collected) and
     * summarized with one distributed aggregation.
+    *
+    * Returns (full block JSON, compact segment-p50/p95 JSON for the final
+    * contract line).
     */
-  private[graft] def e2eMetrics(spark: SparkSession, sfDir: String): String = {
+  private[graft] def e2eMetrics(spark: SparkSession, sfDir: String)
+      : (String, String) = {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcStream
     val dir = new java.io.File(s"target/bench_e2e_${System.nanoTime()}")
@@ -228,7 +306,10 @@ object Bench {
       // partial file.
       val watch = new java.io.File(dir, "in")
       watch.mkdirs()
-      val events = graft.Tables.events(spark, sfDir).cache()
+      // Registry-owned cache: released in the finally below, so a throw
+      // anywhere past this line cannot leak the cached events table.
+      val events = CacheRegistry.register(
+        graft.Tables.events(spark, sfDir).cache())
       val nBatches = 5
 
       sampler.start()
@@ -270,7 +351,6 @@ object Bench {
         q.processAllAvailable()
       }
       q.stop()
-      events.unpersist()
       stopSampling = true
       sampler.join(2000)
 
@@ -303,12 +383,22 @@ object Bench {
           f""""cpu_p95_pct":${pct(cpus, 0.95)}%.1f,""" +
           f""""rss_avg_mb":${mean(mems)}%.1f,"rss_max_mb":${if (mems.isEmpty) 0.0 else mems.last}%.1f,""" +
           f""""rss_p95_mb":${pct(mems, 0.95)}%.1f}"""
-      s"{$segJson,$res}"
+      // Compact form for the tail-capped final line: per-segment arrays in
+      // the order capture_to_broker, broker_to_apply, end_to_end.
+      def arr(off: Int): String =
+        segs.indices.map(i => f"${r.getDouble(i * 8 + off)}%.1f").mkString("[", ",", "]")
+      val compactJson =
+        f"""{"n":${r.getDouble(0).toLong},"segs":"cap2brk,brk2apply,e2e",""" +
+          s""""p50_ms":${arr(5)},"p95_ms":${arr(6)},"avg_ms":${arr(1)},""" +
+          f""""cpu_avg_pct":${mean(cpus)}%.1f,"rss_max_mb":${if (mems.isEmpty) 0.0 else mems.last}%.0f}"""
+      (s"{$segJson,$res}", compactJson)
     } catch { case e: Throwable =>
-      stopSampling = true
       val cause = Option(e.getCause).map(_.getClass.getSimpleName).getOrElse("")
-      s"""{"error":"${e.getClass.getSimpleName}","cause":"$cause"}"""
+      val err = s"""{"error":"${e.getClass.getSimpleName}","cause":"$cause"}"""
+      (err, err)
     } finally {
+      stopSampling = true
+      CacheRegistry.releaseAll()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
@@ -322,10 +412,20 @@ object Bench {
     * delegation rewrite, materialize the snapshot (the reference's
     * committed table state), then time the depth-bounded chain query —
     * p50/p95/p99/tps per depth, exactly the reference's per-row CSV output.
-    * Plus one chain-churn cycle (total sec + mutate-and-query throughput).
+    *
+    * The chain-churn and rewire cycles are timed as p50-of-3 with one
+    * untimed warm-up cycle each (caches released between cycles, so every
+    * timed cycle pays the full mutate+materialize+query cost): single-shot
+    * cycle timings drew a ~16 s first-materialization/GC outlier onto a
+    * different scenario in consecutive rounds (r5 chain_churn, r6 rewire)
+    * with identical code — the median over warmed cycles is the evidence
+    * that separates harness noise from a plan regression.
+    *
+    * Returns (full block JSON, compact cycle-p50 JSON for the final
+    * contract line).
     */
   private def dynamicMetrics(spark: SparkSession, sfDir: String,
-      iters: Int): String = {
+      iters: Int): (String, String) = {
     import graft.scenario.DynamicReplay
     try {
       var delegation = DynamicReplay.baseDelegation(spark, sfDir)
@@ -345,20 +445,42 @@ object Bench {
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,""" +
           f""""tps":${lat.length / lat.sum}%.3f}"""
       }
-      val t0 = System.nanoTime()
-      graft.queries.ScenarioQueries.dynChainChurn(spark, sfDir).count()
-      val churnSec = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
-      val t1 = System.nanoTime()
-      graft.queries.ScenarioQueries.dynRewire(spark, sfDir).count()
-      val rewireSec = (System.nanoTime() - t1) / 1e9
-      CacheRegistry.releaseAll()
-      f"""{"turn_taking":${perDepth.mkString("{", ",", "}")},""" +
-        f""""chain_churn":{"cycle_sec":$churnSec%.3f,"steps_per_sec":${DynamicReplay.DefaultCycle.length / churnSec}%.3f},""" +
-        f""""rewire":{"cycle_sec":$rewireSec%.3f,"steps_per_sec":${DynamicReplay.DefaultDepths.length / rewireSec}%.3f}}"""
+
+      // One untimed warm-up cycle, then n timed cycles; caches are dropped
+      // between cycles so each timed cycle is the full scenario.
+      def cycles(body: () => Unit, n: Int): Array[Double] = {
+        body(); CacheRegistry.releaseAll()
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          body()
+          val dt = (System.nanoTime() - t0) / 1e9
+          CacheRegistry.releaseAll()
+          dt
+        }.toArray.sorted
+      }
+      val nCycles = 3
+      val churn = cycles(
+        () => { graft.queries.ScenarioQueries.dynChainChurn(spark, sfDir).count(): Unit },
+        nCycles)
+      val rewire = cycles(
+        () => { graft.queries.ScenarioQueries.dynRewire(spark, sfDir).count(): Unit },
+        nCycles)
+      def cycleJson(lat: Array[Double], steps: Int): String =
+        f"""{"cycle_sec_p50":${pct(lat, 0.5)}%.3f,"cycle_sec_min":${lat.head}%.3f,""" +
+          f""""cycle_sec_max":${lat.last}%.3f,"cycles":${lat.length},""" +
+          f""""steps_per_sec":${steps / pct(lat, 0.5)}%.3f}"""
+      val full =
+        s"""{"turn_taking":${perDepth.mkString("{", ",", "}")},""" +
+          s""""chain_churn":${cycleJson(churn, DynamicReplay.DefaultCycle.length)},""" +
+          s""""rewire":${cycleJson(rewire, DynamicReplay.DefaultDepths.length)}}"""
+      val compactJson =
+        f"""{"churn_p50_s":${pct(churn, 0.5)}%.2f,"rewire_p50_s":${pct(rewire, 0.5)}%.2f,"cycles":$nCycles}"""
+      (full, compactJson)
     } catch { case e: Throwable =>
       CacheRegistry.releaseAll()
-      s"""{"error":"${e.getClass.getSimpleName}"}"""
+      val err = s"""{"error":"${e.getClass.getSimpleName}"}"""
+      (err, err)
     }
   }
 
@@ -393,6 +515,11 @@ object Bench {
         lit("c"), unix_millis(col("ts")), "users").as("value"))
         .repartition(microBatches)
         .write.mode("overwrite").text(dir.getPath)
+      // Report what actually landed on disk, not the intent: with
+      // maxFilesPerTrigger=1, staged part files ARE the micro-batches.
+      val stagedFiles = Option(dir.listFiles).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
 
       // Apply throughput through the real file-source streaming pipeline.
       val cfg = graft.GraftConfig(cdcSource = "file",
@@ -423,7 +550,7 @@ object Bench {
       val recoverSec = (System.nanoTime() - t1) / 1e9
 
       f"""{"apply_ops_per_sec":${nEvents / applySec}%.1f,""" +
-        f""""events":$nEvents,"micro_batches":$microBatches,""" +
+        f""""events":$nEvents,"micro_batches":$stagedFiles,""" +
         f""""gap_ms":{"p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
         f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${nEvents / recoverSec}%.1f}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }

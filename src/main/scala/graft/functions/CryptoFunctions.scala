@@ -99,12 +99,16 @@ object CryptoFunctions {
   final case class HybridBlob(encKey: Array[Byte], nonce: Array[Byte],
       ciphertext: Array[Byte], signature: Array[Byte])
 
-  // One process-wide RNG for nonce/key generation: SecureRandom is
-  // thread-safe, and the default-argument position means a per-call
-  // `new SecureRandom()` would run once per ROW inside UDF closures
-  // (Wallet.seal) — measurable constructor + reseed cost for no security
-  // gain. Callers that need determinism still pass their own instance.
-  private val sharedRnd = new SecureRandom()
+  // One RNG per task thread for nonce/key generation: a per-call
+  // `new SecureRandom()` in default-argument position would run once per
+  // ROW inside UDF closures (Wallet.seal) — constructor + reseed cost for
+  // no security gain — while a single process-wide instance serializes all
+  // executor threads on nextBytes()'s internal lock. ThreadLocal gives the
+  // per-row savings without cross-thread contention. Callers that need
+  // determinism still pass their own instance.
+  private val threadRnd: ThreadLocal[SecureRandom] =
+    ThreadLocal.withInitial(() => new SecureRandom())
+  private def sharedRnd: SecureRandom = threadRnd.get()
 
   def hybridEncrypt(rsaPubDer: Array[Byte], rsaSignPrivDer: Array[Byte],
       plaintext: Array[Byte], rnd: SecureRandom = sharedRnd): HybridBlob = {

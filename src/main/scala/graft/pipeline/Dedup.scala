@@ -108,6 +108,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact shingle-set Jaccard pairs — the ground truth [[minHashLsh]]
+    * approximates, in the same relational inverted-index form as
+    * [[ngramJaccard]] (explode distinct shingles, equi-join on the shingle,
+    * count intersections, derive union as |A|+|B|-inter): pairs sharing no
+    * shingle never materialize, so work scales with index fan-out, not the
+    * full cross product. This is the reference side of the
+    * `d2_minhash_recall` quality gate — both engines of the correctness
+    * gate can compute it from the raw text, so the pair counts pin the LSH
+    * path's ground truth cross-engine.
+    */
+  def shingleJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val sets = graft.CacheRegistry.register(docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("shset")).cache())
+    val toks = sets.select(col(idCol), explode(col("shset")).as("sh"))
+    val sizes = sets.select(col(idCol), size(col("shset")).as("sz"))
+    val a = toks.select(col(idCol).as("doc_a"), col("sh"))
+    val b = toks.select(col(idCol).as("doc_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash fingerprint per doc: per-bit weighted vote over word
     * hashes, assembled with shift/sum expressions (64 aggregates, one
     * pass). The word hash is the first 64 bits of sha256 — chosen over

@@ -141,11 +141,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       pairBudget: Long = 5000000L): DataFrame = {
     // sum() over zero groups is NULL — an empty corpus must read as zero
-    // fan-out (exact branch over nothing), not an NPE.
+    // fan-out (exact branch over nothing), not an NPE. The statistic is
+    // summed in decimal: a single ≳2^32-row block would overflow count²
+    // in Long arithmetic to a NEGATIVE value and silently route a huge
+    // corpus to the exact all-pairs branch.
     val fanOutRow = vectors.groupBy(col(blockCol)).count()
-      .agg(sum(col("count") * col("count"))).head()
-    val fanOut = if (fanOutRow.isNullAt(0)) 0L else fanOutRow.getLong(0)
-    if (fanOut <= pairBudget) cosinePairsExact(vectors, blockCol, threshold, idCol, vecCol)
+      .agg(sum(col("count").cast("decimal(19,0)") *
+        col("count").cast("decimal(19,0)"))).head()
+    val fanOut: java.math.BigDecimal =
+      if (fanOutRow.isNullAt(0)) java.math.BigDecimal.ZERO
+      else fanOutRow.getDecimal(0)
+    if (fanOut.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0)
+      cosinePairsExact(vectors, blockCol, threshold, idCol, vecCol)
     else cosinePairs(vectors, blockCol, threshold, idCol, vecCol)
   }
 

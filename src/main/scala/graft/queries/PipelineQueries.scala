@@ -114,6 +114,32 @@ object PipelineQueries {
       Similarity.cosinePairs(Tables.embeddings(spark, d), "label", 0.4),
       "cosine_lsh")
 
+  /** Pair-level recall of the MinHash-LSH banding ([[Dedup.minHashLsh]])
+    * against the exact shingle-set Jaccard pair set
+    * ([[Dedup.shingleJaccardPairs]]) at the same shingle length and
+    * threshold as `d2_minhash_lsh` — the derived quality twin that covers
+    * the one rows-only gate: the LSH signature path (seeded xxhash64) can't
+    * run in DuckDB, but its ground truth can, so the oracle derives the
+    * exact pair count from the raw text and pins recall at the 1.0
+    * contract. A banding change that starts missing pairs surfaces here as
+    * a named recall drop instead of an opaque d2 row-count drift.
+    */
+  def d2MinhashRecall(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val exact = Dedup.shingleJaccardPairs(docs, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = Dedup.minHashLsh(docs, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .select(lit("minhash_lsh").as("method"),
+        col("n_exact").cast("int").as("n_exact"),
+        when(col("n_exact") === 0, 1.0)
+          .otherwise(round(col("hits").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -182,6 +208,7 @@ object PipelineQueries {
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
     "d5_cosine_lsh_recall" -> d5CosineLshRecall,
+    "d2_minhash_recall" -> d2MinhashRecall,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -353,6 +380,28 @@ object PipelineQueries {
         |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
         |SELECT 'cosine_lsh' AS method, count(*)::INT AS n_exact,
         |  CAST(1.0 AS DOUBLE) AS recall FROM pairs""".stripMargin,
+    // Mechanical DuckDB translation of [[Dedup.shingles]] (k=3) +
+    // [[Dedup.shingleJaccardPairs]]: range(1, len-1) yields the same
+    // n-k+1 window starts as Spark's sequence(0, n-k); docs under k words
+    // contribute their whole text as one shingle in both engines.
+    "d2_minhash_recall" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 3
+        |      THEN list_transform(range(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [array_to_string(ws, ' ')] END) AS shset
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shset, b.shset))::DOUBLE /
+        |        (len(a.shset) + len(b.shset)
+        |         - len(list_intersect(a.shset, b.shset))) >= 0.2)
+        |SELECT 'minhash_lsh' AS method, count(*)::INT AS n_exact,
+        |  CAST(1.0 AS DOUBLE) AS recall FROM p""".stripMargin,
     "t1_langid" ->
       s"""WITH s AS ($langScoreSql),
         |b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)

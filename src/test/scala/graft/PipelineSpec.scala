@@ -134,6 +134,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf, "IVF recall@10 below 0.8 floor")
   }
 
+  test("minhash banding recall is 1.0 vs exact shingle Jaccard at the gate scale") {
+    val r = graft.queries.PipelineQueries
+      .d2MinhashRecall(spark, "/root/testdata/sf0.01")
+      .select("n_exact", "recall").as[(Int, Double)].head()
+    assert(r._1 > 0, "gate corpus must contain planted near-dup pairs")
+    assert(r._2 == 1.0, s"minhash LSH pair recall must be 1.0, got ${r._2}")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("shingleJaccardPairs matches brute-force jaccard on the planted corpus") {
+    val got = Dedup.shingleJaccardPairs(corpus, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Brute force over the 6-doc corpus using the same shingle expression.
+    val sets = corpus.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      uni = sets(a).toSet.union(sets(b).toSet).size
+      if uni > 0 && inter.toDouble / uni >= 0.2
+    } yield (a, b)).toSet
+    assert(got == want, s"inverted-index pairs $got != brute-force $want")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("pairRecall: LSH cosine pairs find every exact pair; empty set is 1.0") {
     val d = "/root/testdata/sf0.001"
     val r = graft.queries.PipelineQueries.d5CosineLshRecall(spark, d)
