@@ -192,10 +192,11 @@ object Bench {
     * scale, 02_topology_dynamic/benchmark_scenario_a.py:110) when present.
     * sf1 runs fewer iterations (p50-of-3) to bound sweep wall time.
     *
-    * Caveat baked into the JSON: documents/embeddings are fixed 500-row
-    * tables at every sf, so the pipeline queries' ratios sit near 1 by
-    * construction — the sweep is meaningful for the TPC-H-derived and
-    * graph/event queries.
+    * Caveat baked into the JSON: documents/embeddings scale sub-linearly
+    * in the driver testdata (500 rows at sf0.001/sf0.01; 5000/2000 at
+    * sf0.1, copied verbatim into sf1), so the pipeline queries' ratios
+    * track corpus size rather than sf — the sweep is meaningful for the
+    * TPC-H-derived and graph/event queries.
     *
     * Returns (full block JSON, compact top-boundary ratio JSON for the
     * final contract line).
@@ -243,7 +244,7 @@ object Bench {
       val full =
         s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
           .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
-          s""""note":"documents/embeddings are fixed 500-row tables at every sf; pipeline-query ratios ~1 by construction"}"""
+          s""""note":"documents/embeddings scale sub-linearly in the driver testdata (500 rows at sf0.001/sf0.01, 5000/2000 at sf0.1) and sf1 copies sf0.1's verbatim, so pipeline-query ratios track corpus size, not sf"}"""
       val top = dirs.takeRight(2)
       val compactRatio =
         s"""{"${sfName(top(1))}_over_${sfName(top(0))}":${ratioOf(top(0), top(1))}}"""
@@ -549,9 +550,42 @@ object Bench {
         state.snapshot.limit(0), backlog).count()
       val recoverSec = (System.nanoTime() - t1) / 1e9
 
+      // At-least-once redelivery: the reference's offline recovery re-sends
+      // buffered rows (demo_sqlite_cdc/02_benchmark/03_recovery.py:63-89),
+      // so a replayed segment arrives twice. Copy one staged micro-batch
+      // file back in as a duplicate segment and replay the whole backlog
+      // through the stateful keyed dedup — emitted rows must shrink back
+      // to the original event count (every redelivered duplicate dropped
+      // by the per-key high-water state).
+      val firstPart = Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).sortBy(_.getName).headOption
+      val dedupJson = firstPart.map { part =>
+        val dupRows = spark.read.text(part.getPath).count()
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(dir, s"resend-${part.getName}").toPath)
+        val counter = spark.sparkContext.longAccumulator("dedup_emitted")
+        val t2 = System.nanoTime()
+        val dq = CdcStream.statefulDedup(
+            CdcStream.parse(CdcStream.source(spark, cfg)))
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[(String, Long, Long, String)],
+             _: Long) => counter.add(b.count())
+          }.start()
+        dq.processAllAvailable()
+        dq.stop()
+        val dedupSec = (System.nanoTime() - t2) / 1e9
+        val input = nEvents + dupRows
+        f""""dedup_replay":{"input":$input,"redelivered":$dupRows,""" +
+          f""""emitted":${counter.value},"dropped":${input - counter.value},""" +
+          f""""ev_per_sec":${input / dedupSec}%.1f},"""
+      }.getOrElse("")
+
       f"""{"apply_ops_per_sec":${nEvents / applySec}%.1f,""" +
         f""""events":$nEvents,"micro_batches":$stagedFiles,""" +
         f""""gap_ms":{"p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
+        dedupJson +
         f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${nEvents / recoverSec}%.1f}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
     finally {

@@ -1,0 +1,98 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes the next 10× scale decade from an existing testdata
+  * directory — the third decade of scale evidence the bench sweep needs
+  * to match the reference's own top scale (1M nodes,
+  * demo_did_graph/02_topology_dynamic/benchmark_scenario_a.py:110).
+  *
+  * Mechanism: union `factor` key-shifted copies of each fact table — the
+  * same modular-id discipline as the M6 bulk hierarchy generator
+  * (graft.queries.MutQueries.m6Generate): copy `i` shifts every key
+  * column by `i × stride` where `stride = max(key)+1`, so keys stay
+  * contiguous 0..N·f-1 (the delegation-forest derivation in
+  * DynamicReplay.baseDelegation depends on contiguity) and every FK keeps
+  * landing on a real parent row in the same copy:
+  *
+  *  - customer: `c_custkey += i·|C|` (nationkey unchanged — the 25
+  *    nations absorb 10× members each, growing hierarchy fan-out the way
+  *    a fleet scale-up would).
+  *  - orders: `o_orderkey += i·|O|`, `o_custkey += i·|C|`.
+  *  - lineitem: `l_orderkey += i·|O|`; part/supplier FKs unchanged
+  *    (10× lines per part — dimension tables are not scaled).
+  *  - events: `event_id += i·|E|`, `user_id += i·|C|`, `ts += i·span`
+  *    so the ordered log stays strictly spread instead of 10 interleaved
+  *    identical timelines (events.parquet stores ns-longs; the shift is
+  *    plain long arithmetic and the output reads back through
+  *    Tables.events unchanged).
+  *  - region/nation/supplier/part/documents/embeddings: copied verbatim.
+  *
+  * Everything is a distributed union-of-projections — no collect beyond
+  * the per-table max(key) scalar, no shuffle except the output
+  * repartition that sizes files for parallel re-read.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def read(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+      println(s"[scalegen] wrote $n x$factor")
+    }
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        df.select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(s) =>
+              (col(c) + lit(s * i)).cast(df.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }.reduce(_ unionByName _)
+
+    val customer = read("customer")
+    val orders = read("orders")
+    val events = read("events")
+    val nCust = stride(customer, "c_custkey")
+    val nOrd = stride(orders, "o_orderkey")
+    val nEvt = stride(events, "event_id")
+    // Keep the replicated timelines disjoint: copy i starts one second
+    // after copy i-1 ends.
+    val tsRow = events.agg(min(col("ts")), max(col("ts"))).head()
+    val tsSpan = tsRow.getLong(1) - tsRow.getLong(0) + 1000000000L
+
+    write(replicate(customer, Map("c_custkey" -> nCust)), "customer", 8)
+    write(replicate(orders, Map("o_orderkey" -> nOrd, "o_custkey" -> nCust)),
+      "orders", 8)
+    write(replicate(read("lineitem"), Map("l_orderkey" -> nOrd)),
+      "lineitem", 16)
+    write(replicate(events,
+      Map("event_id" -> nEvt, "user_id" -> nCust, "ts" -> tsSpan)),
+      "events", 8)
+    Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+      .foreach(n => write(read(n), n, 1))
+  }
+}
