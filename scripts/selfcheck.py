@@ -35,8 +35,26 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):
+            # Spark writes directory-style parquet (e.g. the generated sf1
+            # decade); DuckDB needs the part-file glob.
+            src = f"'{p}/*.parquet'"
+        elif os.path.exists(p):
+            src = f"'{p}'"
+        else:
+            continue
+        sel = "*"
+        if t == "events":
+            # The driver testdata stores ts as TIMESTAMP(NANOS); a generated
+            # decade stores raw ns-longs (Spark cannot write nanos
+            # timestamps). The engine truncates to micros on read
+            # (Tables.events: ts div 1000) — mirror that when DuckDB sees
+            # the BIGINT form so both engines agree on the same clock.
+            typ = con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
