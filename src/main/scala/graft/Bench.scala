@@ -131,10 +131,21 @@ object Bench {
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
     }
 
-    // ---- Evidence emission: full-precision block lines first (also
-    // ---- collected for BENCH_FULL.jsonl), compact contract line LAST.
-    val emitted = scala.collection.mutable.ArrayBuffer[String]()
-    def emit(line: String): Unit = { println(line); emitted += line }
+    // ---- Evidence emission: full-precision block lines first, compact
+    // ---- contract line LAST. Every line is also appended (and flushed)
+    // ---- to BENCH_FULL.jsonl as it is produced, and blocks are computed
+    // ---- cheapest/most-load-bearing first (cdc, dynamic, e2e) with the
+    // ---- long multi-decade scale sweep at the end — if the harness kills
+    // ---- a long run mid-sweep, the stdout tail and the file still hold
+    // ---- everything but the bonus decade.
+    val fullOut = try {
+      Some(new java.io.PrintWriter(
+        new java.io.FileWriter("/root/repo/BENCH_FULL.jsonl", false)))
+    } catch { case _: Exception => None }
+    def emit(line: String): Unit = {
+      println(line)
+      fullOut.foreach { w => w.println(line); w.flush() }
+    }
 
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -150,13 +161,13 @@ object Bench {
       if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
       else ("{}", "{}")
     emit(s"""{"block":"dynamic","dynamic":$dyn}""")
+    val (e2e, e2eCompact) = if (only.isEmpty) e2eMetrics(spark, sfDir)
+                            else ("{}", "{}")
+    emit(s"""{"block":"e2e","e2e":$e2e}""")
     val (scale, scaleCompact) =
       if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4))
       else ("{}", "{}")
     emit(s"""{"block":"scale","scale":$scale}""")
-    val (e2e, e2eCompact) = if (only.isEmpty) e2eMetrics(spark, sfDir)
-                            else ("{}", "{}")
-    emit(s"""{"block":"e2e","e2e":$e2e}""")
 
     val cs = compact.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val qsHead = perQuery.filter(kv => headline.contains(kv._1))
@@ -167,13 +178,8 @@ object Bench {
       s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
       s""""full":"BENCH_FULL.jsonl"}"""
 
-    // Full-precision evidence file (the stdout tail is capped; this isn't).
-    try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.jsonl")
-      try { emitted.foreach(w.println); w.println(finalLine) } finally w.close()
-    } catch { case _: Exception => () }
-
-    println(finalLine)
+    emit(finalLine)
+    fullOut.foreach(_.close())
     spark.stop()
   }
 
