@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float/double-array columns, accumulated
+    * left-to-right in double — a native codegen'd expression
+    * ([[graft.functions.VecDotExpr]]); the declarative
+    * `aggregate(zip_with(...))` twin it replaced produced bit-identical
+    * results but paid an interpreted lambda dispatch per element plus an
+    * intermediate array per row (higher-order functions are not
+    * whole-stage-codegen'd).
+    */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.VecDotExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
