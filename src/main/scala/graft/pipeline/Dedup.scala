@@ -29,17 +29,17 @@ object Dedup {
   /** Whitespace word tokens. */
   def words(text: Column): Column = split(text, "\\s+")
 
-  /** Sliding k-word shingles as a codegen'd expression (no UDF):
-    * `transform(sequence(0, n-k), i -> words[i] .. words[i+k-1])`.
-    * Documents shorter than k words contribute their whole text as one
-    * shingle.
+  /** Sliding k-word shingles via the native [[graft.functions.ShinglesExpr]]
+    * (one generated-code pass; the declarative
+    * `transform(sequence(0, n-k), i -> words[i] .. words[i+k-1])` twin it
+    * replaced produced identical output but paid an interpreted lambda
+    * dispatch per shingle). Documents shorter than k words contribute
+    * their whole text as one shingle.
     */
   def shingles(text: Column, k: Int = 3): Column = {
-    val w = words(text)
-    val slid = transform(
-      sequence(lit(0), size(w) - lit(k)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))
-    when(size(w) >= k, slid).otherwise(array(concat_ws(" ", w)))
+    graft.functions.ShinglesExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("word_shingles", words(text), lit(k))
   }
 
   /** D1: exact dedup — group by content hash, keep the smallest id.
@@ -52,17 +52,28 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
       .select(col("keep_id"), col("dups"))
 
-  /** Per-doc MinHash signature: explode shingles, take k independent
-    * minimums of seeded xxhash64 — k aggregates in one pass, map-side
-    * combined.
+  /** Per-row MinHash signature via the native
+    * [[graft.functions.MinHashSigExpr]] — k seeded minimums folded in one
+    * generated-code pass over the shingle array, bit-identical to (and
+    * replacing) the relational explode → groupBy → k×min(xxhash64) form,
+    * which multiplied the corpus by its shingle count and shuffled it
+    * back together per document (see MinHashSigExpr scaladoc; parity
+    * asserted in PipelineSpec).
+    */
+  def minhashSig(shset: Column, numHashes: Int): Column = {
+    graft.functions.MinHashSigExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_sig", shset, lit(numHashes))
+  }
+
+  /** Per-doc MinHash signature table: (id, sig). Shuffle-free — the
+    * signature is computed on the row it belongs to.
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleLen: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
-  }
+      numHashes: Int, shingleLen: Int): DataFrame =
+    docs.select(col(idCol),
+      minhashSig(array_distinct(shingles(col(textCol), shingleLen)),
+        numHashes).as("sig"))
 
   /** D2: MinHash + LSH near-duplicate pairs.
     * Returns (doc_a, doc_b, jaccard) for candidate pairs whose exact
@@ -80,10 +91,7 @@ object Dedup {
     val sets = graft.CacheRegistry.register(docs.select(col(idCol),
       array_distinct(shingles(col(textCol), shingleLen)).as("shset")).cache())
 
-    val sh = sets.select(col(idCol), explode(col("shset")).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val sig = sets.select(col(idCol), minhashSig(col("shset"), numHashes).as("sig"))
 
     // Band buckets: hash each row-slice of the signature; same (band,
     // bucket) ⇒ candidate. slice() is 1-based.

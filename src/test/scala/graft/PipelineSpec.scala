@@ -134,6 +134,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf, "IVF recall@10 below 0.8 floor")
   }
 
+  test("native minhash_sig is bit-identical to the relational explode/groupBy form") {
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("shset"))
+    val native = sets.select(col("doc_id"),
+        Dedup.minhashSig(col("shset"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // The relational twin the expression replaced.
+    val sh = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
+    val aggs = (0 until 32).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val relational = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 32).map(i => col(s"mh$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == relational)
+  }
+
+  test("native shingles match the declarative transform/sequence form") {
+    val data = Seq("one two three four five", "a b c", "a b", "", "single")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = data.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val w = split(col("text"), "\\s+")
+    val slid = transform(sequence(lit(0), size(w) - lit(3)),
+      i => concat_ws(" ", (0 until 3).map(j => element_at(w, i + lit(j + 1))): _*))
+    val declarative = data.select(col("doc_id"),
+        when(size(w) >= 3, slid).otherwise(array(concat_ws(" ", w))).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == declarative)
+  }
+
   test("minhash banding recall is 1.0 vs exact shingle Jaccard at the gate scale") {
     val r = graft.queries.PipelineQueries
       .d2MinhashRecall(spark, "/root/testdata/sf0.01")
