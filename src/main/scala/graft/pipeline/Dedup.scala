@@ -148,33 +148,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per doc: per-bit weighted vote over word
-    * hashes, assembled with shift/sum expressions (64 aggregates, one
-    * pass). The word hash is the first 64 bits of sha256 — chosen over
-    * xxhash64 deliberately: both engines of the correctness gate compute
-    * sha256 identically, so the whole fingerprint (and therefore the
-    * `d3_simhash` pairing) is reproducible in the DuckDB oracle, where
-    * Spark's seeded xxhash64 is not. Bit j is bit (j mod 4) of hex nibble
-    * 15 - j/4, i.e. the hex prefix read as a big-endian 64-bit value; the
-    * 16 nibbles are projected once per word and the 64 votes are plain
-    * shift/mask reads on them — everything stays in WholeStageCodegen.
+    * hashes, computed per row by the native
+    * [[graft.functions.SimHashExpr]] — no word explode, no 64-aggregate
+    * shuffle (see its scaladoc for the replaced relational form and the
+    * parity contract). The word hash is the first 64 bits of sha256 —
+    * chosen over xxhash64 deliberately: both engines of the correctness
+    * gate compute sha256 identically, so the whole fingerprint (and
+    * therefore the `d3_simhash` pairing) is reproducible in the DuckDB
+    * oracle, where Spark's seeded xxhash64 is not. Bit j is bit (j mod 4)
+    * of hex nibble 15 - j/4, i.e. the hex prefix read as a big-endian
+    * 64-bit value.
     */
   def simHashFingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
-      .withColumn("hx", substring(sha2(col("w"), 256), 1, 16))
-    val nibbled = w.select(col(idCol) +:
-      (0 until 16).map(i =>
-        conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int").as(s"n$i")): _*)
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"n${15 - j / 4}"), j % 4)
-          .bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"v$j")
-    }
-    nibbled.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    graft.functions.SimHashExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    docs.select(col(idCol),
+      call_function("simhash64", words(col(textCol))).as("simhash"))
   }
 
   /** D3: SimHash near-dup pairs within a blocking key, Hamming distance via

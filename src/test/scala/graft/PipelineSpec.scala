@@ -163,6 +163,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(native == declarative)
   }
 
+  test("native simhash64 is bit-identical to the relational vote/aggregate form") {
+    val native = Dedup.simHashFingerprint(corpus)
+      .as[(Long, Long)].collect().toMap
+    // The relational twin the expression replaced.
+    val w = corpus.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .withColumn("hx", substring(sha2(col("w"), 256), 1, 16))
+    val nibbled = w.select(col("doc_id") +:
+      (0 until 16).map(i =>
+        conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int").as(s"n$i")): _*)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"n${15 - j / 4}"), j % 4)
+          .bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val relational = nibbled.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == relational)
+  }
+
   test("minhash banding recall is 1.0 vs exact shingle Jaccard at the gate scale") {
     val r = graft.queries.PipelineQueries
       .d2MinhashRecall(spark, "/root/testdata/sf0.01")
