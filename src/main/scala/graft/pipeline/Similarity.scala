@@ -102,8 +102,8 @@ object Similarity {
     val r = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     val means = typedlit(dimMeans(vectors, dim, vecCol))
-    val centered = zip_with(col(vecCol), means, (x, m) => x.cast("double") - m)
-    val bits = planes.map(p => when(dot(centered, typedlit(p)) > 0, 1L).otherwise(0L))
+    val bits = planes.map(p =>
+      when(dotCentered(col(vecCol), means, typedlit(p)) > 0, 1L).otherwise(0L))
     val bandKeys = array((0 until bands).map { b =>
       (0 until r).map(i => bits(b * r + i) * lit(1L << i)).reduce(_ + _)
     }: _*)
@@ -221,10 +221,23 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Bucket id column: sign bits of dot products with the hyperplanes. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Mean-centered dot product `Σ (v[i]-m[i])·p[i]` — native fused kernel
+    * ([[graft.functions.VecDotCenteredExpr]]); the zip_with-centering it
+    * replaced re-evaluated an interpreted per-element lambda once per
+    * PLANE reference.
+    */
+  def dotCentered(vec: Column, means: Column, plane: Column): Column = {
+    graft.functions.VecDotCenteredExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot_centered", vec, means, plane)
+  }
+
+  /** Bucket id column: sign bits of mean-centered dot products with the
+    * hyperplanes.
+    */
+  def lshBucket(vec: Column, means: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, typedlit(p)) > 0, lit(1L << j)).otherwise(0L)
+      when(dotCentered(vec, means, typedlit(p)) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Per-dimension corpus mean (one tiny aggregation; at scale this is a
@@ -296,8 +309,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val means = typedlit(dimMeans(vectors, dim, vecCol))
-    val centered = zip_with(col(vecCol), means, (x, m) => x.cast("double") - m)
-    val bucketed = vectors.withColumn("bucket", lshBucket(centered, planes))
+    val bucketed = vectors.withColumn("bucket",
+      lshBucket(col(vecCol), means, planes))
     val masks = hammingMasks(numPlanes, probeHamming)
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"),
