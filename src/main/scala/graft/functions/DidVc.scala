@@ -36,7 +36,31 @@ object DidVc {
         "mission_id" -> JStr(missionId),
         "drone_id" -> JStr(droneId)))))
 
-  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  // String.format-per-byte costs ~100 µs for a 64-byte signature (VcProf);
+  // a digit table does the same encode in well under a microsecond.
+  private val HexDigits = "0123456789abcdef".toCharArray
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = HexDigits(v >>> 4)
+      out(2 * i + 1) = HexDigits(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def unhex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4) |
+        Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
 
   /** Sign the canonical serialization of the proof-less doc; embed the
     * proof with the hex signature (did_utils.py:30-52).
@@ -66,7 +90,7 @@ object DidVc {
         }
       }.flatten.getOrElse(return false)
       val doc = JObj(fields.filterNot(_._1 == "proof"))
-      val sig = sigHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val sig = unhex(sigHex)
       CryptoFunctions.verify("Ed25519", pubDer,
         serialize(doc).getBytes("UTF-8"), sig)
     } catch { case _: Exception => false }

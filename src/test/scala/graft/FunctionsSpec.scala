@@ -97,6 +97,25 @@ class CryptoSpec extends AnyFunSuite {
     assert(a.getPrivate.getEncoded.sameElements(b.getPrivate.getEncoded))
   }
 
+  test("tink fast path is bit-identical to the JDK provider") {
+    // sign() routes 48-byte PKCS#8 Ed25519 keys through Tink; RFC 8032
+    // signatures are deterministic, so the two providers must agree
+    // byte-for-byte and cross-verify in both directions.
+    val kp = seededKeyPair("Ed25519", 42L)
+    val data = "cross-provider payload".getBytes("UTF-8")
+    val fast = sign("Ed25519", kp.getPrivate.getEncoded, data)
+    val jdk = java.security.Signature.getInstance("Ed25519")
+    jdk.initSign(kp.getPrivate)
+    jdk.update(data)
+    val slow = jdk.sign()
+    assert(fast.sameElements(slow))
+    val jdkV = java.security.Signature.getInstance("Ed25519")
+    jdkV.initVerify(kp.getPublic)
+    jdkV.update(data)
+    assert(jdkV.verify(fast))
+    assert(verify("Ed25519", kp.getPublic.getEncoded, data, slow))
+  }
+
   test("ecdsa p-256 round-trip") {
     val kp = seededKeyPair("EC", 1L)
     val data = "doc".getBytes("UTF-8")
