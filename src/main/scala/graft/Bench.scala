@@ -208,6 +208,14 @@ object Bench {
     * final contract line).
     */
   private def scaleMetrics(spark: SparkSession, iters: Int): (String, String) = {
+    // benchdata/ is gitignored, so a fresh checkout loses the generated
+    // decade; rebuild it in-session (~50 s, well inside the sweep budget)
+    // rather than silently shrinking the sweep to three decades.
+    if (!new java.io.File(Sf1Dir).isDirectory &&
+        new java.io.File("/root/testdata/sf0.1").isDirectory)
+      try graft.scale.ScaleGen.generate(spark, "/root/testdata/sf0.1", Sf1Dir, 10)
+      catch { case e: Throwable =>
+        println(s"""{"block":"scale_gen","error":"${e.getClass.getSimpleName}"}""") }
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
         Sf1Dir)
