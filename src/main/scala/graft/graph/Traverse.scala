@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
   * Execution model / scale design:
   *   - The edge table is the big, reused side: it is `.cache()`d once
   *     (Spark's cache manager dedupes by logical plan, so repeated calls over
-  *     the same edges reuse one materialization). On a real cluster the edge
-  *     dataset should additionally be pre-partitioned by the parent column
-  *     (`repartition($"parent")` or bucketed storage) so each per-level join
-  *     shuffles only the frontier — the frontier is typically orders of
-  *     magnitude smaller than the edge set, and AQE will broadcast it when it
-  *     fits, making each level a shuffle-free broadcast-hash join against the
-  *     cached edges.
-  *   - Each level is one join stage. The accumulated plan grows linearly with
+  *     the same edges reuse one materialization). Each per-level join then
+  *     broadcasts the frontier when it fits (a shuffle-free broadcast-hash
+  *     join probing the cache in place) or shuffles the frontier — the
+  *     smaller side — under AQE.
+  *   - Each level's OUTPUT is lazily cached while the frontier is believed
+  *     big, so every level is computed exactly once: without this, UNION
+  *     branch k re-derives the whole k-1 join prefix and a depth-d walk
+  *     probes the edges sum(1..d) times instead of d. Once a cadence probe
+  *     proves the frontier tiny, caching stops — recompute within one
+  *     checkpoint window is cheaper than per-level InMemoryRelation
+  *     materialization (both branches measured at sf1; see inline notes).
+  *   - The accumulated plan grows linearly with
   *     depth, so the frontier is `localCheckpoint`ed every `checkpointEvery`
   *     levels to truncate lineage (reference depths reach 16:
   *     demo_did_graph/02_topology_dynamic/benchmark_scenario_a.py:111).
@@ -84,6 +88,14 @@ object Traverse {
     // Registered so callers can release it after materializing the result
     // (graft.CacheRegistry.releaseAll) — long-lived sessions would
     // otherwise accumulate cached edge tables.
+    //
+    // Deliberately NOT pre-partitioned on the join key: once the per-level
+    // outputs are cached (below), each level either broadcasts its frontier
+    // and scans this cache in place, or AQE shuffles the (smaller) frontier.
+    // A repartition("__parent") here was measured at sf1 and bought nothing
+    // on the broad walks while costing +40% on the depth-20 trust chain
+    // (the exchange under the cache stays pinned at
+    // spark.sql.shuffle.partitions, so 20 near-empty task waves).
     val e = graft.CacheRegistry.register(
       edges
         .withColumnRenamed(parentCol, "__parent")
@@ -110,11 +122,30 @@ object Traverse {
         carried ++
         payloadCols.map(c => col(s"e.$c")) ++
         Seq(col("e.__child").as(nodeCol), lit(lvl).as("lvl"))
-      levels += joined.select(outCols: _*)
+      // Each level's output is cached LAZILY: the next frontier is a
+      // projection of this cached output, so level k's plan probes the
+      // edges exactly once and reads level k-1 from memory. Without this,
+      // every UNION branch re-derived the whole join prefix from scratch —
+      // sum(1..d) edge probes instead of d (the depth-4 role-tagged walk
+      // paid 10). cache() adds no job (unlike per-level localCheckpoint,
+      // which round 4 showed doubles shallow-walk medians); the single
+      // final action materializes each level once, in dependency order.
+      //
+      // Cost-gated on the cadence probes: a frontier proven tiny makes
+      // branch recompute bounded by one cheap cadence window, while the
+      // per-level InMemoryRelation materialization (~tens of ms) would
+      // dominate — the depth-20 single-row WoT chain regressed ~15% when
+      // every level was cached. Assume big until a probe says otherwise
+      // (sf1 measurements: role-tagged 5.3→0.7 s cached, ABAC flat).
+      val rawOut = joined.select(outCols: _*)
+      val levelOut =
+        if (tinyFrontier) rawOut
+        else graft.CacheRegistry.register(rawOut.cache())
+      levels += levelOut
 
       if (lvl < maxDepth) {
-        var next = joined.select(
-          (carried :+ col("e.__child").as(nodeCol)): _*)
+        var next = levelOut.select(
+          (carryCols.map(col) :+ col(nodeCol)): _*)
         // Lineage is truncated by an eager localCheckpoint ONLY on the fixed
         // cadence — the count probe piggybacks on it (reads cached
         // partitions, nearly free). Off-cadence, once the frontier has

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timing for traversal queries across scale dirs (not a ScalaTest
+  * suite — `sbt "Test/runMain graft.tools.TravProf [query] [dir] [iters]"`).
+  */
+object TravProf {
+  def main(args: Array[String]): Unit = {
+    val q = if (args.length > 0) args(0) else "r5_role_tagged"
+    val dir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val iters = if (args.length > 2) args(2).toInt else 5
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val f = graft.SparkEntry.queries(q)
+    if (sys.env.contains("TRAV_EXPLAIN")) f(spark, dir).explain("formatted")
+    // Same protocol as Bench.scaleMetrics: warm once, iterate with the
+    // operator caches resident, release once at the end.
+    f(spark, dir).count()
+    val lat = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      f(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    graft.CacheRegistry.releaseAll()
+    println(f"[travprof] $q $dir p50=${lat(lat.length / 2)}%.3f s (n=$iters)")
+    spark.stop()
+  }
+}
