@@ -56,6 +56,22 @@ class TraverseSpec extends AnyFunSuite {
     assert(d2 <= d3)
   }
 
+  test("mutated edge sets are not served from a previous run's level caches") {
+    // The per-level caches must key on the edge plan: an expand over a
+    // snapshot-mutated edge set (different logical plan, same shape) has
+    // to recompute, never alias the previous run's cached levels.
+    val e1 = edges("a" -> "b", "b" -> "c")
+    val out1 = Traverse.expand(Seq("a").toDF("node"), e1, maxDepth = 5)
+      .select("node", "lvl").as[(String, Int)].collect().sorted
+    assert(out1.toSeq == Seq(("b", 1), ("c", 2)))
+    val e2 = graft.state.Snapshot.rewire(e1,
+      Seq("c").toDF("child"), edges("b" -> "x", "x" -> "y"))
+    val out2 = Traverse.expand(Seq("a").toDF("node"), e2, maxDepth = 5)
+      .select("node", "lvl").as[(String, Int)].collect().sorted
+    assert(out2.toSeq == Seq(("b", 1), ("x", 2), ("y", 3)))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("early exit stops at fixpoint before the bound") {
     val e = edges("a" -> "b")
     val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 100,
