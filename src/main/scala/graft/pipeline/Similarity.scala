@@ -281,7 +281,7 @@ object Similarity {
       .take(nProbe).map(_._2)
     val q = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"))
-    assigned.filter(col("cluster").isin(probe.map(Integer.valueOf): _*))
+    assigned.filter(col("cluster").isin(probe.toIndexedSeq.map(Integer.valueOf): _*))
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),

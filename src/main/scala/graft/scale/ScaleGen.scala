@@ -64,7 +64,7 @@ object ScaleGen {
 
     def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
       (0 until factor).map { i =>
-        df.select(df.columns.map { c =>
+        df.select(df.columns.toIndexedSeq.map { c =>
           shifts.get(c) match {
             case Some(s) =>
               (col(c) + lit(s * i)).cast(df.schema(c).dataType).as(c)

@@ -78,7 +78,7 @@ object Wallet {
       CryptoFunctions.aesGcmEncrypt(key, json.getBytes("UTF-8")))
       .asNondeterministic() // fresh nonce per call — see scaladoc
     table
-      .select(enc(to_json(struct(table.columns.map(col): _*))).as("blob"))
+      .select(enc(to_json(struct(table.columns.toIndexedSeq.map(col): _*))).as("blob"))
       .select(col("blob._1").as("nonce"), col("blob._2").as("ciphertext"))
   }
 

@@ -105,7 +105,7 @@ object CdcStream {
     val tiebreak =
       if (batch.columns.contains("offset")) col("offset").cast("long")
       else if (batch.columns.contains("seq")) col("seq").cast("long")
-      else xxhash64(struct(batch.columns.map(col): _*))
+      else xxhash64(struct(batch.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("ts_ms").desc, tiebreak.desc)
     batch.withColumn("__rn", row_number().over(w))
