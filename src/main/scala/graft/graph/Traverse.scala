@@ -68,7 +68,8 @@ object Traverse {
       earlyExit: Boolean = true,
       checkpointEvery: Int = 4,
       keepPaths: Boolean = false,
-      probeThreshold: Long = 1000L): DataFrame = {
+      probeThreshold: Long = 1000L,
+      expectTinyFrontier: Boolean = false): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
 
     // keepPaths materializes the visited-node string `path`
@@ -114,7 +115,13 @@ object Traverse {
     val levels = Seq.newBuilder[DataFrame]
     var lvl = 1
     var done = false
-    var tinyFrontier = false
+    // expectTinyFrontier is an execution HINT (like Spark's broadcast()):
+    // callers that know the walk shape — bounded-fanout forests, linear
+    // trust chains — skip the level caches from level 1 instead of paying
+    // for them until the first cadence probe. It is self-correcting: a
+    // probe that sees the frontier above probeThreshold flips the state
+    // and caching resumes. Semantics are identical either way.
+    var tinyFrontier = expectTinyFrontier
     while (lvl <= maxDepth && !done) {
       val joined = frontier.alias("f")
         .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))

@@ -143,8 +143,10 @@ object GraphQueries {
     * Chain shape makes the answer 1 iff dist(source, anchor) <= L.
     */
   def r3WotPathCount(spark: SparkSession, d: String): DataFrame =
+    // expectTinyFrontier: the trust chain is linear — every frontier is
+    // one row (see Traverse scaladoc; hint is probe-corrected).
     Traverse.expand(seed(spark, "E0"), GraphData.trustChain(spark, d),
-        maxDepth = 20)
+        maxDepth = 20, expectTinyFrontier = true)
       .filter(col("node") === "E15")
       .agg(count(lit(1)).as("n_paths"))
 
@@ -155,7 +157,8 @@ object GraphQueries {
     */
   def r3WotPathList(spark: SparkSession, d: String): DataFrame =
     Traverse.expand(seed(spark, "E0"), GraphData.trustChain(spark, d),
-        maxDepth = 8, keepPaths = true)
+        maxDepth = 8, keepPaths = true,
+        expectTinyFrontier = true) // linear chain, one-row frontiers
       .select(col("path"), col("node"), col("lvl"))
       .orderBy(col("lvl"))
 
@@ -189,7 +192,8 @@ object GraphQueries {
       .select(col("user_id"), col("group_id").as("node"))
     val reach = member.withColumn("lvl", lit(0))
       .union(Traverse.expand(member, GraphData.abacSubgroup(spark, d),
-        maxDepth = 10))
+        maxDepth = 10,
+        expectTinyFrontier = true)) // subgroup chains of 4 users: tiny
     val perm = GraphData.abacPermission(spark, d)
       .filter(col("resource_id") === "RES0")
     reach.join(perm, reach("node") === perm("group_id"))

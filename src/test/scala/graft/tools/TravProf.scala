@@ -19,15 +19,21 @@ object TravProf {
     spark.sparkContext.setLogLevel("ERROR")
     val f = graft.SparkEntry.queries(q)
     if (sys.env.contains("TRAV_EXPLAIN")) f(spark, dir).explain("formatted")
-    // Same protocol as Bench.scaleMetrics: warm once, iterate with the
-    // operator caches resident, release once at the end.
+    // Default: same protocol as Bench.scaleMetrics — warm once, iterate
+    // with the operator caches resident, release once at the end.
+    // TRAV_COLD=1: Bench.dynamicMetrics cycle protocol — caches dropped
+    // between iterations, each run is the full scenario.
+    val cold = sys.env.contains("TRAV_COLD")
     f(spark, dir).count()
+    if (cold) graft.CacheRegistry.releaseAll()
     val lat = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       f(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      if (cold) graft.CacheRegistry.releaseAll()
+      s
     }.sorted
-    graft.CacheRegistry.releaseAll()
+    if (!cold) graft.CacheRegistry.releaseAll()
     println(f"[travprof] $q $dir p50=${lat(lat.length / 2)}%.3f s (n=$iters)")
     spark.stop()
   }
