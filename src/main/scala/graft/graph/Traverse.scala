@@ -121,7 +121,13 @@ object Traverse {
     // for them until the first cadence probe. It is self-correcting: a
     // probe that sees the frontier above probeThreshold flips the state
     // and caching resumes. Semantics are identical either way.
+    //
+    // The hint gates ONLY the cache decision. The mid-cadence isEmpty
+    // early-exit probe keys on provenTiny — an actual cadence count —
+    // because firing it on a merely-hinted walk adds one job per cadence
+    // window for nothing (the rewire replay's walks never empty).
     var tinyFrontier = expectTinyFrontier
+    var provenTiny = false
     while (lvl <= maxDepth && !done) {
       val joined = frontier.alias("f")
         .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))
@@ -168,7 +174,8 @@ object Traverse {
           val n = next.count()
           if (earlyExit && n == 0) done = true
           tinyFrontier = n <= probeThreshold
-        } else if (earlyExit && tinyFrontier &&
+          provenTiny = tinyFrontier
+        } else if (earlyExit && provenTiny &&
             checkpointEvery > 1 && lvl % checkpointEvery == checkpointEvery / 2 &&
             next.isEmpty) {
           // One probe per cadence window (mid-cadence) bounds exit lateness

@@ -17,6 +17,16 @@ object TravProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Deterministic structural metrics alongside the noisy wall clock:
+    // job and task counts expose scheduling overhead that timing hides.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        { tasks.incrementAndGet(); () }
+    })
     val f = graft.SparkEntry.queries(q)
     if (sys.env.contains("TRAV_EXPLAIN")) f(spark, dir).explain("formatted")
     // Default: same protocol as Bench.scaleMetrics — warm once, iterate
@@ -34,7 +44,8 @@ object TravProf {
       s
     }.sorted
     if (!cold) graft.CacheRegistry.releaseAll()
-    println(f"[travprof] $q $dir p50=${lat(lat.length / 2)}%.3f s (n=$iters)")
+    println(f"[travprof] $q $dir p50=${lat(lat.length / 2)}%.3f s (n=$iters) " +
+      s"jobs=${jobs.get} tasks=${tasks.get}")
     spark.stop()
   }
 }
