@@ -157,8 +157,16 @@ object Traverse {
       levels += levelOut
 
       if (lvl < maxDepth) {
-        var next = levelOut.select(
-          (carryCols.map(col) :+ col(nodeCol)): _*)
+        // Cached level: the next frontier MUST project from the cache so
+        // the chain materializes once. Uncached level: project the join
+        // directly — routing through rawOut's wider projection only adds
+        // plan nodes for the analyzer to chew on, which is real driver
+        // time over the dynamic scenarios' deep snapshot plans.
+        var next =
+          if (tinyFrontier) joined.select(
+            (carried :+ col("e.__child").as(nodeCol)): _*)
+          else levelOut.select(
+            (carryCols.map(col) :+ col(nodeCol)): _*)
         // Lineage is truncated by an eager localCheckpoint ONLY on the fixed
         // cadence — the count probe piggybacks on it (reads cached
         // partitions, nearly free). Off-cadence, once the frontier has

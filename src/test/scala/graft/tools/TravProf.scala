@@ -21,9 +21,22 @@ object TravProf {
     // job and task counts expose scheduling overhead that timing hides.
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobStart.put(j.jobId, (j.time,
+          Option(j.properties.getProperty("spark.job.description")).getOrElse("?")))
+        ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStart.get(j.jobId)).foreach { case (t0, desc) =>
+          jobLog.add(s"${j.time - t0}ms ${desc.take(120)}")
+        }
+        ()
+      }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         { tasks.incrementAndGet(); () }
     })
@@ -46,6 +59,11 @@ object TravProf {
     if (!cold) graft.CacheRegistry.releaseAll()
     println(f"[travprof] $q $dir p50=${lat(lat.length / 2)}%.3f s (n=$iters) " +
       s"jobs=${jobs.get} tasks=${tasks.get}")
+    sys.env.get("TRAV_JOBLOG").foreach { path =>
+      val w = new java.io.PrintWriter(path)
+      jobLog.forEach(l => w.println(l))
+      w.close()
+    }
     spark.stop()
   }
 }
