@@ -261,6 +261,16 @@ object Similarity {
     * and unprobed partitions are never read. Same plumbing as
     * [[lshBucketTopK]] with learned buckets instead of random ones.
     */
+  // The trained index is memoized per (corpus plan, k): building the IVF
+  // index is a multi-job k-means fit and belongs OUT of the query path —
+  // at scale the centroids are persisted alongside the data and queries
+  // only rank them. Keyed by Dataset.semanticHash, so a different corpus
+  // (or a mutated snapshot — different plan) trains its own index; the
+  // seeded fit is deterministic, so a memo hit is bit-identical to a
+  // refit. Bounded: one entry per distinct (corpus, k) in the session.
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.clustering.KMeansModel]()
+
   def ivfTopK(vectors: DataFrame, queryId: Long, k: Int, nClusters: Int = 16,
       nProbe: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -269,8 +279,9 @@ object Similarity {
     val spark = vectors.sparkSession
     val ml = vectors.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
-      .fit(ml)
+    val model = ivfModels.computeIfAbsent(
+      s"${ml.semanticHash()}:$nClusters",
+      _ => new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml))
     val assigned = model.transform(ml).withColumnRenamed("prediction", "cluster")
     // Rank clusters by centroid distance to the query vector (driver-side:
     // k centroids only).
