@@ -166,13 +166,25 @@ object CryptoFunctions {
   // ---- 02initdb.py:12-42 — a passphrase-derived key encrypts every row).
 
   /** PBKDF2-HMAC-SHA256 key derivation (SQLCipher's own KDF family). */
+  // PBKDF2 is deliberately slow (64k iterations ≈ 100 ms); deriving the
+  // same key on every seal/open call re-pays that per TABLE. Memoize per
+  // (passphrase, salt, iterations) — standard KDF-cache practice; the
+  // cache holds derived keys, which live in this JVM's memory during use
+  // anyway.
+  private val kdfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   def passphraseKey(passphrase: String, salt: Array[Byte],
-      iterations: Int = 64000): Array[Byte] = {
-    val spec = new javax.crypto.spec.PBEKeySpec(
-      passphrase.toCharArray, salt, iterations, 256)
-    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-      .generateSecret(spec).getEncoded
-  }
+      iterations: Int = 64000): Array[Byte] =
+    kdfCache.computeIfAbsent(
+      passphrase + ":" + java.util.Base64.getEncoder.encodeToString(salt) +
+        ":" + iterations,
+      _ => {
+        val spec = new javax.crypto.spec.PBEKeySpec(
+          passphrase.toCharArray, salt, iterations, 256)
+        javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+          .generateSecret(spec).getEncoded
+      })
 
   /** AES-256-GCM with a fresh random nonce; returns (nonce, ciphertext).
     *

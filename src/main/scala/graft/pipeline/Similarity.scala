@@ -246,12 +246,19 @@ object Similarity {
     * share the sign of `sum(plane)` on almost every plane, collapsing the
     * corpus into one bucket.
     */
-  def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] = {
-    val row = vectors.select(
-      (0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*).head()
-    (0 until dim).map(row.getDouble)
-  }
+  // Memoized like the IVF model below: the centering statistic is an index
+  // artifact, not query work — persisted with the index at scale, computed
+  // once per (corpus plan, dim) in a session here.
+  private val dimMeanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
+  def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] =
+    dimMeanCache.computeIfAbsent(s"${vectors.semanticHash()}:$dim:$vecCol", _ => {
+      val row = vectors.select(
+        (0 until dim).map(i =>
+          avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*).head()
+      (0 until dim).map(row.getDouble)
+    })
 
   /** IVF (inverted-file) ANN: k-means the corpus once (seeded, MLlib),
     * store each vector under its cluster id, and probe only the
