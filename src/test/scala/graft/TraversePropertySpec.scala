@@ -47,6 +47,18 @@ class TraversePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("expectTinyFrontier hint never changes results on random DAGs") {
+    samples(6).foreach { edges =>
+      val e = edges.toDF("parent", "child")
+      val seed = Seq("v0").toDF("node")
+      def rows(hint: Boolean) =
+        Traverse.expand(seed, e, maxDepth = 6, expectTinyFrontier = hint)
+          .as[(String, Int)].collect().sorted.toSeq
+      assert(rows(hint = true) == rows(hint = false), s"edges=$edges")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("path counts on random DAGs equal brute-force enumeration") {
     samples(8).foreach { edges =>
       val e = edges.toDF("parent", "child")
