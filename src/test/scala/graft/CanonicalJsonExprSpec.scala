@@ -49,4 +49,39 @@ class CanonicalJsonExprSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("extensions-built session resolves the whole native family via SQL") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // Same SparkContext, new SparkSession. The config-string form
+      // (spark.sql.extensions=graft.GraftExtensions) is read from the
+      // SparkContext's conf at context creation, which the shared suite
+      // context predates — withExtensions exercises the same injection
+      // path at session construction.
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev)
+      val r = s2.sql(
+        """SELECT canonical_json('{"b":2, "a":1}') AS cj,
+          |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
+          |  vec_dot_centered(array(1.0D, 2.0D), array(0.5D, 0.5D),
+          |                   array(1.0D, 1.0D)) AS vdc,
+          |  word_shingles(array('a', 'b', 'c'), 2) AS ws,
+          |  minhash_sig(array('ab', 'bc'), 4) AS mh,
+          |  simhash64(array('hello', 'world')) AS sh""".stripMargin).head()
+      assert(r.getString(0) == """{"a": 1, "b": 2}""")
+      assert(r.getDouble(1) == 11.0)
+      assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+      assert(r.getSeq[String](3) == Seq("a b", "b c"))
+      assert(r.getSeq[Long](4).length == 4)
+      r.getLong(5) // type check: simhash64 yields a bigint
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
