@@ -246,6 +246,13 @@ object Similarity {
     * share the sign of `sum(plane)` on almost every plane, collapsing the
     * corpus into one bucket.
     */
+  /** Exact memo key for per-corpus index artifacts: the canonicalized
+    * analyzed plan, which Spark's own cache manager uses for plan
+    * equality. Collision-free, unlike the 32-bit semanticHash digest.
+    */
+  private def planKey(df: DataFrame): String =
+    df.queryExecution.analyzed.canonicalized.toString
+
   // Memoized like the IVF model below: the centering statistic is an index
   // artifact, not query work — persisted with the index at scale, computed
   // once per (corpus plan, dim) in a session here.
@@ -253,7 +260,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
   def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] =
-    dimMeanCache.computeIfAbsent(s"${vectors.semanticHash()}:$dim:$vecCol", _ => {
+    dimMeanCache.computeIfAbsent(s"${planKey(vectors)}:$dim:$vecCol", _ => {
       val row = vectors.select(
         (0 until dim).map(i =>
           avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*).head()
@@ -271,7 +278,9 @@ object Similarity {
   // The trained index is memoized per (corpus plan, k): building the IVF
   // index is a multi-job k-means fit and belongs OUT of the query path —
   // at scale the centroids are persisted alongside the data and queries
-  // only rank them. Keyed by Dataset.semanticHash, so a different corpus
+  // only rank them. Keyed by the exact canonicalized plan (semanticHash
+  // is a 32-bit best-effort digest — a collision would silently serve a
+  // foreign index), so a different corpus
   // (or a mutated snapshot — different plan) trains its own index; the
   // seeded fit is deterministic, so a memo hit is bit-identical to a
   // refit. Bounded: one entry per distinct (corpus, k) in the session.
@@ -287,7 +296,7 @@ object Similarity {
     val ml = vectors.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = ivfModels.computeIfAbsent(
-      s"${ml.semanticHash()}:$nClusters",
+      s"${planKey(ml)}:$nClusters",
       _ => new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml))
     val assigned = model.transform(ml).withColumnRenamed("prediction", "cluster")
     // Rank clusters by centroid distance to the query vector (driver-side:
