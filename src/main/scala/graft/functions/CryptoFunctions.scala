@@ -91,9 +91,21 @@ object CryptoFunctions {
     new java.util.concurrent.ConcurrentHashMap[String, com.google.crypto.tink.subtle.Ed25519Sign]()
   private val edVerifyCache =
     new java.util.concurrent.ConcurrentHashMap[String, com.google.crypto.tink.subtle.Ed25519Verify]()
+  // Fixed JDK17 DER templates; only the trailing key bytes vary. Checking
+  // the header (not just the length) keeps malformed input on the JDK
+  // path, which rejects it, instead of signing under a garbage seed.
+  private val Pkcs8Ed25519Header: Array[Byte] = Array(
+    0x30, 0x2e, 0x02, 0x01, 0x00, 0x30, 0x05, 0x06, 0x03, 0x2b, 0x65, 0x70,
+    0x04, 0x22, 0x04, 0x20).map(_.toByte)
+  private val X509Ed25519Header: Array[Byte] = Array(
+    0x30, 0x2a, 0x30, 0x05, 0x06, 0x03, 0x2b, 0x65, 0x70, 0x03, 0x21,
+    0x00).map(_.toByte)
+  private def hasHeader(der: Array[Byte], header: Array[Byte], total: Int) =
+    der.length == total &&
+      java.util.Arrays.equals(der, 0, header.length, header, 0, header.length)
 
   def sign(keyAlgo: String, privDer: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    if (keyAlgo == "Ed25519" && privDer.length == 48)
+    if (keyAlgo == "Ed25519" && hasHeader(privDer, Pkcs8Ed25519Header, 48))
       return edSignCache.computeIfAbsent(ck(keyAlgo, privDer),
         _ => new com.google.crypto.tink.subtle.Ed25519Sign(privDer.slice(16, 48)))
         .sign(data)
@@ -105,7 +117,8 @@ object CryptoFunctions {
 
   def verify(keyAlgo: String, pubDer: Array[Byte], data: Array[Byte],
       sig: Array[Byte]): Boolean = {
-    if (keyAlgo == "Ed25519" && pubDer.length == 44 && sig.length == 64) {
+    if (keyAlgo == "Ed25519" && hasHeader(pubDer, X509Ed25519Header, 44) &&
+        sig.length == 64) {
       val v = edVerifyCache.computeIfAbsent(ck(keyAlgo, pubDer),
         _ => new com.google.crypto.tink.subtle.Ed25519Verify(pubDer.slice(12, 44)))
       return try { v.verify(sig, data); true }
