@@ -97,6 +97,22 @@ class CryptoSpec extends AnyFunSuite {
     assert(a.getPrivate.getEncoded.sameElements(b.getPrivate.getEncoded))
   }
 
+  test("malformed DER stays on the JDK path and is rejected, not mis-signed") {
+    val kp = seededKeyPair("Ed25519", 42L)
+    val data = "payload".getBytes("UTF-8")
+    val badPriv = kp.getPrivate.getEncoded.clone()
+    badPriv(1) = 0x00 // break the outer SEQUENCE length: not a valid PKCS#8
+    intercept[java.security.GeneralSecurityException] {
+      sign("Ed25519", badPriv, data)
+    }
+    val badPub = kp.getPublic.getEncoded.clone()
+    badPub(1) = 0x00
+    intercept[java.security.GeneralSecurityException] {
+      verify("Ed25519", badPub, data,
+        sign("Ed25519", kp.getPrivate.getEncoded, data))
+    }
+  }
+
   test("tink fast path is bit-identical to the JDK provider") {
     // sign() routes 48-byte PKCS#8 Ed25519 keys through Tink; RFC 8032
     // signatures are deterministic, so the two providers must agree
