@@ -32,6 +32,9 @@ object Snapshot {
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     current.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+      // USING-joins move the join keys to the front; a mutation must not
+      // reorder the table's columns.
+      .select(current.columns.map(col).toIndexedSeq: _*)
 
   /** M2: batched conditional UPDATE — `UPDATE t SET c = v WHERE pred`.
     * Each assignment column is rewritten under `cond`, others pass through.
@@ -56,6 +59,7 @@ object Snapshot {
     */
   def rewire(edges: DataFrame, batch: DataFrame, newEdges: DataFrame): DataFrame =
     edges.join(batch, batch.columns.toSeq, "left_anti").unionByName(newEdges)
+      .select(edges.columns.map(col).toIndexedSeq: _*) // keep input column order
 
   /** M8: CDC apply — keyed last-writer-wins merge of a change batch: the
     * batch twin of the streaming `foreachBatch` sink
