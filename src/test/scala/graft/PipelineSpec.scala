@@ -39,6 +39,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 5L)), "unrelated docs must not pair")
   }
 
+  test("minhash lsh always pairs exact duplicates on random corpora") {
+    // Identical texts → identical shingle sets → identical signatures →
+    // same bucket in EVERY band: exact duplicates are caught
+    // deterministically, not probabilistically. Fuzz it across random
+    // corpora with planted copies (raw ScalaCheck, fixed seeds — the
+    // TraversePropertySpec pattern).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    (1 to 4).foreach { i =>
+      val docs = Gen.listOfN(12, doc)(Gen.Parameters.default, Seed(99L + i))
+        .getOrElse(Nil)
+      val planted = docs.zipWithIndex.map { case (t, j) => (j.toLong, t) } ++
+        docs.take(3).zipWithIndex.map { case (t, j) => (100L + j, t) } // copies
+      val df = planted.toDF("doc_id", "text")
+      val pairs = Dedup.minHashLsh(df, threshold = 0.99)
+        .select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      (0 until 3).foreach { j =>
+        assert(pairs.contains((j.toLong, 100L + j)) ||
+          pairs.contains((100L + j, j.toLong)),
+          s"case $i: planted copy $j not paired (pairs=$pairs)")
+      }
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val fp = Dedup.simHashFingerprint(corpus).as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
