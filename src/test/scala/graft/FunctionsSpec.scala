@@ -173,6 +173,32 @@ class CryptoSpec extends AnyFunSuite {
     assert(graft.state.Wallet.open(sealedT, "bad", ddl).count() == 0)
   }
 
+  test("wallet round-trips random content including quotes and unicode") {
+    // Fuzz the row→JSON→AES-GCM→JSON→row path: escaping-sensitive strings
+    // must survive seal/open byte-exactly (raw ScalaCheck, fixed seeds).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val tricky = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("""quote " backslash \ slash /"""),
+      Gen.const("unicode ünïcødé é世界"),
+      Gen.const("control\ttab\nnewline"),
+      Gen.const(""))
+    (1 to 4).foreach { i =>
+      val rows = Gen.listOfN(8, Gen.zip(Gen.choose(0L, 999L), tricky))(
+        Gen.Parameters.default, Seed(5L + i)).getOrElse(Nil)
+        .zipWithIndex.map { case ((n, s), j) => (j.toLong, s"$s-$n") }
+      val t = rows.toDF("id", "payload")
+      val opened = graft.state.Wallet.open(
+        graft.state.Wallet.seal(t, s"pw$i"), s"pw$i",
+        "id BIGINT, payload STRING")
+      assert(opened.as[(Long, String)].collect().toSet == rows.toSet,
+        s"case $i diverged")
+    }
+  }
+
   test("vc sign/verify through canonical json; tamper detection") {
     val kp = seededKeyPair("Ed25519", 7L)
     val doc = DidVc.buildVcDoc("VC1", "did:example:iss", "did:example:sub",
