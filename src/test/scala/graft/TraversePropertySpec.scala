@@ -71,4 +71,22 @@ class TraversePropertySpec extends AnyFunSuite {
       assert(got == expected, s"edges=$edges")
     }
   }
+
+  test("keepPaths materializes exactly the brute-force path strings") {
+    samples(6).foreach { edges =>
+      val e = edges.toDF("parent", "child")
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def walk(prefix: String, from: String, depth: Int): Seq[String] =
+        if (depth == 0) Nil
+        else adj.getOrElse(from, Nil).flatMap { n =>
+          val p = s"$prefix->$n"
+          p +: walk(p, n, depth - 1)
+        }
+      val expected = walk("v0", "v0", 5).sorted
+      val got = Traverse.expand(Seq("v0").toDF("node"), e, 5, keepPaths = true)
+        .select("path").as[String].collect().sorted.toSeq
+      assert(got == expected, s"edges=$edges")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
 }
