@@ -72,6 +72,26 @@ class TraversePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-seed carry columns partition the bag per origin") {
+    // The ABAC shape: several seeds with a carry column. Each origin's
+    // slice of the output must equal a single-seed run from that origin.
+    samples(6).foreach { edges =>
+      val e = edges.toDF("parent", "child")
+      val seeds = Seq(("o0", "v0"), ("o1", "v1")).toDF("origin", "node")
+      val multi = Traverse.expand(seeds, e, 6)
+        .select("origin", "node", "lvl").as[(String, String, Int)]
+        .collect().groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).sorted.toSeq).toMap
+      Seq("o0" -> "v0", "o1" -> "v1").foreach { case (origin, root) =>
+        val single = Traverse.expand(Seq(root).toDF("node"), e, 6)
+          .select("node", "lvl").as[(String, Int)].collect().sorted.toSeq
+        assert(multi.getOrElse(origin, Nil) == single,
+          s"origin $origin diverged (edges=$edges)")
+      }
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("keepPaths materializes exactly the brute-force path strings") {
     samples(6).foreach { edges =>
       val e = edges.toDF("parent", "child")
