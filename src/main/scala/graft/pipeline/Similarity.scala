@@ -246,12 +246,40 @@ object Similarity {
     * share the sign of `sum(plane)` on almost every plane, collapsing the
     * corpus into one bucket.
     */
-  /** Exact memo key for per-corpus index artifacts: the canonicalized
-    * analyzed plan, which Spark's own cache manager uses for plan
-    * equality. Collision-free, unlike the 32-bit semanticHash digest.
+  /** Memo key for per-corpus index artifacts, or None when the corpus has
+    * no stable content identity and the caller must recompute.
+    *
+    * The canonicalized analyzed plan alone is NOT collision-free for
+    * driver-local corpora: two same-schema `LocalRelation`s print
+    * identically, and every localCheckpoint'd plan prints
+    * `LogicalRDD [cols], false` regardless of which RDD backs it — so a
+    * plan-string key would serve a foreign/stale index for in-memory or
+    * checkpointed corpora (exactly the mutated-snapshot case the memo
+    * must distinguish). The key therefore appends a per-leaf content
+    * discriminator: the RDD id for `LogicalRDD` (each checkpoint mints a
+    * fresh id) and the root paths for file scans. A leaf we cannot name
+    * (`LocalRelation`, anything unknown) yields None — no memoization,
+    * recompute. File-backed corpora (the at-scale shape) always memoize.
     */
-  private def planKey(df: DataFrame): String =
-    df.queryExecution.analyzed.canonicalized.toString
+  private def planKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val plan = df.queryExecution.analyzed
+    val tags = plan.collectLeaves().map {
+      case r: LogicalRDD => Some(s"rdd:${r.rdd.id}")
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation =>
+          Some(s"files:${fs.location.rootPaths.mkString(",")}")
+        case _ => None
+      }
+      case r: DataSourceV2Relation => Some(s"v2:${r.table.name}")
+      case _ => None // LocalRelation etc: no content identity — don't memoize
+    }
+    if (tags.forall(_.isDefined))
+      Some(plan.canonicalized.toString + "|" + tags.flatten.mkString("|"))
+    else None
+  }
 
   // Memoized like the IVF model below: the centering statistic is an index
   // artifact, not query work — persisted with the index at scale, computed
@@ -259,13 +287,19 @@ object Similarity {
   private val dimMeanCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
-  def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] =
-    dimMeanCache.computeIfAbsent(s"${planKey(vectors)}:$dim:$vecCol", _ => {
+  def dimMeans(vectors: DataFrame, dim: Int, vecCol: String): Seq[Double] = {
+    def compute(): Seq[Double] = {
       val row = vectors.select(
         (0 until dim).map(i =>
           avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*).head()
       (0 until dim).map(row.getDouble)
-    })
+    }
+    planKey(vectors) match {
+      case Some(key) =>
+        dimMeanCache.computeIfAbsent(s"$key:$dim:$vecCol", _ => compute())
+      case None => compute()
+    }
+  }
 
   /** IVF (inverted-file) ANN: k-means the corpus once (seeded, MLlib),
     * store each vector under its cluster id, and probe only the
@@ -275,15 +309,16 @@ object Similarity {
     * and unprobed partitions are never read. Same plumbing as
     * [[lshBucketTopK]] with learned buckets instead of random ones.
     */
-  // The trained index is memoized per (corpus plan, k): building the IVF
-  // index is a multi-job k-means fit and belongs OUT of the query path —
-  // at scale the centroids are persisted alongside the data and queries
-  // only rank them. Keyed by the exact canonicalized plan (semanticHash
-  // is a 32-bit best-effort digest — a collision would silently serve a
-  // foreign index), so a different corpus
-  // (or a mutated snapshot — different plan) trains its own index; the
-  // seeded fit is deterministic, so a memo hit is bit-identical to a
-  // refit. Bounded: one entry per distinct (corpus, k) in the session.
+  // The trained index is memoized per (corpus identity, k): building the
+  // IVF index is a multi-job k-means fit and belongs OUT of the query
+  // path — at scale the centroids are persisted alongside the data and
+  // queries only rank them. Keyed via planKey (canonicalized plan +
+  // per-leaf content discriminator), so a different corpus — including a
+  // mutated/checkpointed snapshot, which mints a fresh RDD id — trains
+  // its own index, and driver-local corpora with no nameable identity
+  // skip the memo and refit. The seeded fit is deterministic, so a memo
+  // hit is bit-identical to a refit. Bounded: one entry per distinct
+  // (corpus, k) in the session.
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.ml.clustering.KMeansModel]()
 
@@ -295,9 +330,11 @@ object Similarity {
     val spark = vectors.sparkSession
     val ml = vectors.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = ivfModels.computeIfAbsent(
-      s"${planKey(ml)}:$nClusters",
-      _ => new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml))
+    def fit() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml)
+    val model = planKey(ml) match {
+      case Some(key) => ivfModels.computeIfAbsent(s"$key:$nClusters", _ => fit())
+      case None => fit() // driver-local corpus: no stable identity, refit
+    }
     val assigned = model.transform(ml).withColumnRenamed("prediction", "cluster")
     // Rank clusters by centroid distance to the query vector (driver-side:
     // k centroids only).

@@ -132,6 +132,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("index memo never serves a foreign corpus's artifacts (driver-local plans)") {
+    // Two same-schema LocalRelations canonicalize to the same plan STRING,
+    // and every localCheckpoint'd plan prints 'LogicalRDD [...]' — a
+    // plan-string memo key would hand corpus B corpus A's centering means
+    // and k-means index. planKey must either distinguish them (RDD id) or
+    // decline to memoize (LocalRelation).
+    def mk(shift: Float) =
+      (0L to 9L).map(i => (i, Array.fill(8)(shift + i * 0.01f)))
+        .toDF("vec_id", "embedding")
+    val a = mk(0f)
+    val b = mk(100f)
+    val ma = Similarity.dimMeans(a, 8, "embedding")
+    val mb = Similarity.dimMeans(b, 8, "embedding")
+    assert(math.abs(ma.head) < 1.0 && math.abs(mb.head - 100.0) < 1.0,
+      s"LocalRelation corpora must each get their own means: $ma vs $mb")
+    // Checkpointed twins — the mutated-snapshot shape.
+    val ca = mk(0f).localCheckpoint(true)
+    val cb = mk(100f).localCheckpoint(true)
+    val mca = Similarity.dimMeans(ca, 8, "embedding")
+    val mcb = Similarity.dimMeans(cb, 8, "embedding")
+    assert(math.abs(mca.head) < 1.0 && math.abs(mcb.head - 100.0) < 1.0,
+      s"checkpointed corpora must each get their own means: $mca vs $mcb")
+  }
+
   test("cosinePairsAuto picks exact under budget, LSH above; same result") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, d)
