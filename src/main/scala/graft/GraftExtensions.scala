@@ -2,8 +2,10 @@ package graft
 
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extensions entry point: register the engine's native expression
   * family in any session via
@@ -13,8 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * per-session `register(spark)` helpers the operators use internally.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  // Builder-time argument: the expression is still unresolved here, so
+  // eval() on anything but a literal would throw an opaque
+  // UnsupportedOperationException (and a null literal an NPE). Accept
+  // exactly a non-null integer literal and name the contract otherwise.
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$name`", "paramName" -> "`k`",
+        "paramType" -> "\"INT\""))
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression,
@@ -32,10 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => VecDotCenteredExpr(exprs.head, exprs(1), exprs(2)),
       classOf[VecDotCenteredExpr])
     inject("word_shingles",
-      exprs => ShinglesExpr(exprs.head, intArg(exprs(1))),
+      exprs => ShinglesExpr(exprs.head, intArg("word_shingles", exprs(1))),
       classOf[ShinglesExpr])
     inject("minhash_sig",
-      exprs => MinHashSigExpr(exprs.head, intArg(exprs(1))),
+      exprs => MinHashSigExpr(exprs.head, intArg("minhash_sig", exprs(1))),
       classOf[MinHashSigExpr])
     inject("simhash64", exprs => SimHashExpr(exprs.head),
       classOf[SimHashExpr])

@@ -181,23 +181,31 @@ object CryptoFunctions {
   /** PBKDF2-HMAC-SHA256 key derivation (SQLCipher's own KDF family). */
   // PBKDF2 is deliberately slow (64k iterations ≈ 100 ms); deriving the
   // same key on every seal/open call re-pays that per TABLE. Memoize per
-  // (passphrase, salt, iterations) — standard KDF-cache practice; the
-  // cache holds derived keys, which live in this JVM's memory during use
-  // anyway.
+  // (passphrase, salt, iterations) — standard KDF-cache practice. The map
+  // key is SHA-256(passphrase || salt || iterations), NOT the plaintext
+  // passphrase: a static map keyed by plaintext would pin every passphrase
+  // in heap for the JVM lifetime (well past the 'during use' window).
+  // Derived keys do stay cached — that's the point of the memo — but the
+  // cache is bounded (cleared past 64 entries; a session touches a handful
+  // of (passphrase, salt) pairs, so eviction is effectively never hit).
   private val kdfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
   def passphraseKey(passphrase: String, salt: Array[Byte],
-      iterations: Int = 64000): Array[Byte] =
-    kdfCache.computeIfAbsent(
-      passphrase + ":" + java.util.Base64.getEncoder.encodeToString(salt) +
-        ":" + iterations,
-      _ => {
-        val spec = new javax.crypto.spec.PBEKeySpec(
-          passphrase.toCharArray, salt, iterations, 256)
-        javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-          .generateSecret(spec).getEncoded
-      })
+      iterations: Int = 64000): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(passphrase.getBytes("UTF-8"))
+    md.update(salt)
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(iterations).array())
+    val cacheKey = java.util.Base64.getEncoder.encodeToString(md.digest())
+    if (kdfCache.size > 64) kdfCache.clear()
+    kdfCache.computeIfAbsent(cacheKey, _ => {
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        passphrase.toCharArray, salt, iterations, 256)
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
+    })
+  }
 
   /** AES-256-GCM with a fresh random nonce; returns (nonce, ciphertext).
     *

@@ -55,8 +55,14 @@ object DidVc {
     val out = new Array[Byte](s.length / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4) |
-        Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      val hi = Character.digit(s.charAt(2 * i), 16)
+      val lo = Character.digit(s.charAt(2 * i + 1), 16)
+      // Character.digit returns -1 on non-hex input; mapping that to
+      // garbage bytes would silently accept malformed hex if this helper
+      // is reused outside verifyVc's fail-closed signature check.
+      if (hi < 0 || lo < 0) throw new NumberFormatException(
+        s"non-hex character in '${s.substring(2 * i, 2 * i + 2)}'")
+      out(i) = ((hi << 4) | lo).toByte
       i += 1
     }
     out

@@ -84,6 +84,13 @@ object Traverse {
     val carryCols = pathSeed.columns.filterNot(_ == nodeCol).toSeq
     val overlap = carryCols.intersect(payloadCols)
     require(overlap.isEmpty, s"seed carry columns collide with edge payload columns: $overlap")
+    // The cached-level frontier re-projects levelOut by bare name, so a
+    // payload/carry column shadowing nodeCol or the output 'lvl' column
+    // would hit AMBIGUOUS_REFERENCE (or silently alias) mid-loop — reject
+    // it up front with a nameable error instead.
+    val reserved = (payloadCols ++ carryCols).filter(c => c == nodeCol || c == "lvl")
+    require(reserved.isEmpty,
+      s"edge payload / seed carry columns collide with reserved output columns ($nodeCol, lvl): $reserved")
 
     // Cache the reused side once; rename join columns to avoid capture.
     // Registered so callers can release it after materializing the result

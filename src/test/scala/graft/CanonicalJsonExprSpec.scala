@@ -84,4 +84,32 @@ class CanonicalJsonExprSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("non-literal shingle width raises a nameable analysis error") {
+    import org.apache.spark.sql.{AnalysisException, SparkSession}
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // Pre-fix this died at builder time with an opaque
+      // UnsupportedOperationException (eval on unresolved); now it's a
+      // named NON_FOLDABLE_ARGUMENT analysis error.
+      val e = intercept[AnalysisException] {
+        s2.sql(
+          "SELECT word_shingles(array('a','b'), cast(rand() * 3 AS int))")
+          .head()
+      }
+      assert(e.getMessage.contains("foldable"), e.getMessage)
+      val e2 = intercept[AnalysisException] {
+        s2.sql("SELECT minhash_sig(array('a'), null)").head()
+      }
+      assert(e2.getMessage.contains("foldable"), e2.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

@@ -209,4 +209,19 @@ class CryptoSpec extends AnyFunSuite {
     val tampered = vc.replace("did:example:sub", "did:example:eve")
     assert(!DidVc.verifyVc(tampered, kp.getPublic.getEncoded))
   }
+
+  test("vc with non-hex signature chars fails closed, not garbage-decoded") {
+    val kp = seededKeyPair("Ed25519", 7L)
+    val doc = DidVc.buildVcDoc("VC1", "did:example:iss", "did:example:sub",
+      "M1", "D1", "2024-01-01T00:00:00Z")
+    val vc = DidVc.signVc(doc, kp.getPrivate.getEncoded,
+      "2024-01-01T00:00:00Z", "did:example:iss#key-1")
+    // Corrupt the proof hex with non-hex characters: unhex must throw
+    // (caught by verifyVc's catch-all → false), never map them to
+    // garbage bytes that happen to decode.
+    val sigHex = """"signatureValue": "([0-9a-f]+)"""".r
+      .findFirstMatchIn(vc).get.group(1)
+    val bad = vc.replace(sigHex, "zz" + sigHex.drop(2))
+    assert(!DidVc.verifyVc(bad, kp.getPublic.getEncoded))
+  }
 }

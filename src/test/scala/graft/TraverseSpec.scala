@@ -42,6 +42,22 @@ class TraverseSpec extends AnyFunSuite {
     assert(out.filter($"node" === "d").count() == 2)
   }
 
+  test("payload/carry columns shadowing node or lvl are rejected up front") {
+    // The cached-level frontier projects by bare name; a payload column
+    // named like nodeCol, or a carry named 'lvl', would hit
+    // AMBIGUOUS_REFERENCE mid-loop. Must fail fast with a named error.
+    val ePayload = Seq(("a", "b", "x")).toDF("parent", "child", "node")
+    val e1 = intercept[IllegalArgumentException] {
+      Traverse.expand(Seq("a").toDF("node"), ePayload, maxDepth = 2)
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val seedLvl = Seq(("a", 9)).toDF("node", "lvl")
+    val e2 = intercept[IllegalArgumentException] {
+      Traverse.expand(seedLvl, edges("a" -> "b"), maxDepth = 2)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("cycle: duplicates exactly up to the depth bound (no visited set)") {
     val e = edges("a" -> "b", "b" -> "a")
     val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 4)
