@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Straggler forensics: SPARK_GRAFT_GC_LOG=/path enables unified GC
+  // logging in the forked bench/test JVM for correlating latency spikes.
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq

@@ -37,7 +37,9 @@ object Bench {
     "r3_wot_path_count",  // Q5 WoT path count
     "r4_abac_decision",   // Q6 ABAC decision
     "m8_cdc_apply",       // Q7 CDC apply
-    "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine", "u2_vc_roundtrip")
+    "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine",
+    "u2_vc_roundtrip",
+    "u1_sig_roundtrip")   // crypto throughput: the catalog's heaviest row count
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.
@@ -87,16 +89,22 @@ object Bench {
     headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n))).foreach { name =>
       run(name); run(name) // two warm-ups, untimed
-      val lat = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray.sorted
+      val runOrder = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray
+      val lat = runOrder.sorted
       if (lat.nonEmpty) {
         val total = lat.sum
         val mean = total / lat.length
         val sd = math.sqrt(lat.map(x => (x - mean) * (x - mean)).sum / lat.length)
         perQuery(name) = pct(lat, 0.5)
+        // samples_ms is the raw series in RUN ORDER (not sorted):
+        // aggregates can't localize ~2 bad iterations out of 20, and run
+        // order is what correlates against a GC/compaction log.
+        val samples = runOrder.map(x => f"${x * 1000}%.1f").mkString("[", ",", "]")
         stats(name) =
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
-          f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f}"""
+          f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f,""" +
+          s""""samples_ms":$samples}"""
         compact(name) =
           f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
           f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
@@ -157,6 +165,10 @@ object Bench {
 
     val cdc = if (only.isEmpty) cdcMetrics(spark, sfDir) else "{}"
     emit(s"""{"block":"cdc","cdc":$cdc}""")
+    val prepared =
+      if (only.isEmpty) preparedMetrics(spark, sfDir, math.max(3, iters / 4))
+      else "{}"
+    emit(s"""{"block":"prepared","prepared":$prepared}""")
     val (dyn, dynCompact) =
       if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
       else ("{}", "{}")
@@ -181,6 +193,45 @@ object Bench {
     emit(finalLine)
     fullOut.foreach(_.close())
     spark.stop()
+  }
+
+  /** Prepared-statement surface timings — the reference's prepare-once /
+    * bind-per-iteration protocol (05_abac/benchmark_scenario_b.py:264-299:
+    * one parameterized recursive CTE, executed per binding in the loop).
+    * Times each binding through the prepared handle (stable statement
+    * text → session parse/plan cache) against a rebuild twin that
+    * re-creates the view + statement every iteration — the measured value
+    * of plan reuse, per binding.
+    */
+  private def preparedMetrics(spark: SparkSession, sfDir: String,
+      iters: Int): String = {
+    import graft.queries.Prepared
+    try {
+      val bindings = Seq(("E0", 20, "E15"), ("E3", 5, "E8"), ("E0", 5, "E15"))
+      val pq = Prepared.wotPathCount(spark, sfDir)
+      def args(b: (String, Int, String)) =
+        Map[String, Any]("client" -> b._1, "length" -> b._2, "anchor" -> b._3)
+      bindings.foreach(b => pq.bind(args(b)).count()) // warm-up pass
+      val rows = bindings.map { b =>
+        val bound = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          pq.bind(args(b)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.toArray.sorted
+        val rebuilt = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          Prepared.wotPathCount(spark, sfDir).bind(args(b)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.toArray.sorted
+        f"""{"client":"${b._1}","length":${b._2},"anchor":"${b._3}",""" +
+          f""""bind_p50_ms":${pct(bound, 0.5) * 1000}%.1f,""" +
+          f""""bind_p95_ms":${pct(bound, 0.95) * 1000}%.1f,""" +
+          f""""rebuild_p50_ms":${pct(rebuilt, 0.5) * 1000}%.1f}"""
+      }
+      s"""{"iterations":$iters,"bindings":[${rows.mkString(",")}]}"""
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** Scale-up sweep — the reference's scale_up protocol (fresh state per
@@ -406,7 +457,14 @@ object Bench {
         f"""{"n":${r.getDouble(0).toLong},"segs":"cap2brk,brk2apply,e2e",""" +
           s""""p50_ms":${arr(5)},"p95_ms":${arr(6)},"avg_ms":${arr(1)},""" +
           f""""cpu_avg_pct":${mean(cpus)}%.1f,"rss_max_mb":${if (mems.isEmpty) 0.0 else mems.last}%.0f}"""
-      (s"{$segJson,$res}", compactJson)
+      // The capture/broker/apply stamps are per-micro-batch clocks
+      // (current_timestamp folds to one value per batch), so each segment
+      // takes ~nBatches distinct values and p95==max is expected, not a
+      // measurement bug.
+      val note =
+        s""""note":"stamps are per-micro-batch clocks ($nBatches batches); """ +
+          """segments take ~nBatches distinct values, p95==max expected""""
+      (s"{$segJson,$res,$note}", compactJson)
     } catch { case e: Throwable =>
       val cause = Option(e.getCause).map(_.getClass.getSimpleName).getOrElse("")
       val err = s"""{"error":"${e.getClass.getSimpleName}","cause":"$cause"}"""
@@ -547,12 +605,46 @@ object Bench {
       val applySec = (System.nanoTime() - t0) / 1e9
       q.stop()
 
-      // Inter-event gap stats over the ordered log (the lag-window shape).
+      // Gap stats, two distinct semantics (the reference's inter-event
+      // latency — 01_local_cdc_capture.py:111-135 — is adjacent CAPTURE
+      // timestamp gaps in cdc_log, stamped by the trigger during the live
+      // run, i.e. engine cadence in ms):
+      //  - event_gap_ms: adjacent gaps of the synthetic events' own ts
+      //    column — the generator's DATA-DOMAIN cadence (seconds-scale at
+      //    sf0.1). Kept for the lag-window shape, labeled for what it is.
+      //  - capture_gap_ms: adjacent gaps of real wall-clock stamps
+      //    assigned per row as the engine's capture path processes the
+      //    backlog — the reference's protocol. Stamps are written
+      //    distributed to a parquet side log and diffed with the same
+      //    ordered-window query shape; nothing collects to the driver.
       val gaps = graft.queries.RelQueries.o3LagGaps(spark, sfDir)
       val g = gaps.agg(
         percentile(col("gap_ms"), lit(0.5)).as("p50"),
         percentile(col("gap_ms"), lit(0.95)).as("p95"),
         percentile(col("gap_ms"), lit(0.99)).as("p99")).head()
+
+      val stampDir = new java.io.File(dir, "capture_log")
+      val stampMs = udf(() => System.currentTimeMillis()).asNondeterministic()
+      val cq = CdcStream.parse(CdcStream.source(spark, cfg))
+        .withColumn("capture_ms", stampMs())
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("id"), col("capture_ms"))
+            .write.mode("append").parquet(stampDir.getPath)
+        }.start()
+      cq.processAllAvailable()
+      cq.stop()
+      val capLog = spark.read.parquet(stampDir.getPath)
+      val cw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("capture_ms"), col("id"))
+      val cg = capLog
+        .withColumn("prev_ms", lag(col("capture_ms"), 1).over(cw))
+        .filter(col("prev_ms").isNotNull)
+        .select((col("capture_ms") - col("prev_ms")).as("gap_ms"))
+        .agg(percentile(col("gap_ms"), lit(0.5)).as("p50"),
+          percentile(col("gap_ms"), lit(0.95)).as("p95"),
+          percentile(col("gap_ms"), lit(0.99)).as("p99"),
+          max(col("gap_ms")).cast("double").as("max")).head()
 
       // Recovery: ordered replay batching (sharded — arithmetic batch keys,
       // no one-task window) + full re-apply of the backlog from the files.
@@ -598,7 +690,8 @@ object Bench {
 
       f"""{"apply_ops_per_sec":${nEvents / applySec}%.1f,""" +
         f""""events":$nEvents,"micro_batches":$stagedFiles,""" +
-        f""""gap_ms":{"p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
+        f""""event_gap_ms":{"semantics":"synthetic data-domain ts cadence","p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
+        f""""capture_gap_ms":{"semantics":"wall-clock capture cadence, reference protocol","p50":${cg.getDouble(0)}%.1f,"p95":${cg.getDouble(1)}%.1f,"p99":${cg.getDouble(2)}%.1f,"max":${cg.getDouble(3)}%.1f},""" +
         dedupJson +
         f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${nEvents / recoverSec}%.1f}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }

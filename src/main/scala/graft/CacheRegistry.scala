@@ -19,6 +19,11 @@ object CacheRegistry {
 
   def register(df: DataFrame): DataFrame = synchronized { cached += df; df }
 
+  /** Number of registrations since the last releaseAll — a structural
+    * probe for specs (e.g. how many per-level caches a traversal planted).
+    */
+  def size: Int = synchronized(cached.size)
+
   def releaseAll(): Unit = synchronized {
     cached.foreach(df => try df.unpersist() catch { case _: Exception => () })
     cached.clear()

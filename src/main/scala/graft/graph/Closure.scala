@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bounded transitive closure of a SMALL graph, with bag-semantics path
+  * multiplicities — the broadcast-dimension side of reachability joins.
+  *
+  * The ABAC/WoT decision shape at scale is "huge fact side (users,
+  * events) × small hierarchy (groups, org units)": the hierarchy is a
+  * dimension table, so the scalable plan is to materialize its ≤d-hop
+  * closure once and broadcast-join it, not to iterate a frontier walk
+  * whose every level is a Spark job. A 1000-executor cluster burns more
+  * wall-clock scheduling 50 tiny jobs than scanning 10^9 users against a
+  * broadcast map.
+  *
+  * `closureSmall` collects the edge list to the driver under an explicit
+  * cap — the same bounded-driver-read contract as the IVF centroid
+  * ranking (Similarity.ivfTopK). Callers auto-pick: closure when the
+  * hierarchy fits the cap, [[Traverse.expand]] when it does not
+  * (GraphQueries.r4AbacDecision).
+  *
+  * Reference semantics: path COUNTS, not reachability — a diamond
+  * contributes 2 (matches Traverse.expand's bag UNION ALL; reference
+  * counts paths at demo_did_graph/04_web_of_trust/
+  * benchmark_scenario_a.py:267-278).
+  */
+object Closure {
+
+  /** Max edges collected to the driver; above this callers must use the
+    * distributed frontier walk.
+    */
+  val DefaultMaxEdges = 100000L
+
+  /** True iff `edges` is small enough for the closure path (one tiny
+    * count job — cheap next to the per-level jobs it avoids).
+    */
+  def fitsDriver(edges: DataFrame, maxEdges: Long = DefaultMaxEdges): Boolean =
+    edges.limit((maxEdges + 1).toInt).count() <= maxEdges
+
+  /** All (src, dst, lvl, n_paths) with 1 <= lvl <= maxDepth and n_paths
+    * the number of distinct walks src→dst of length lvl. Rows appear once
+    * per (src, dst, lvl) — the bag cardinality rides in n_paths, so
+    * `sum(n_paths)` over a join equals `count(*)` over the expanded walk.
+    */
+  def closureSmall(edges: DataFrame, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child",
+      maxEdges: Long = DefaultMaxEdges): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.select(parentCol, childCol).limit((maxEdges + 1).toInt)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    require(es.length <= maxEdges,
+      s"closureSmall: graph exceeds $maxEdges edges — use Traverse.expand")
+    val adj: Map[String, Array[String]] =
+      es.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2) }
+    val srcs = (es.map(_._1) ++ es.map(_._2)).distinct
+    val rows = Seq.newBuilder[(String, String, Int, Long)]
+    srcs.foreach { src =>
+      // Multiplicity BFS: frontier counts walks, not visited nodes.
+      var frontier = Map(src -> 1L)
+      var lvl = 1
+      while (lvl <= maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.Map[String, Long]()
+        frontier.foreach { case (node, cnt) =>
+          adj.getOrElse(node, Array.empty).foreach { c =>
+            next(c) = next.getOrElse(c, 0L) + cnt
+          }
+        }
+        next.foreach { case (dst, cnt) => rows += ((src, dst, lvl, cnt)) }
+        frontier = next.toMap
+        lvl += 1
+      }
+    }
+    import spark.implicits._
+    rows.result().toDF("src", "dst", "lvl", "n_paths")
+  }
+}

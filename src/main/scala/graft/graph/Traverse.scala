@@ -135,6 +135,7 @@ object Traverse {
     // window for nothing (the rewire replay's walks never empty).
     var tinyFrontier = expectTinyFrontier
     var provenTiny = false
+    var hintChecked = false
     while (lvl <= maxDepth && !done) {
       val joined = frontier.alias("f")
         .join(e.alias("e"), col(s"f.$nodeCol") === col("e.__parent"))
@@ -188,6 +189,15 @@ object Traverse {
           next = next.localCheckpoint(true)
           val n = next.count()
           if (earlyExit && n == 0) done = true
+          // A wrong expectTinyFrontier hint on a broad walk pays
+          // sum(1..checkpointEvery) uncached edge probes before this
+          // first probe corrects it — bounded, but worth surfacing:
+          // the counter lets harnesses (and the property spec) catch a
+          // caller whose "known-tiny" walk isn't.
+          if (expectTinyFrontier && !hintChecked) {
+            hintChecked = true
+            if (n > probeThreshold) hintContradictedCount.incrementAndGet(): Unit
+          }
           tinyFrontier = n <= probeThreshold
           provenTiny = tinyFrontier
         } else if (earlyExit && provenTiny &&
@@ -204,6 +214,14 @@ object Traverse {
     }
     levels.result().reduce(_ union _) // UNION ALL — bag semantics, like the reference
   }
+
+  /** Count of walks where an `expectTinyFrontier` hint was contradicted by
+    * the first cadence probe (frontier above probeThreshold). Monotone,
+    * process-wide; a profiling harness can diff around a workload to catch
+    * mis-hinted callers. The worst case of a wrong hint is bounded —
+    * sum(1..checkpointEvery) uncached edge probes — and pinned by spec.
+    */
+  val hintContradictedCount = new java.util.concurrent.atomic.AtomicLong
 
   /** True iff the runtime supports native `WITH RECURSIVE` (SPARK-24497,
     * shipped in Spark 4.x). Probed once per JVM; [[expandRcte]] uses the

@@ -58,6 +58,45 @@ class TraverseSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  test("wrong expectTinyFrontier hint: counted, probe-corrected, cost bounded to one cadence window") {
+    // Broad 2-level fan-out (50 then 1000 nodes) with probeThreshold=10:
+    // hinting tiny here is WRONG. The contract: (a) the contradiction is
+    // counted; (b) semantics are unchanged; (c) only the levels inside the
+    // first cadence window (checkpointEvery=2 → levels 1,2) lose their
+    // cache — after the first probe corrects the hint, caching resumes,
+    // so the wrong-hint run plants exactly 2 fewer per-level caches than
+    // the unhinted run. That pins the worst-case recompute of a wrong
+    // hint at sum(1..checkpointEvery) uncached edge probes.
+    val fan = ((1 to 50).map(i => ("s", s"c$i")) ++
+      (for { i <- 1 to 50; j <- 1 to 20 } yield (s"c$i", s"c${i}_$j"))).toSeq
+    val e = fan.toDF("parent", "child")
+    val seed = Seq("s").toDF("node")
+    def run(hint: Boolean): (Set[(String, Int)], Int, Long) = {
+      CacheRegistry.releaseAll()
+      val before = Traverse.hintContradictedCount.get
+      val out = Traverse.expand(seed, e, maxDepth = 4, checkpointEvery = 2,
+        probeThreshold = 10, expectTinyFrontier = hint)
+        .select("node", "lvl").as[(String, Int)].collect().toSet
+      (out, CacheRegistry.size, Traverse.hintContradictedCount.get - before)
+    }
+    val (unhinted, unhintedRegs, unhintedHits) = run(hint = false)
+    val (hinted, hintedRegs, hintedHits) = run(hint = true)
+    assert(hinted == unhinted, "semantics must not depend on the hint")
+    assert(unhintedHits == 0L)
+    assert(hintedHits == 1L, "wrong hint must be counted at the first probe")
+    assert(hintedRegs == unhintedRegs - 2,
+      s"only the first cadence window (2 levels) may go uncached: " +
+        s"hinted=$hintedRegs unhinted=$unhintedRegs")
+    // A RIGHT hint (genuinely tiny linear walk) is never counted.
+    val chain = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val before = Traverse.hintContradictedCount.get
+    Traverse.expand(Seq("a").toDF("node"), chain, maxDepth = 4,
+      checkpointEvery = 2, expectTinyFrontier = true)
+      .count()
+    assert(Traverse.hintContradictedCount.get == before)
+    CacheRegistry.releaseAll()
+  }
+
   test("cycle: duplicates exactly up to the depth bound (no visited set)") {
     val e = edges("a" -> "b", "b" -> "a")
     val out = Traverse.expand(Seq("a").toDF("node"), e, maxDepth = 4)
