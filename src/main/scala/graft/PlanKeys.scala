@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Content-aware memo keys for per-corpus index artifacts (LSH centering
+  * means, IVF k-means models, hierarchy closures), or None when the
+  * corpus has no stable content identity and the caller must recompute.
+  *
+  * The canonicalized analyzed plan alone is NOT collision-free for
+  * driver-local corpora: two same-schema `LocalRelation`s print
+  * identically, and every localCheckpoint'd plan prints
+  * `LogicalRDD [cols], false` regardless of which RDD backs it — so a
+  * plan-string key would serve a foreign/stale artifact for in-memory or
+  * checkpointed corpora (exactly the mutated-snapshot case the memo must
+  * distinguish). The key therefore appends a per-leaf content
+  * discriminator: the RDD id for `LogicalRDD` (each checkpoint mints a
+  * fresh id) and the root paths for file scans. A leaf we cannot name
+  * (`LocalRelation`, anything unknown) yields None — no memoization.
+  * File-backed corpora (the at-scale shape) always memoize.
+  */
+object PlanKeys {
+  def planKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val plan = df.queryExecution.analyzed
+    val tags = plan.collectLeaves().map {
+      case r: LogicalRDD => Some(s"rdd:${r.rdd.id}")
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation =>
+          Some(s"files:${fs.location.rootPaths.mkString(",")}")
+        case _ => None
+      }
+      case r: DataSourceV2Relation => Some(s"v2:${r.table.name}")
+      case _ => None // LocalRelation etc: no content identity — don't memoize
+    }
+    if (tags.forall(_.isDefined))
+      Some(plan.canonicalized.toString + "|" + tags.flatten.mkString("|"))
+    else None
+  }
+}

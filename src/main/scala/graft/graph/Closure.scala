@@ -38,6 +38,36 @@ object Closure {
   def fitsDriver(edges: DataFrame, maxEdges: Long = DefaultMaxEdges): Boolean =
     edges.limit((maxEdges + 1).toInt).count() <= maxEdges
 
+  // Closures are index artifacts like the IVF centroids: computed once
+  // per (hierarchy version, depth) and reused across decisions — at scale
+  // they'd be persisted beside the hierarchy. Memoized only when the edge
+  // plan has a nameable content identity (PlanKeys); a mutated snapshot
+  // mints a fresh key, a driver-local edge set recomputes.
+  private val closureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Auto entry point: Some(closure) when the hierarchy fits the driver
+    * cap (memoized per (plan, depth) — a memo hit skips the size probe
+    * too), None when the caller must use the distributed walk.
+    */
+  def closureAuto(edges: DataFrame, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child",
+      maxEdges: Long = DefaultMaxEdges): Option[DataFrame] =
+    graft.PlanKeys.planKey(edges) match {
+      case Some(key) =>
+        val full = s"$key:$maxDepth:$parentCol:$childCol"
+        Option(closureCache.get(full)).orElse {
+          if (fitsDriver(edges, maxEdges))
+            Some(closureCache.computeIfAbsent(full,
+              _ => closureSmall(edges, maxDepth, parentCol, childCol, maxEdges)))
+          else None
+        }
+      case None =>
+        if (fitsDriver(edges, maxEdges))
+          Some(closureSmall(edges, maxDepth, parentCol, childCol, maxEdges))
+        else None
+    }
+
   /** All (src, dst, lvl, n_paths) with 1 <= lvl <= maxDepth and n_paths
     * the number of distinct walks src→dst of length lvl. Rows appear once
     * per (src, dst, lvl) — the bag cardinality rides in n_paths, so

@@ -251,6 +251,12 @@ object Traverse {
     // must not break or inject SQL. Column names and the depth bound are
     // code-owned identifiers/literals, not user data.
     val view = s"__graft_edges_${rcteViewId.incrementAndGet()}"
+    // Cache the edge table behind the view: UnionLoop re-executes the
+    // view subtree on EVERY recursion step, so an uncached derived edge
+    // set (e.g. the customer self-join trust chain) re-pays its
+    // scan+join maxDepth times per query. Registry-owned, released with
+    // the caller's other operator caches.
+    graft.CacheRegistry.register(edges.cache())
     edges.createOrReplaceTempView(view)
     try {
       val out = spark.sql(

@@ -200,27 +200,27 @@ object GraphQueries {
     // frontier walk (kept as the over-cap fallback) pays ~50 tiny
     // scheduler jobs for the same answer — measured 4x slower at sf0.1
     // (TravProf: 52 jobs/iter, p50 1.3-1.7 s vs ~0.35 s closure).
-    if (graft.graph.Closure.fitsDriver(subgroup)) {
-      val closure = graft.graph.Closure.closureSmall(subgroup, maxDepth = 10)
-      // lvl-0 self-reach (the member's own group) unions with the walked
-      // closure; sum(n_paths) ≡ count(*) over the expanded bag walk.
-      val reach0 = member.join(broadcast(perm),
-        member("node") === perm("group_id"))
-        .select(col("user_id"), lit(1L).as("n_paths"))
-      val reachN = member.join(
-          broadcast(closure.join(perm, closure("dst") === perm("group_id"))),
-          member("node") === col("src"))
-        .select(col("user_id"), col("n_paths"))
-      reach0.unionByName(reachN)
-        .groupBy(col("user_id")).agg(sum(col("n_paths")).as("n"))
-        .orderBy(col("user_id"))
-    } else {
-      val reach = member.withColumn("lvl", lit(0))
-        .union(Traverse.expand(member, subgroup, maxDepth = 10,
-          expectTinyFrontier = true))
-      reach.join(perm, reach("node") === perm("group_id"))
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .orderBy(col("user_id"))
+    graft.graph.Closure.closureAuto(subgroup, maxDepth = 10) match {
+      case Some(closure) =>
+        // lvl-0 self-reach (the member's own group) unions with the walked
+        // closure; sum(n_paths) ≡ count(*) over the expanded bag walk.
+        val reach0 = member.join(broadcast(perm),
+          member("node") === perm("group_id"))
+          .select(col("user_id"), lit(1L).as("n_paths"))
+        val reachN = member.join(
+            broadcast(closure.join(perm, closure("dst") === perm("group_id"))),
+            member("node") === col("src"))
+          .select(col("user_id"), col("n_paths"))
+        reach0.unionByName(reachN)
+          .groupBy(col("user_id")).agg(sum(col("n_paths")).as("n"))
+          .orderBy(col("user_id"))
+      case None =>
+        val reach = member.withColumn("lvl", lit(0))
+          .union(Traverse.expand(member, subgroup, maxDepth = 10,
+            expectTinyFrontier = true))
+        reach.join(perm, reach("node") === perm("group_id"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
     }
   }
 

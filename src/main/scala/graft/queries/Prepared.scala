@@ -30,7 +30,14 @@ object Prepared {
     * [[graft.graph.Traverse.expand]], seeded at the client's children).
     */
   def wotPathCount(spark: SparkSession, sfDir: String): PreparedQuery = {
-    GraphData.trustChain(spark, sfDir).createOrReplaceTempView("web_trust")
+    // Cached behind the view: the recursive plan re-reads web_trust once
+    // per recursion step, and a prepared statement's whole point is
+    // repeated execution — without the cache every binding re-pays the
+    // customer self-join per level (measured 4.5 s -> sub-second at
+    // sf0.1). Registry-owned, released by the session's cache hygiene.
+    graft.CacheRegistry.register(
+      GraphData.trustChain(spark, sfDir).cache())
+      .createOrReplaceTempView("web_trust")
     PreparedQuery(spark,
       """WITH RECURSIVE path(node, lvl) AS (
         |  SELECT child, 1 FROM web_trust WHERE parent = :client

@@ -1,0 +1,65 @@
+package graft
+
+import graft.graph.{Closure, Traverse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closure correctness: bag path multiplicities must equal the expanded
+  * frontier walk's row counts — the closure is a physical rewrite of the
+  * walk, never a semantic change.
+  */
+class ClosureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("diamond multiplicity: two paths to the sink, counted not deduped") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("parent", "child")
+    val rows = Closure.closureSmall(e, maxDepth = 3)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(rows.contains(("a", "b", 1, 1L)))
+    assert(rows.contains(("a", "c", 1, 1L)))
+    assert(rows.contains(("a", "d", 2, 2L)), s"diamond must count 2: $rows")
+  }
+
+  test("closure equals the expanded walk on random graphs (bag semantics)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val nodes = ('a' to 'h').map(_.toString)
+    val edgeGen = for {
+      p <- Gen.oneOf(nodes); c <- Gen.oneOf(nodes) if p != c
+    } yield (p, c)
+    (1 to 3).foreach { i =>
+      val es = Gen.listOfN(12, edgeGen)(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(Nil).distinct
+      val e = es.toDF("parent", "child")
+      val closure = Closure.closureSmall(e, maxDepth = 4)
+        .as[(String, String, Int, Long)].collect()
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum).toMap
+      nodes.take(3).foreach { src =>
+        val walked = Traverse.expand(Seq(src).toDF("node"), e, maxDepth = 4)
+          .groupBy("node").count()
+          .as[(String, Long)].collect().toMap
+        CacheRegistry.releaseAll()
+        val fromClosure = closure.collect {
+          case ((s, d), n) if s == src => d -> n
+        }
+        assert(fromClosure == walked,
+          s"seed $src case $i: closure $fromClosure != walk $walked")
+      }
+    }
+  }
+
+  test("closureAuto refuses over-cap graphs, memoizes file-backed ones") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("parent", "child")
+    assert(Closure.closureAuto(e, maxDepth = 2, maxEdges = 2L).isEmpty,
+      "3 edges over a cap of 2 must refuse the driver path")
+    // In-memory edges (LocalRelation): computed, not memoized — two
+    // different graphs must not share a closure.
+    val g1 = Closure.closureAuto(e, maxDepth = 3).get
+      .as[(String, String, Int, Long)].collect().toSet
+    val e2 = Seq(("x", "y")).toDF("parent", "child")
+    val g2 = Closure.closureAuto(e2, maxDepth = 3).get
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(g1 != g2 && g2 == Set(("x", "y", 1, 1L)))
+  }
+}
