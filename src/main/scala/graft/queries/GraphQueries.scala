@@ -202,16 +202,18 @@ object GraphQueries {
     // (TravProf: 52 jobs/iter, p50 1.3-1.7 s vs ~0.35 s closure).
     graft.graph.Closure.closureAuto(subgroup, maxDepth = 10) match {
       case Some(closure) =>
-        // lvl-0 self-reach (the member's own group) unions with the walked
-        // closure; sum(n_paths) ≡ count(*) over the expanded bag walk.
-        val reach0 = member.join(broadcast(perm),
-          member("node") === perm("group_id"))
-          .select(col("user_id"), lit(1L).as("n_paths"))
-        val reachN = member.join(
-            broadcast(closure.join(perm, closure("dst") === perm("group_id"))),
+        // The whole permission map folds into ONE broadcast: walked
+        // reach (closure ⋈ perm on dst) plus lvl-0 self-reach (a perm
+        // row grants the group itself, path count 1). The big membership
+        // side is then scanned ONCE through a single broadcast join —
+        // the union-of-two-branches formulation scanned it twice.
+        // sum(n_paths) ≡ count(*) over the expanded bag walk.
+        val walked = closure.join(perm, closure("dst") === perm("group_id"))
+          .select(col("src"), col("n_paths"))
+        val self = perm.select(col("group_id").as("src"),
+          lit(1L).as("n_paths"))
+        member.join(broadcast(walked.unionByName(self)),
             member("node") === col("src"))
-          .select(col("user_id"), col("n_paths"))
-        reach0.unionByName(reachN)
           .groupBy(col("user_id")).agg(sum(col("n_paths")).as("n"))
           .orderBy(col("user_id"))
       case None =>
