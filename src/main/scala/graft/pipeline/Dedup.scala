@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -186,18 +187,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** D4: exact n-gram (word-set) Jaccard pairs within a blocking key.
+  /** D4: exact n-gram (word-set) Jaccard pairs within a blocking key,
+    * candidate-pruned by prefix filtering (AllPairs — Bayardo et al.,
+    * WWW'07; PPJoin — Xiao et al., WWW'08).
     *
-    * Relational formulation (token equi-join instead of per-pair array
-    * intersection): explode distinct words, self-join on (block, word) to
-    * count shared words per pair, derive union size as |A|+|B|-inter.
-    * Pairs sharing zero words never materialize — they cannot pass any
-    * positive threshold — so the quadratic per-block pair enumeration of
-    * the array formulation disappears; work scales with the inverted-index
-    * join fan-out, which is what survives at corpus scale.
+    * Under one global token order (rarest first: ascending document
+    * frequency, token as tie-break), two sets with Jaccard ≥ t must share
+    * a token inside their first `|X| − ⌈t·|X|⌉ + 1` tokens: if they did
+    * not, every common token would sit in A's suffix of size ⌈t·|A|⌉ − 1,
+    * yet J ≥ t forces |A∩B| ≥ ⌈t·|A|⌉. So only those prefix tokens are
+    * indexed — at t = 0.9 that is ~10% of the token stream, and because
+    * the order puts RARE tokens in the prefix, the join fan-out on hot
+    * tokens ("the", "of"…) collapses, which is the term that dominates an
+    * inverted-index self-join at corpus scale. Survivors are verified
+    * exactly against the cached word sets, so output is identical to the
+    * exhaustive formulation ([[ngramJaccardFull]], kept as the parity
+    * reference) — same oracle, same hash.
     */
   def ngramJaccard(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.9): DataFrame = {
+    val sets = graft.CacheRegistry.register(docs.select(col(blockCol), col(idCol),
+      array_distinct(words(col(textCol))).as("ws")).cache())
+    val toks = sets.select(col(blockCol), col(idCol),
+      size(col("ws")).as("sz"), explode(col("ws")).as("w"))
+    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("w"))
+    // ceil() is guarded against double round-up (0.9*sz landing a hair
+    // above an integer): a smaller α only LENGTHENS the prefix, so the
+    // epsilon can never cost a candidate — and the verify step is exact
+    // regardless.
+    // Cached: the window chain above it feeds BOTH sides of the self-join —
+    // uncached it would execute twice per action.
+    val prefix = graft.CacheRegistry.register(toks.join(dfreq, "w")
+      .withColumn("rank", row_number().over(byRarity))
+      .filter(col("rank") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1))
+      .select(col(blockCol), col(idCol), col("w")).cache())
+    // The explicit-width repartition pins the verify join's parallelism:
+    // candidate pairs are bytes-tiny but CPU-heavy (array_intersect over
+    // the full word sets), exactly the shape AQE's byte-based partition
+    // coalescing mis-sizes — left alone it serializes the verify onto
+    // one or two tasks whenever the pair list compresses below the
+    // advisory size.
+    val cand = prefix.select(col(blockCol), col(idCol).as("doc_a"), col("w"))
+      .join(prefix.select(col(blockCol), col(idCol).as("doc_b"), col("w")),
+        Seq(blockCol, "w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt, col("doc_a"), col("doc_b"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("uni", size(col("ws_a")) + size(col("ws_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** The exhaustive inverted-index formulation of [[ngramJaccard]] (explode
+    * every distinct word, self-join on (block, word), count shared words
+    * per pair). Correct and candidate-complete by construction; kept as
+    * the parity oracle for the prefix-filtered path — `PipelineSpec`
+    * pins the two bit-identical on randomized corpora.
+    */
+  def ngramJaccardFull(docs: DataFrame, blockCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.9): DataFrame = {
     val sets = graft.CacheRegistry.register(docs.select(col(blockCol), col(idCol),
       array_distinct(words(col(textCol))).as("ws")).cache())
     val toks = sets.select(col(blockCol), col(idCol), explode(col("ws")).as("w"))

@@ -82,6 +82,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("prefix-filtered ngram jaccard is bit-identical to the exhaustive form") {
+    // The AllPairs prefix filter is an optimization, not an approximation:
+    // candidates it prunes provably cannot reach the threshold, and
+    // survivors are re-verified exactly. Fuzz equality across random
+    // corpora (duplicate-heavy, tiny vocab → dense overlaps) and across
+    // thresholds, including 1.0 (prefix collapses to a single token) and
+    // a low 0.3 (prefix ≈ whole set).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val doc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (i <- 1 to 3; t <- Seq(0.3, 0.7, 0.9, 1.0)) {
+      val docs = Gen.listOfN(16, doc)(Gen.Parameters.default, Seed(400L + i))
+        .getOrElse(Nil)
+      val rows = docs.zipWithIndex.map { case (txt, j) =>
+        (j.toLong, txt, s"s${j % 2}")
+      } ++ docs.take(4).zipWithIndex.map { case (txt, j) =>
+        (200L + j, txt, s"s${j % 2}") // planted copies
+      }
+      val df = rows.toDF("doc_id", "text", "source")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      val fast = Dedup.ngramJaccard(df, "source", threshold = t)
+        .collect().map(key).toSet
+      val full = Dedup.ngramJaccardFull(df, "source", threshold = t)
+        .collect().map(key).toSet
+      assert(fast == full, s"seed=$i t=$t: prefix path diverged " +
+        s"(only-fast=${fast -- full}, only-full=${full -- fast})")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("cosine pairs and brute-force ANN agree on planted vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
