@@ -213,16 +213,20 @@ object Bench {
         Map[String, Any]("client" -> b._1, "length" -> b._2, "anchor" -> b._3)
       bindings.foreach(b => pq.bind(args(b)).count()) // warm-up pass
       val rows = bindings.map { b =>
-        val bound = (1 to iters).map { _ =>
+        // Interleaved so both variants see the same cache/JIT state —
+        // separate loops hand whichever runs second a warmer session.
+        val boundT = Array.newBuilder[Double]
+        val rebuiltT = Array.newBuilder[Double]
+        (1 to iters).foreach { _ =>
           val t0 = System.nanoTime()
           pq.bind(args(b)).count()
-          (System.nanoTime() - t0) / 1e9
-        }.toArray.sorted
-        val rebuilt = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
+          boundT += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
           Prepared.wotPathCount(spark, sfDir).bind(args(b)).count()
-          (System.nanoTime() - t0) / 1e9
-        }.toArray.sorted
+          rebuiltT += (System.nanoTime() - t1) / 1e9
+        }
+        val bound = boundT.result().sorted
+        val rebuilt = rebuiltT.result().sorted
         f"""{"client":"${b._1}","length":${b._2},"anchor":"${b._3}",""" +
           f""""bind_p50_ms":${pct(bound, 0.5) * 1000}%.1f,""" +
           f""""bind_p95_ms":${pct(bound, 0.95) * 1000}%.1f,""" +
@@ -249,11 +253,12 @@ object Bench {
     * scale, 02_topology_dynamic/benchmark_scenario_a.py:110) when present.
     * sf1 runs fewer iterations (p50-of-3) to bound sweep wall time.
     *
-    * Caveat baked into the JSON: documents/embeddings scale sub-linearly
-    * in the driver testdata (500 rows at sf0.001/sf0.01; 5000/2000 at
-    * sf0.1, copied verbatim into sf1), so the pipeline queries' ratios
-    * track corpus size rather than sf — the sweep is meaningful for the
-    * TPC-H-derived and graph/event queries.
+    * Caveat baked into the JSON: documents/embeddings are 500 rows at
+    * sf0.001 AND sf0.01 in the driver testdata (5000/2000 at sf0.1), so
+    * pipeline-query ratios across the LOWER decades track corpus size,
+    * not sf. sf1 is a true 10× for them — ScaleGen replicates both
+    * corpora into copy-disjoint blocks — so the sf1/sf0.1 ratio is the
+    * honest scale signal for d2/ann/d5.
     *
     * Returns (full block JSON, compact top-boundary ratio JSON for the
     * final contract line).
@@ -309,7 +314,7 @@ object Bench {
       val full =
         s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
           .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
-          s""""note":"documents/embeddings scale sub-linearly in the driver testdata (500 rows at sf0.001/sf0.01, 5000/2000 at sf0.1) and sf1 copies sf0.1's verbatim, so pipeline-query ratios track corpus size, not sf"}"""
+          s""""note":"documents/embeddings are 500 rows at both sf0.001 and sf0.01 (5000/2000 at sf0.1), so pipeline ratios across the lower decades track corpus size, not sf; sf1 replicates both corpora 10x into copy-disjoint blocks, so sf1/sf0.1 is the honest pipeline scale ratio"}"""
       val top = dirs.takeRight(2)
       val compactRatio =
         s"""{"${sfName(top(1))}_over_${sfName(top(0))}":${ratioOf(top(0), top(1))}}"""

@@ -92,7 +92,39 @@ object ScaleGen {
     write(replicate(events,
       Map("event_id" -> nEvt, "user_id" -> nCust, "ts" -> tsSpan)),
       "events", 8)
-    Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+    Seq("region", "nation", "supplier", "part")
       .foreach(n => write(read(n), n, 1))
+
+    // Pipeline corpora scale by COPY-DISJOINT BLOCKS: ids shift like the
+    // fact tables, and each copy gets its own blocking key (source/label)
+    // so the block-scoped dedup/similarity workloads (d2-d5) grow
+    // linearly — 10× the blocks, same per-block density — instead of
+    // pairing 10 verbatim copies inside one block, which would blow the
+    // candidate-pair output up quadratically and measure an artifact.
+    // Copy 0 stays verbatim (sf1 contains sf0.1 exactly, like the fact
+    // tables). Embeddings get a per-copy epsilon so the global ANN scan
+    // ranks 10× genuinely distinct vectors rather than tie-broken clones.
+    val documents = read("documents")
+    val nDoc = stride(documents, "doc_id")
+    write((0 until factor).map { i =>
+      documents.select(
+        (col("doc_id") + lit(nDoc * i)).as("doc_id"),
+        col("text"), col("lang"),
+        (if (i == 0) col("source")
+         else concat(col("source"), lit(s"_c$i"))).as("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _), "documents", 4)
+
+    val embeddings = read("embeddings")
+    val nVec = stride(embeddings, "vec_id")
+    val nLbl = embeddings.agg(max(col("label"))).head().getInt(0) + 1L
+    write((0 until factor).map { i =>
+      embeddings.select(
+        (col("vec_id") + lit(nVec * i)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"),
+           x => x + lit((i * 1e-3).toFloat))).as("embedding"),
+        (col("label") + lit(nLbl * i)).cast("int").as("label"))
+    }.reduce(_ unionByName _), "embeddings", 4)
   }
 }
