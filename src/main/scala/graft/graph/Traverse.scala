@@ -251,19 +251,35 @@ object Traverse {
     // must not break or inject SQL. Column names and the depth bound are
     // code-owned identifiers/literals, not user data.
     val view = s"__graft_edges_${rcteViewId.incrementAndGet()}"
-    // Cache the edge table behind the view: UnionLoop re-executes the
-    // view subtree on EVERY recursion step, so an uncached derived edge
-    // set (e.g. the customer self-join trust chain) re-pays its
-    // scan+join maxDepth times per query. Registry-owned, released with
-    // the caller's other operator caches.
-    graft.CacheRegistry.register(edges.cache())
-    edges.createOrReplaceTempView(view)
+    // Materialize the edge table behind the view: UnionLoop re-plans and
+    // re-executes the view subtree on EVERY recursion step, and that
+    // per-step planning bypasses cache substitution — a `.cache()` here
+    // never matches (the plan dump shows raw LogicalRelations, not
+    // InMemoryRelation, inside the loop), so a derived edge set re-pays
+    // its scans+joins maxDepth times per query. localCheckpoint rewrites
+    // the view plan itself to a memory-backed LogicalRDD scan, which
+    // needs no lookup to be reused; the checkpoint RDD is released by
+    // the ContextCleaner once the plan is unreachable. Checkpoints are
+    // memoized per content-aware plan key (same policy as the closure
+    // memo — PlanKeys scaladoc) so a resident service re-running the
+    // same recursion pays the edge materialization once, not per query;
+    // an unkeyable plan (LocalRelation) checkpoints per call.
+    val checkpointed = graft.PlanKeys.planKey(edges) match {
+      case Some(k) =>
+        if (rcteEdgeMemo.size > 32) rcteEdgeMemo.clear()
+        rcteEdgeMemo.computeIfAbsent(k, _ => edges.localCheckpoint())
+      case None => edges.localCheckpoint()
+    }
+    checkpointed.createOrReplaceTempView(view)
     try {
+      // The frontier (chain) is broadcast into the edge scan each step:
+      // the per-step planner sees a stats-less LogicalRDD on both sides
+      // and would otherwise shuffle the full edge set once per level.
       val out = spark.sql(
         s"""WITH RECURSIVE chain AS (
            |  SELECT $childCol AS node, 1 AS lvl FROM $view WHERE $parentCol = :seed
            |  UNION ALL
-           |  SELECT e.$childCol, c.lvl + 1 FROM chain c
+           |  SELECT /*+ BROADCAST(c) */ e.$childCol, c.lvl + 1 FROM chain c
            |  JOIN $view e ON e.$parentCol = c.node
            |  WHERE c.lvl < $maxDepth
            |) SELECT node, lvl FROM chain""".stripMargin,
@@ -276,6 +292,8 @@ object Traverse {
     }
   }
   private val rcteViewId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rcteEdgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Path-count between a single source and a single target within `maxLen`
     * hops: the web-of-trust shape (reference:
