@@ -270,4 +270,53 @@ object Dedup {
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
+
+  /** D6: connected components over a near-duplicate pair list — the
+    * clustering stage that turns pairwise matches into keep/drop
+    * decisions (each doc maps to its component's minimum id, the
+    * canonical survivor).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round pushes labels across edges and keeps the minimum; fixpoint
+    * when no label shrinks. One shuffle join + one aggregation per
+    * round, rounds bounded by the cluster diameter — near-duplicate
+    * clusters are dense and shallow (an exact-dup cluster is a clique,
+    * diameter 1), so the loop terminates in a handful of rounds. Labels
+    * are localCheckpoint'd per round to cut lineage growth, and nothing
+    * graph-shaped ever lands on the driver (the convergence probe is a
+    * count). For adversarially deep graphs (long chains) the
+    * large-star/small-star alternation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014), converges in
+    * O(log n) rounds at the cost of re-materializing the edge set per
+    * round; near-dup clustering does not hit that regime.
+    *
+    * Returns (node, lab): one row per node that appears in `pairs`,
+    * labeled with its component minimum. Docs with no near-duplicate are
+    * absent — callers keep them as their own survivor (see
+    * `PipelineQueries.d6DedupComponents`).
+    */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .cache())
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val pushed = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.union(pushed)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lab", "prev"), "node")
+        .filter(col("lab") < col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"components did not converge in $maxRounds rounds")
+    labels
+  }
 }

@@ -43,6 +43,25 @@ object PipelineQueries {
         threshold = 0.9)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** D6: near-duplicate clustering — d4's pair list resolved into
+    * connected components ([[Dedup.components]], min-label propagation),
+    * then every document mapped to its canonical survivor (component
+    * minimum; docs with no near-dup survive as themselves). The shape a
+    * training pipeline actually consumes: a total keep_id assignment,
+    * not a pair list. Oracle: DuckDB recursive min-label closure over
+    * the same pairs.
+    */
+  def d6DedupComponents(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val comp = Dedup.components(
+      Dedup.ngramJaccard(docs, blockCol = "source", threshold = 0.9))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D5: embedding-cosine near-dup pairs within label blocks, through the
     * cost-based selector ([[Similarity.cosinePairsAuto]]): exact all-pairs
     * at the gate's bounded fan-out, banded LSH above the budget. The LSH
@@ -201,6 +220,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d6_dedup_components" -> d6DedupComponents,
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -344,6 +364,25 @@ object PipelineQueries {
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_dedup_components" ->
+      """WITH RECURSIVE sets AS (
+        |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), edges AS (
+        |  SELECT pa AS ea, pb AS eb FROM pairs
+        |  UNION SELECT pb AS ea, pa AS eb FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node
+        |)
+        |SELECT node AS doc_id, min(lab) AS keep_id FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
     "d5_embed_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

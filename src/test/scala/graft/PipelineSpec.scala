@@ -116,6 +116,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("components resolves chains and leaves islands separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L,
+      "chain 1-2-3 collapses to min label 1")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("components matches union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (1 to 3).foreach { i =>
+      val edges = Gen.listOfN(25, edgeGen)(Gen.Parameters.default, Seed(700L + i))
+        .getOrElse(Nil).distinct
+      // Driver-side union-find as the oracle.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { n =>
+        val members = nodes.filter(m => find(m) == find(n))
+        n -> members.min
+      }.toMap
+      val got = Dedup.components(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $i: components diverged from union-find")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("cosine pairs and brute-force ANN agree on planted vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
