@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Random sampling is the wrong tool for corpus curation: re-runs must
+  * reproduce the same subset bit-for-bit (else downstream caches,
+  * dedup decisions, and eval splits drift), and the sample membership
+  * must be derivable from CONTENT so that re-ingesting the same
+  * document lands the same decision regardless of row order or
+  * partitioning. Both operators key on a content hash:
+  *
+  *  - [[hashSample]]: keep rows whose hash bucket falls under the
+  *    fraction — a pure narrow filter over the scan, no shuffle, no
+  *    state; the 100 TB shape is "scan, filter, done".
+  *  - [[stratifiedQuota]]: at most `quota` rows per block, chosen in
+  *    hash order — one shuffle on the block key; the `row_number <= k`
+  *    filter triggers Spark's WindowGroupLimit rewrite, so each map
+  *    task pre-prunes to its local top-k before the exchange rather
+  *    than shuffling whole blocks.
+  *
+  * Both are exactly reproducible in ANSI SQL (the oracle casts the
+  * same sha256 prefix), which is what makes them gate-checkable.
+  */
+object Sampling {
+
+  /** First 32 bits of sha256(content) as a non-negative long — the
+    * deterministic "random" variate both operators order by. */
+  def hashBucket(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
+
+  /** Keep ~`fraction` of rows, decided per row by content hash: a row's
+    * membership never depends on the rest of the corpus. `fraction` is
+    * quantized to basis points (1/10000). */
+  def hashSample(docs: DataFrame, fraction: Double,
+      keyCol: String = "text"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    docs.filter(
+      hashBucket(col(keyCol)) % 10000 < math.round(fraction * 10000))
+  }
+
+  /** At most `quota` rows per block, selected in (content hash, id)
+    * order — a deterministic stratified subsample that keeps every
+    * block represented no matter how skewed the block sizes are. */
+  def stratifiedQuota(docs: DataFrame, blockCol: String, quota: Int,
+      idCol: String = "doc_id", keyCol: String = "text"): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val byHash = Window.partitionBy(col(blockCol))
+      .orderBy(hashBucket(col(keyCol)), col(idCol))
+    docs.withColumn("__rk", row_number().over(byHash))
+      .filter(col("__rk") <= quota).drop("__rk")
+  }
+}

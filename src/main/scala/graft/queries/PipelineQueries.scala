@@ -62,6 +62,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D7: deterministic content-hash sample (~10%) — membership is a pure
+    * per-row function of the text, so the subset is reproducible across
+    * runs, row orders, and partitionings. No shuffle: scan + filter.
+    */
+  def d7HashSample(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.hashSample(Tables.documents(spark, d), 0.1)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** D8: stratified quota sample — at most 10 docs per source block in
+    * content-hash order; every block stays represented regardless of
+    * block-size skew.
+    */
+  def d8StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedQuota(Tables.documents(spark, d),
+        blockCol = "source", quota = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** D5: embedding-cosine near-dup pairs within label blocks, through the
     * cost-based selector ([[Similarity.cosinePairsAuto]]): exact all-pairs
     * at the gate's bounded fan-out, banded LSH above the budget. The LSH
@@ -221,6 +240,8 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d6_dedup_components" -> d6DedupComponents,
+    "d7_hash_sample" -> d7HashSample,
+    "d8_stratified_sample" -> d8StratifiedSample,
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -383,6 +404,19 @@ object PipelineQueries {
         |)
         |SELECT node AS doc_id, min(lab) AS keep_id FROM reach
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "d7_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(sha256(text), 1, 8))::BIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+    "d8_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(sha256(text), 1, 8))::BIGINT, doc_id
+        |  ) AS rk FROM documents
+        |)
+        |SELECT doc_id, source FROM r WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin,
     "d5_embed_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

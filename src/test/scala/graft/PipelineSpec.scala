@@ -155,6 +155,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling is content-deterministic, order- and partition-blind") {
+    import graft.pipeline.Sampling
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"document number $i body", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val once = Sampling.hashSample(docs, 0.25).select("doc_id")
+      .as[Long].collect().toSet
+    val again = Sampling.hashSample(
+        docs.repartition(13).orderBy(desc("doc_id")), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again, "sample membership must not depend on layout")
+    assert(math.abs(once.size - 100) < 50, s"~25% of 400 expected, got ${once.size}")
+    // fraction edges
+    assert(Sampling.hashSample(docs, 0.0).isEmpty)
+    assert(Sampling.hashSample(docs, 1.0).count() == 400)
+  }
+
+  test("stratified quota keeps every block at or under quota, deterministically") {
+    import graft.pipeline.Sampling
+    // skewed blocks: 300 docs in s0, 12 in s1, 3 in s2
+    val docs = ((0 until 300).map(i => (i.toLong, s"alpha doc $i", "s0")) ++
+      (300 until 312).map(i => (i.toLong, s"beta doc $i", "s1")) ++
+      (312 until 315).map(i => (i.toLong, s"gamma doc $i", "s2")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.stratifiedQuota(docs, "source", quota = 5)
+    val perBlock = out.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(perBlock("s0") == 5 && perBlock("s1") == 5 && perBlock("s2") == 3,
+      s"quota caps big blocks, small blocks survive whole: $perBlock")
+    val again = Sampling.stratifiedQuota(docs.repartition(7), "source", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("cosine pairs and brute-force ANN agree on planted vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
