@@ -81,6 +81,19 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** D9: eval-set contamination — word-3-gram overlap of every corpus
+    * doc (sources ≠ 'src0') against the 'src0' block standing in as the
+    * benchmark set. Corpus side: one narrow pass probing the broadcast
+    * eval shingle vocabulary ([[graft.pipeline.Contamination]]).
+    */
+  def d9Contamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.pipeline.Contamination.overlap(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D5: embedding-cosine near-dup pairs within label blocks, through the
     * cost-based selector ([[Similarity.cosinePairsAuto]]): exact all-pairs
     * at the gate's bounded fan-out, banded LSH above the budget. The LSH
@@ -242,6 +255,7 @@ object PipelineQueries {
     "d6_dedup_components" -> d6DedupComponents,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
+    "d9_contamination" -> d9Contamination,
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -417,6 +431,26 @@ object PipelineQueries {
         |)
         |SELECT doc_id, source FROM r WHERE rk <= 10
         |ORDER BY doc_id""".stripMargin,
+    "d9_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(ws) >= 3
+        |      THEN list_transform(range(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [array_to_string(ws, ' ')] END) AS shset
+        |  FROM w),
+        |ev AS (SELECT DISTINCT unnest(shset) AS sh FROM s WHERE source = 'src0'),
+        |c AS (SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS sh
+        |      FROM s WHERE source <> 'src0')
+        |SELECT c.doc_id, c.n_shingles::INT AS n_shingles,
+        |  count(*)::INT AS n_hits,
+        |  round(count(*)::DOUBLE / c.n_shingles, 4) AS frac
+        |FROM c JOIN ev ON c.sh = ev.sh
+        |GROUP BY c.doc_id, c.n_shingles
+        |ORDER BY c.doc_id""".stripMargin,
     "d5_embed_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

@@ -189,6 +189,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("contamination flags docs sharing eval 3-grams, skips clean docs") {
+    import graft.pipeline.Contamination
+    val evalSet = Seq((100L, "the capital of france is paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "everyone knows the capital of france is paris obviously"), // contaminated
+      (1L, "completely unrelated text about spark shuffles and joins"), // clean
+      (2L, "capital of france trivia"))  // shares "capital of france"
+      .toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, evalSet)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.contains(0L) && !out.contains(1L) && out.contains(2L))
+    // doc 0: 7 distinct 3-shingles, 4 of them inside the eval sentence
+    assert(out(0L)._2 == 7 && out(0L)._3 == 4)
+    assert(out(2L)._3 == 1, "'capital of france' is the single shared shingle")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("cosine pairs and brute-force ANN agree on planted vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
