@@ -303,16 +303,26 @@ object Dedup {
         .cache())
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
+    // Delta iteration: a node's label can only improve via a neighbor
+    // whose label improved, so each round pushes only the labels that
+    // SHRANK last round. Round 1 pushes everything; after that the
+    // frontier collapses to the still-moving cluster boundaries, which
+    // is what bounds total work at corpus scale (the naive form re-joins
+    // every label every round). Convergence = empty delta — no separate
+    // probe.
+    var delta = labels
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val pushed = edges.join(labels, edges("src") === labels("node"))
+      val pushed = edges.join(delta, edges("src") === delta("node"))
         .select(col("dst").as("node"), col("lab"))
       val next = labels.union(pushed)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lab", "prev"), "node")
-        .filter(col("lab") < col("prev")).isEmpty
+      delta = next.join(labels.withColumnRenamed("lab", "prev"), "node")
+        .filter(col("lab") < col("prev"))
+        .select(col("node"), col("lab")).localCheckpoint()
+      converged = delta.isEmpty
       labels = next
       round += 1
     }
