@@ -39,7 +39,8 @@ object Bench {
     "m8_cdc_apply",       // Q7 CDC apply
     "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine",
     "u2_vc_roundtrip",
-    "u1_sig_roundtrip")   // crypto throughput: the catalog's heaviest row count
+    "u1_sig_roundtrip",   // crypto throughput: the catalog's heaviest row count
+    "d4_ngram_jaccard")   // prefix-filtered AllPairs join (round-8 path)
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.

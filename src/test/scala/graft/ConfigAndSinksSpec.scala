@@ -42,6 +42,29 @@ class ConfigAndSinksSpec extends AnyFunSuite {
     assert(loop == rcte)
   }
 
+  test("rcte edge-checkpoint memo never serves a foreign edge set") {
+    // Same guard class as the Similarity index memo: driver-local edge
+    // sets have no content identity (PlanKeys → None), so consecutive
+    // rCTE runs over DIFFERENT in-memory graphs of identical schema must
+    // each see their own edges, not a memoized checkpoint of the other's.
+    import spark.implicits._
+    assume(Traverse.nativeRcteSupported(spark))
+    val chainA = Seq(("R0", "a1"), ("a1", "a2")).toDF("parent", "child")
+    val chainB = Seq(("R0", "b1")).toDF("parent", "child")
+    val outA = Traverse.expandRcte(spark, chainA, "R0", 3)
+      .as[(String, Int)].collect().toSet
+    val outB = Traverse.expandRcte(spark, chainB, "R0", 3)
+      .as[(String, Int)].collect().toSet
+    assert(outA == Set(("a1", 1), ("a2", 2)))
+    assert(outB == Set(("b1", 1)), s"memo leaked corpus A into B: $outB")
+    // File-backed edges DO memoize: same plan twice → same checkpoint.
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphData.hierarchyEdges(spark, sf).drop("child_type")
+    val r1 = Traverse.expandRcte(spark, edges, "R0", 2).count()
+    val r2 = Traverse.expandRcte(spark, edges, "R0", 2).count()
+    assert(r1 == r2)
+  }
+
   test("csv result sink round-trips the reference layout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
