@@ -58,8 +58,14 @@ object Closure {
         val full = s"$key:$maxDepth:$parentCol:$childCol"
         Option(closureCache.get(full)).orElse {
           if (fitsDriver(edges, maxEdges))
+            // Memo-owned .cache(): a LocalRelation closure re-pays a
+            // single-threaded driver scan of up to maxDepth×maxEdges rows
+            // on EVERY query otherwise; cached, warm queries read columnar
+            // batches. Deliberately not CacheRegistry-registered — the
+            // artifact's lifetime is the memo entry's, like the IVF index.
             Some(closureCache.computeIfAbsent(full,
-              _ => closureSmall(edges, maxDepth, parentCol, childCol, maxEdges)))
+              _ => closureSmall(edges, maxDepth, parentCol, childCol,
+                maxEdges).cache()))
           else None
         }
       case None =>

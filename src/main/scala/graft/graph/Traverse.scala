@@ -259,18 +259,8 @@ object Traverse {
     // its scans+joins maxDepth times per query. localCheckpoint rewrites
     // the view plan itself to a memory-backed LogicalRDD scan, which
     // needs no lookup to be reused; the checkpoint RDD is released by
-    // the ContextCleaner once the plan is unreachable. Checkpoints are
-    // memoized per content-aware plan key (same policy as the closure
-    // memo — PlanKeys scaladoc) so a resident service re-running the
-    // same recursion pays the edge materialization once, not per query;
-    // an unkeyable plan (LocalRelation) checkpoints per call.
-    val checkpointed = graft.PlanKeys.planKey(edges) match {
-      case Some(k) =>
-        if (rcteEdgeMemo.size > 32) rcteEdgeMemo.clear()
-        rcteEdgeMemo.computeIfAbsent(k, _ => edges.localCheckpoint())
-      case None => edges.localCheckpoint()
-    }
-    checkpointed.createOrReplaceTempView(view)
+    // the ContextCleaner once the plan is unreachable.
+    materializeForRcte(edges).createOrReplaceTempView(view)
     try {
       // The frontier (chain) is broadcast into the edge scan each step:
       // the per-step planner sees a stats-less LogicalRDD on both sides
@@ -294,6 +284,25 @@ object Traverse {
   private val rcteViewId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val rcteEdgeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Materialize an edge DataFrame for use behind a recursive-CTE view.
+    * UnionLoop re-plans the loop body per step WITHOUT cache
+    * substitution (PLANS.md "UnionLoop bypasses cache substitution"), so
+    * a plain `.cache()` behind the view is silently ignored and a
+    * derived edge set re-executes every step. localCheckpoint rewrites
+    * the plan itself into a memory-backed LogicalRDD scan; checkpoints
+    * are memoized per content-aware plan key (PlanKeys — same
+    * foreign-corpus guard as the closure/index memos) so a resident
+    * service pays the materialization once, not per query. Unkeyable
+    * plans (LocalRelation) checkpoint per call.
+    */
+  def materializeForRcte(edges: DataFrame): DataFrame =
+    graft.PlanKeys.planKey(edges) match {
+      case Some(k) =>
+        if (rcteEdgeMemo.size > 32) rcteEdgeMemo.clear()
+        rcteEdgeMemo.computeIfAbsent(k, _ => edges.localCheckpoint())
+      case None => edges.localCheckpoint()
+    }
 
   /** Path-count between a single source and a single target within `maxLen`
     * hops: the web-of-trust shape (reference:

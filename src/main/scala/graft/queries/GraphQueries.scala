@@ -142,13 +142,29 @@ object GraphQueries {
     * benchmark_scenario_d.py:200-203 — `count(path)`).
     * Chain shape makes the answer 1 iff dist(source, anchor) <= L.
     */
-  def r3WotPathCount(spark: SparkSession, d: String): DataFrame =
-    // expectTinyFrontier: the trust chain is linear — every frontier is
-    // one row (see Traverse scaladoc; hint is probe-corrected).
-    Traverse.expand(seed(spark, "E0"), GraphData.trustChain(spark, d),
-        maxDepth = 20, expectTinyFrontier = true)
-      .filter(col("node") === "E15")
-      .agg(count(lit(1)).as("n_paths"))
+  def r3WotPathCount(spark: SparkSession, d: String): DataFrame = {
+    val chain = GraphData.trustChain(spark, d)
+    // Same shape decision as r4: a 20-level walk over a driver-collectable
+    // trust graph pays ~90 tiny scheduler jobs per run (TravProf), which
+    // is the wrong physical plan for a dimension-sized graph at ANY
+    // scale. closureAuto computes the bounded bag closure once (memoized
+    // across runs), and the path count is a filter + sum over it. Above
+    // the 100k-edge cap — the at-scale WoT regime, where the trust graph
+    // is NOT a dimension — it returns None and the distributed walk
+    // below stays the plan.
+    graft.graph.Closure.closureAuto(chain, maxDepth = 20) match {
+      case Some(closure) =>
+        closure.filter(col("src") === "E0" && col("dst") === "E15")
+          .agg(coalesce(sum(col("n_paths")), lit(0L)).as("n_paths"))
+      case None =>
+        // expectTinyFrontier: the trust chain is linear — every frontier
+        // is one row (see Traverse scaladoc; hint is probe-corrected).
+        Traverse.expand(seed(spark, "E0"), chain,
+            maxDepth = 20, expectTinyFrontier = true)
+          .filter(col("node") === "E15")
+          .agg(count(lit(1)).as("n_paths"))
+    }
+  }
 
   /** R3 with materialized paths: the Cypher `RETURN path` surface —
     * enumerate the actual trust paths from the client toward the anchor

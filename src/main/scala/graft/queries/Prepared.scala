@@ -30,19 +30,21 @@ object Prepared {
     * [[graft.graph.Traverse.expand]], seeded at the client's children).
     */
   def wotPathCount(spark: SparkSession, sfDir: String): PreparedQuery = {
-    // Cached behind the view: the recursive plan re-reads web_trust once
-    // per recursion step, and a prepared statement's whole point is
-    // repeated execution — without the cache every binding re-pays the
-    // customer self-join per level (measured 4.5 s -> sub-second at
-    // sf0.1). Registry-owned, released by the session's cache hygiene.
-    graft.CacheRegistry.register(
-      GraphData.trustChain(spark, sfDir).cache())
+    // Materialized (NOT merely cached) behind the view: UnionLoop's
+    // per-step re-plan bypasses cache substitution, so a .cache() here
+    // is silently ignored and every binding re-pays the customer
+    // self-join per recursion level — the Traverse.materializeForRcte
+    // scaladoc and PLANS.md carry the plan-dump evidence. The checkpoint
+    // is memoized per content key, which is exactly the prepared-
+    // statement contract: prepare once, bind many.
+    graft.graph.Traverse.materializeForRcte(
+        GraphData.trustChain(spark, sfDir))
       .createOrReplaceTempView("web_trust")
     PreparedQuery(spark,
       """WITH RECURSIVE path(node, lvl) AS (
         |  SELECT child, 1 FROM web_trust WHERE parent = :client
         |  UNION ALL
-        |  SELECT w.child, p.lvl + 1 FROM path p
+        |  SELECT /*+ BROADCAST(p) */ w.child, p.lvl + 1 FROM path p
         |  JOIN web_trust w ON w.parent = p.node
         |  WHERE p.lvl < :length
         |) SELECT count(*) AS n_paths FROM path WHERE node = :anchor""".stripMargin)
