@@ -382,7 +382,10 @@ object Bench {
       // anywhere past this line cannot leak the cached events table.
       val events = CacheRegistry.register(
         graft.Tables.events(spark, sfDir).cache())
-      val nBatches = 5
+      // 20 batch clocks: segment latencies take ~20 distinct values, so
+      // p95 separates from max (the r7 5-batch staging left p95==max —
+      // flagged as a resolution artifact, fixed by resolution).
+      val nBatches = 20
 
       sampler.start()
       val cfg = graft.GraftConfig(cdcSource = "file",
