@@ -57,7 +57,16 @@ object Closure {
       case Some(key) =>
         val full = s"$key:$maxDepth:$parentCol:$childCol"
         Option(closureCache.get(full)).orElse {
-          if (fitsDriver(edges, maxEdges))
+          if (fitsDriver(edges, maxEdges)) {
+            // Bounded like the other artifact memos: evicting wholesale
+            // past 32 entries, unpersisting the cached closures so the
+            // block store doesn't accumulate dead columnar batches in a
+            // resident service replaying many hierarchy versions.
+            if (closureCache.size > 32) {
+              closureCache.values.forEach(df =>
+                try df.unpersist() catch { case _: Exception => () })
+              closureCache.clear()
+            }
             // Memo-owned .cache(): a LocalRelation closure re-pays a
             // single-threaded driver scan of up to maxDepth×maxEdges rows
             // on EVERY query otherwise; cached, warm queries read columnar
@@ -66,7 +75,7 @@ object Closure {
             Some(closureCache.computeIfAbsent(full,
               _ => closureSmall(edges, maxDepth, parentCol, childCol,
                 maxEdges).cache()))
-          else None
+          } else None
         }
       case None =>
         if (fitsDriver(edges, maxEdges))
