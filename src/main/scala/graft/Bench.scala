@@ -201,8 +201,11 @@ object Bench {
     * one parameterized recursive CTE, executed per binding in the loop).
     * Times each binding through the prepared handle (stable statement
     * text → session parse/plan cache) against a rebuild twin that
-    * re-creates the view + statement every iteration — the measured value
-    * of plan reuse, per binding.
+    * re-creates the view + statement object every iteration. Both paths
+    * share the memoized edge checkpoint (materializeForRcte), so the
+    * delta isolates STATEMENT preparation — view re-registration,
+    * re-analysis, plan-cache miss — not data materialization; the
+    * reference's psycopg re-prepare doesn't reload data either.
     */
   private def preparedMetrics(spark: SparkSession, sfDir: String,
       iters: Int): String = {

@@ -15,12 +15,22 @@ import org.apache.spark.sql.types.IntegerType
   * per-session `register(spark)` helpers the operators use internally.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  // Builder-time argument: the expression is still unresolved here, so
-  // eval() on anything but a literal would throw an opaque
-  // UnsupportedOperationException (and a null literal an NPE). Accept
-  // exactly a non-null integer literal and name the contract otherwise.
+  // Builder-time argument: the expression may still be unresolved here,
+  // so eval() on an arbitrary expression would throw an opaque
+  // UnsupportedOperationException (and a null literal an NPE). Accept a
+  // non-null integer literal, or any RESOLVED foldable integer
+  // expression (`1+2`, `cast('64' as int)` — constant-foldable SQL that
+  // worked under the old eval path), and name the contract otherwise.
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case c if c.resolved && c.foldable && c.dataType == IntegerType =>
+      c.eval() match {
+        case v: Int => v
+        case _ => throw new AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> s"`$name`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""))
+      }
     case _ => throw new AnalysisException(
       "NON_FOLDABLE_ARGUMENT",
       Map("funcName" -> s"`$name`", "paramName" -> "`k`",

@@ -14,7 +14,10 @@ import org.apache.spark.sql.DataFrame
   * checkpointed corpora (exactly the mutated-snapshot case the memo must
   * distinguish). The key therefore appends a per-leaf content
   * discriminator: the RDD id for `LogicalRDD` (each checkpoint mints a
-  * fresh id) and the root paths for file scans. A leaf we cannot name
+  * fresh id) and the root paths PLUS a listing fingerprint
+  * (path/length/modTime per file) for file scans — so overwriting a
+  * table in place mints a fresh key instead of serving the stale
+  * artifact. A leaf we cannot name
   * (`LocalRelation`, anything unknown) yields None — no memoization.
   * File-backed corpora (the at-scale shape) always memoize.
   */
@@ -28,7 +31,25 @@ object PlanKeys {
       case r: LogicalRDD => Some(s"rdd:${r.rdd.id}")
       case r: LogicalRelation => r.relation match {
         case fs: HadoopFsRelation =>
-          Some(s"files:${fs.location.rootPaths.mkString(",")}")
+          // Paths alone would serve a STALE artifact after the files are
+          // overwritten in place (write.mode("overwrite"), external
+          // regeneration): a fresh read lists fresh FileStatuses, so
+          // folding each file's (path, length, modificationTime) into
+          // the tag makes the overwritten table miss the memo. Fallback
+          // when the index isn't listing-capable: total size + count.
+          val loc = fs.location
+          val content = loc match {
+            case p: org.apache.spark.sql.execution.datasources
+                .PartitioningAwareFileIndex =>
+              val h = java.security.MessageDigest.getInstance("SHA-256")
+              p.allFiles().foreach { f =>
+                h.update((f.getPath.toString + ":" + f.getLen + ":" +
+                  f.getModificationTime + ";").getBytes("UTF-8"))
+              }
+              java.util.Base64.getEncoder.encodeToString(h.digest())
+            case _ => s"sz${loc.sizeInBytes}:n${loc.inputFiles.length}"
+          }
+          Some(s"files:${loc.rootPaths.mkString(",")}:$content")
         case _ => None
       }
       case r: DataSourceV2Relation => Some(s"v2:${r.table.name}")

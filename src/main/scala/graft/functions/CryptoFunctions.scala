@@ -194,7 +194,14 @@ object CryptoFunctions {
   def passphraseKey(passphrase: String, salt: Array[Byte],
       iterations: Int = 64000): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(passphrase.getBytes("UTF-8"))
+    val pp = passphrase.getBytes("UTF-8")
+    // Length-prefix each variable-length field: a raw concatenation makes
+    // ("ab","cd") and ("abc","d") hash identically, serving one pair the
+    // other's derived key — fatal with the documented variable-length
+    // salt pattern (salt ++ shardId).
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(pp.length).array())
+    md.update(pp)
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(salt.length).array())
     md.update(salt)
     md.update(java.nio.ByteBuffer.allocate(4).putInt(iterations).array())
     val cacheKey = java.util.Base64.getEncoder.encodeToString(md.digest())

@@ -52,6 +52,10 @@ object DidVc {
   }
 
   private def unhex(s: String): Array[Byte] = {
+    // Odd length would silently drop the trailing character below —
+    // the same malformed-input hazard as a non-hex digit: fail loudly.
+    if (s.length % 2 != 0) throw new NumberFormatException(
+      s"odd-length hex string (${s.length} chars)")
     val out = new Array[Byte](s.length / 2)
     var i = 0
     while (i < out.length) {

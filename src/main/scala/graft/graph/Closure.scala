@@ -108,7 +108,16 @@ object Closure {
         val next = scala.collection.mutable.Map[String, Long]()
         frontier.foreach { case (node, cnt) =>
           adj.getOrElse(node, Array.empty).foreach { c =>
-            next(c) = next.getOrElse(c, 0L) + cnt
+            // addExact: a dense graph under the edge cap can grow bag
+            // multiplicities past Long range (~b^lvl for branching b);
+            // a silent wrap would return wrong path counts where the
+            // distributed walk would at worst OOM loudly.
+            next(c) = try Math.addExact(next.getOrElse(c, 0L), cnt)
+              catch { case _: ArithmeticException =>
+                throw new ArithmeticException(
+                  s"closureSmall: path multiplicity overflow at lvl $lvl " +
+                    s"from $src — graph too dense for bag closure")
+              }
           }
         }
         next.foreach { case (dst, cnt) => rows += ((src, dst, lvl, cnt)) }

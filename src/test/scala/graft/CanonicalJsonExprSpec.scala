@@ -107,6 +107,14 @@ class CanonicalJsonExprSpec extends AnyFunSuite {
         s2.sql("SELECT minhash_sig(array('a'), null)").head()
       }
       assert(e2.getMessage.contains("foldable"), e2.getMessage)
+      // Foldable constant EXPRESSIONS (not bare literals) must still
+      // work — they did under the pre-r8 eval path: `1+2`, a cast of a
+      // string literal. Only genuinely non-constant args are rejected.
+      assert(s2.sql("SELECT size(word_shingles(array('a','b','c'), 1+2))")
+        .head().getInt(0) == 1)
+      assert(s2.sql(
+        "SELECT size(minhash_sig(array('a'), cast('8' as int)))")
+        .head().getInt(0) == 8)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -62,4 +62,35 @@ class ClosureSpec extends AnyFunSuite {
       .as[(String, String, Int, Long)].collect().toSet
     assert(g1 != g2 && g2 == Set(("x", "y", 1, 1L)))
   }
+
+  test("closureSmall fails loudly on path-multiplicity overflow") {
+    // A small complete digraph under the edge cap grows bag counts as
+    // ~(n-1)^lvl: 20 nodes, depth 20 → 19^20 ≈ 4e25 >> Long.MaxValue.
+    // A silent wrap would return wrong (possibly negative) path counts;
+    // the contract is a nameable ArithmeticException instead.
+    val nodes = (0 until 20).map(i => s"n$i")
+    val dense = (for (a <- nodes; b <- nodes if a != b) yield (a, b))
+      .toDF("parent", "child")
+    val ex = intercept[ArithmeticException] {
+      Closure.closureSmall(dense, maxDepth = 20).count()
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
+
+  test("file-backed plan keys change when the files are overwritten") {
+    // Root paths alone would serve a stale closure/checkpoint after an
+    // in-place overwrite; the key folds the listing (length + modTime),
+    // so the rewritten table must miss the memo.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pk").toString
+    Seq(("a", "b")).toDF("parent", "child")
+      .write.mode("overwrite").parquet(dir)
+    val k1 = graft.PlanKeys.planKey(spark.read.parquet(dir))
+    assert(k1.isDefined)
+    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    Seq(("x", "y"), ("y", "z")).toDF("parent", "child")
+      .write.mode("overwrite").parquet(dir)
+    val k2 = graft.PlanKeys.planKey(spark.read.parquet(dir))
+    assert(k2.isDefined && k1 != k2,
+      "overwritten table produced the same plan key — stale-memo hazard")
+  }
 }

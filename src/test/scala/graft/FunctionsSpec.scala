@@ -223,5 +223,20 @@ class CryptoSpec extends AnyFunSuite {
       .findFirstMatchIn(vc).get.group(1)
     val bad = vc.replace(sigHex, "zz" + sigHex.drop(2))
     assert(!DidVc.verifyVc(bad, kp.getPublic.getEncoded))
+    // Odd-length hex (truncated by one char) must also fail closed, not
+    // silently drop the trailing nibble and verify against a short sig.
+    val odd = vc.replace(sigHex, sigHex.drop(1))
+    assert(!DidVc.verifyVc(odd, kp.getPublic.getEncoded))
+  }
+
+  test("kdf cache distinguishes boundary-shifted passphrase/salt pairs") {
+    // ("ab","cd") and ("abc","d") concatenate to the same byte stream; a
+    // delimiter-free cache key would serve the first pair's derived key
+    // to the second. The PBKDF2 outputs genuinely differ, so equality
+    // here could ONLY come from a key collision.
+    val k1 = CryptoFunctions.passphraseKey("ab", "cd".getBytes("UTF-8"))
+    val k2 = CryptoFunctions.passphraseKey("abc", "d".getBytes("UTF-8"))
+    assert(!java.util.Arrays.equals(k1, k2),
+      "cache served a boundary-shifted pair the wrong derived key")
   }
 }
