@@ -67,6 +67,41 @@ class ScaleGenSpec extends AnyFunSuite {
       "replicated event timelines overlap")
   }
 
+  test("pipeline corpora replicate into copy-disjoint blocks") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = spark.read.parquet(s"$out/documents.parquet")
+    val n = src.count()
+    assert(rep.count() == 2 * n)
+    assert(rep.agg(countDistinct(col("doc_id"))).head().getLong(0) == 2 * n)
+    // Copy 0 verbatim; copy 1's blocks carry the copy suffix, so no
+    // block ever spans copies (the invariant that keeps block-scoped
+    // dedup output linear in the replication factor).
+    val copy0 = rep.filter(col("doc_id") < n).select("doc_id", "text", "source")
+    assert(copy0.exceptAll(src.select("doc_id", "text", "source")).count() == 0)
+    val crossBlock = rep.filter(col("doc_id") < n)
+      .select("source").distinct()
+      .join(rep.filter(col("doc_id") >= n).select("source").distinct(),
+        "source").count()
+    assert(crossBlock == 0, "a source block spans copies")
+
+    val esrc = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val erep = spark.read.parquet(s"$out/embeddings.parquet")
+    val m = esrc.count()
+    assert(erep.count() == 2 * m)
+    assert(erep.agg(countDistinct(col("vec_id"))).head().getLong(0) == 2 * m)
+    val lblCross = erep.filter(col("vec_id") < m).select("label").distinct()
+      .join(erep.filter(col("vec_id") >= m).select("label").distinct(),
+        "label").count()
+    assert(lblCross == 0, "a label block spans copies")
+    // Copy-1 vectors are epsilon-shifted (distinct from copy 0), so the
+    // global ANN scan ranks real vectors, not tie-broken clones.
+    val v0 = erep.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val v0c = erep.filter(col("vec_id") === m).select("embedding")
+      .head().getSeq[Float](0)
+    assert(v0 != v0c, "replicated embedding identical to its source")
+  }
+
   test("dimension tables are copied verbatim") {
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val rep = spark.read.parquet(s"$out/nation.parquet")
