@@ -74,4 +74,32 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(text)).cast("binary"))
+
+  /** T5: corpus-relative unigram log-probability — the order-1 form of
+    * the LM-perplexity quality filter (CCNet-style): score each doc by
+    * the mean ln(p(token)) under the corpus's own unigram distribution.
+    * Gibberish and boilerplate-stuffed docs score far below fluent text
+    * drawn from the corpus's vocabulary.
+    *
+    * Shape at scale: one map-side-combined groupBy for the unigram
+    * counts, a broadcast-1-row cross for the total, one shuffle join of
+    * the token stream against the vocab (vocab-sized right side — for a
+    * web-scale corpus this is the big-small join AQE handles), one
+    * per-doc aggregation. Scores are rounded to 4 places so the oracle's
+    * differently-ordered float summation hashes identically (the d5
+    * cosine precedent).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), "\\s+")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logp"))
+  }
 }

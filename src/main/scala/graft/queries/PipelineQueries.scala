@@ -219,6 +219,13 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** T5: corpus-relative unigram log-prob quality score (order-1 LM
+    * filter; [[TextAnalysis.unigramLogProb]]).
+    */
+  def t5UnigramLogprob(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** MM1: multimodal metadata surface (binary payload + typed metadata). */
   def mm1Meta(spark: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(spark, d)
@@ -268,6 +275,7 @@ object PipelineQueries {
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_unigram_logprob" -> t5UnigramLogprob,
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
     "mm3_frames" -> mm3Frames)
@@ -550,6 +558,17 @@ object PipelineQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "t5_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents
+        |), freq AS (
+        |  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+        |), tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT t.doc_id, count(*)::INT AS n_tokens,
+        |  round(avg(ln(f.cnt::DOUBLE / tot.total)), 4) AS avg_logp
+        |FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "mm1_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
         |  CAST(64 + doc_id % 64 AS INT) AS width,

@@ -189,6 +189,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("unigram logprob ranks in-distribution text above gibberish") {
+    import graft.pipeline.TextAnalysis
+    val docs = (Seq(
+      (0L, "the cat sat on the mat"),          // common corpus words
+      (1L, "qzxv wplk jmrt bbnf hgty")         // five singletons
+    ) ++ (2L to 20L).map(i =>
+      (i, "the cat and the dog sat on the mat and the rug")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 > out(1L)._3,
+      s"fluent doc must outscore gibberish: ${out(0L)._3} vs ${out(1L)._3}")
+    assert(out(0L)._2 == 6 && out(1L)._2 == 5, "token counts")
+    // Deterministic across layouts (the oracle contract).
+    val shuffled = TextAnalysis.unigramLogProb(docs.repartition(7))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(shuffled(0L) == out(0L)._3 && shuffled(1L) == out(1L)._3)
+  }
+
   test("contamination flags docs sharing eval 3-grams, skips clean docs") {
     import graft.pipeline.Contamination
     val evalSet = Seq((100L, "the capital of france is paris"))
