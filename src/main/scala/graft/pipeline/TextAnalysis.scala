@@ -89,6 +89,32 @@ object TextAnalysis {
     * differently-ordered float summation hashes identically (the d5
     * cosine precedent).
     */
+  /** T6: PII scrubbing patterns — deliberately simple, dialect-portable
+    * regexes (identical semantics under Java regex and RE2, so the
+    * DuckDB oracle replays them verbatim). Real deployments swap in
+    * their compliance patterns; the operator shape — count then replace,
+    * all inside the scan stage — is the part that matters at scale.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("phone", "[0-9]{3}-[0-9]{4}-[0-9]{4}", "<PHONE>"))
+
+  /** T6: per-kind PII match counts plus the scrubbed text. Pure column
+    * expressions — no shuffle, embarrassingly parallel, idempotent
+    * (replacement tokens match none of the patterns).
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind",
+        regexp_count(col(textCol), lit(pat)).cast("int"))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol),

@@ -226,6 +226,22 @@ object PipelineQueries {
     TextAnalysis.unigramLogProb(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** T6: PII redaction over deterministically augmented docs — the
+    * synthetic corpus carries no PII, so the gate plants one email/URL/
+    * phone per doc AS PART OF THE QUERY (both engines build the same
+    * input expression) and hash-compares counts plus the scrubbed text.
+    */
+  def t6RedactPii(spark: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(spark, d).select(col("doc_id"),
+      concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@mail.example via https://ex.example/p/"), col("doc_id"),
+        lit(" or 010-1234-5678")).as("text"))
+    TextAnalysis.redactPii(aug)
+      .select(col("doc_id"), col("n_email"), col("n_url"), col("n_phone"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MM1: multimodal metadata surface (binary payload + typed metadata). */
   def mm1Meta(spark: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(spark, d)
@@ -276,6 +292,7 @@ object PipelineQueries {
     "t3_tokens" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_unigram_logprob" -> t5UnigramLogprob,
+    "t6_redact_pii" -> t6RedactPii,
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
     "mm3_frames" -> mm3Frames)
@@ -558,6 +575,22 @@ object PipelineQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "t6_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' reach user' || doc_id ||
+        |    '@mail.example via https://ex.example/p/' || doc_id ||
+        |    ' or 010-1234-5678' AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::INT AS n_email,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::INT AS n_url,
+        |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}'))::INT AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "t5_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w

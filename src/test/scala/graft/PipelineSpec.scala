@@ -208,6 +208,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffled(0L) == out(0L)._3 && shuffled(1L) == out(1L)._3)
   }
 
+  test("pii redaction counts, scrubs, and is idempotent") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (0L, "mail a@b.co and c.d+x@e-f.org, see https://x.io/p?q=1 call 010-1234-5678"),
+      (1L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs)
+      .select("doc_id", "n_email", "n_url", "n_phone", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 2 && out(0L)._3 == 1 && out(0L)._4 == 1, s"${out(0L)}")
+    assert(out(0L)._5 ==
+      "mail <EMAIL> and <EMAIL>, see <URL> call <PHONE>")
+    assert(out(1L)._2 == 0 && out(1L)._5 == "no pii here at all")
+    // Idempotent: redacting already-redacted text changes nothing.
+    val again = TextAnalysis.redactPii(
+        Seq((0L, out(0L)._5)).toDF("doc_id", "text"))
+      .select("redacted").as[String].head()
+    assert(again == out(0L)._5)
+  }
+
   test("contamination flags docs sharing eval 3-grams, skips clean docs") {
     import graft.pipeline.Contamination
     val evalSet = Seq((100L, "the capital of france is paris"))
