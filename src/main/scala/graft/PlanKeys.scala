@@ -52,11 +52,27 @@ object PlanKeys {
           Some(s"files:${loc.rootPaths.mkString(",")}:$content")
         case _ => None
       }
-      case r: DataSourceV2Relation => Some(s"v2:${r.table.name}")
+      case r: DataSourceV2Relation =>
+        // Versioned v2 tables (Iceberg/Delta) keep their NAME across
+        // overwrites/appends, so a name-only tag would serve a stale
+        // artifact after the table moves — the same staleness class the
+        // file-scan branch fingerprints away. Key on the snapshot id when
+        // the table exposes one (Iceberg publishes current-snapshot-id in
+        // its Spark table properties); a v2 table with no determinable
+        // version does not memoize.
+        Option(r.table.properties.get("current-snapshot-id"))
+          .map(snap => s"v2:${r.table.name}@$snap")
       case _ => None // LocalRelation etc: no content identity — don't memoize
     }
     if (tags.forall(_.isDefined))
-      Some(plan.canonicalized.toString + "|" + tags.flatten.mkString("|"))
+      // applicationId scopes every memo to the SparkContext that built the
+      // artifact: cached DataFrames/checkpointed RDDs are bound to their
+      // context, so a key surviving a session restart (or shared across
+      // sessions of different contexts) would serve a DataFrame whose
+      // backing blocks belong to a dead/foreign context and fail at
+      // execution.
+      Some(df.sparkSession.sparkContext.applicationId + "|" +
+        plan.canonicalized.toString + "|" + tags.flatten.mkString("|"))
     else None
   }
 }

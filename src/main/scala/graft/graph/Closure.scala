@@ -32,11 +32,18 @@ object Closure {
     */
   val DefaultMaxEdges = 100000L
 
+  /** `maxEdges + 1` as an Int limit, clamped: a cap at or above
+    * Int.MaxValue would silently wrap `(maxEdges + 1).toInt` negative and
+    * break the size guard (limit(negative) errors / truncates).
+    */
+  private def probeLimit(maxEdges: Long): Int =
+    math.min(maxEdges, (Int.MaxValue - 1).toLong).toInt + 1
+
   /** True iff `edges` is small enough for the closure path (one tiny
     * count job — cheap next to the per-level jobs it avoids).
     */
   def fitsDriver(edges: DataFrame, maxEdges: Long = DefaultMaxEdges): Boolean =
-    edges.limit((maxEdges + 1).toInt).count() <= maxEdges
+    edges.limit(probeLimit(maxEdges)).count() <= maxEdges
 
   // Closures are index artifacts like the IVF centroids: computed once
   // per (hierarchy version, depth) and reused across decisions — at scale
@@ -92,7 +99,7 @@ object Closure {
       parentCol: String = "parent", childCol: String = "child",
       maxEdges: Long = DefaultMaxEdges): DataFrame = {
     val spark = edges.sparkSession
-    val es = edges.select(parentCol, childCol).limit((maxEdges + 1).toInt)
+    val es = edges.select(parentCol, childCol).limit(probeLimit(maxEdges))
       .collect().map(r => (r.getString(0), r.getString(1)))
     require(es.length <= maxEdges,
       s"closureSmall: graph exceeds $maxEdges edges — use Traverse.expand")

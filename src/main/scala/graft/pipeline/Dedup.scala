@@ -234,8 +234,14 @@ object Dedup {
         Seq(blockCol, "w"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        .toInt, col("doc_a"), col("doc_b"))
+      .repartition(
+        // Safe parse: platforms can set shuffle.partitions to a
+        // non-numeric sentinel (e.g. "auto"); fall back to the cluster's
+        // default parallelism instead of throwing.
+        scala.util.Try(docs.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(docs.sparkSession.sparkContext.defaultParallelism),
+        col("doc_a"), col("doc_b"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("ws").as("ws_b")), "doc_b")

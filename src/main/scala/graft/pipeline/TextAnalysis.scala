@@ -96,13 +96,22 @@ object TextAnalysis {
     * all inside the scan stage — is the part that matters at scale.
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+    // URL before email: the email pattern matches userinfo/host segments
+    // INSIDE a URL (https://user@host/x), so redacting emails first would
+    // split the URL into "https://<EMAIL>/x". URL-first consumes the whole
+    // URL before the email pattern sees it.
     ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
     ("phone", "[0-9]{3}-[0-9]{4}-[0-9]{4}", "<PHONE>"))
 
   /** T6: per-kind PII match counts plus the scrubbed text. Pure column
     * expressions — no shuffle, embarrassingly parallel, idempotent
     * (replacement tokens match none of the patterns).
+    *
+    * Counts are taken per-pattern over the ORIGINAL text, so one span can
+    * legitimately count under two kinds (a URL with userinfo counts as
+    * both url and email); the scrub itself applies patterns in
+    * [[piiPatterns]] order and each span is replaced exactly once.
     */
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>

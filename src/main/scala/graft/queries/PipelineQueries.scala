@@ -587,8 +587,8 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, 'https?://[^ ]+'))::INT AS n_url,
         |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}'))::INT AS n_phone,
         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
     "t5_unigram_logprob" ->

@@ -226,6 +226,15 @@ class PipelineSpec extends AnyFunSuite {
         Seq((0L, out(0L)._5)).toDF("doc_id", "text"))
       .select("redacted").as[String].head()
     assert(again == out(0L)._5)
+    // URL-first ordering: a URL with userinfo is consumed whole by the
+    // URL pattern — the email pattern must not split it. Counts are
+    // per-pattern over the original text, so the span counts under both
+    // kinds (documented overlap).
+    val uinfo = TextAnalysis.redactPii(
+        Seq((0L, "visit https://user@host.io/x now")).toDF("doc_id", "text"))
+      .select("n_email", "n_url", "redacted")
+      .as[(Int, Int, String)].head()
+    assert(uinfo == ((1, 1, "visit <URL> now")), s"$uinfo")
   }
 
   test("contamination flags docs sharing eval 3-grams, skips clean docs") {
