@@ -55,6 +55,40 @@ object Bench {
     sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
   }
 
+  // ---- In-process straggler forensics (r9). The r7/r8 tail outliers
+  // ---- could only be chased with an external GC log correlated by hand;
+  // ---- sampling the JVM's own counters around every timed iteration
+  // ---- attributes a slow iteration to GC pause, JIT recompilation, or
+  // ---- block-store growth in the evidence itself.
+  private def gcStats(): (Long, Long) = {
+    var ms = 0L; var n = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach { b =>
+        if (b.getCollectionTime > 0) ms += b.getCollectionTime
+        if (b.getCollectionCount > 0) n += b.getCollectionCount
+      }
+    (ms, n)
+  }
+  private def jitMs(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else 0L
+  }
+  private def storageMb(spark: SparkSession): Double =
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1048576.0
+
+  /** One timed execution plus its JVM-counter deltas:
+    * (sec, gcMsDelta, gcCount, jitMsDelta, storageMbAfter).
+    */
+  private case class IterSample(sec: Double, gcMs: Long, gcN: Long,
+      jitMs: Long, storageMb: Double)
+  private def timedIter(spark: SparkSession, body: () => Double): IterSample = {
+    val (g0, n0) = gcStats(); val j0 = jitMs()
+    val sec = body()
+    val (g1, n1) = gcStats()
+    IterSample(sec, g1 - g0, n1 - n0, jitMs() - j0, storageMb(spark))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,7 +124,9 @@ object Bench {
     headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n))).foreach { name =>
       run(name); run(name) // two warm-ups, untimed
-      val runOrder = (1 to iters).map(_ => run(name)).filter(_ >= 0).toArray
+      val iterSamples = (1 to iters)
+        .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
+      val runOrder = iterSamples.map(_.sec)
       val lat = runOrder.sorted
       if (lat.nonEmpty) {
         val total = lat.sum
@@ -99,13 +135,20 @@ object Bench {
         perQuery(name) = pct(lat, 0.5)
         // samples_ms is the raw series in RUN ORDER (not sorted):
         // aggregates can't localize ~2 bad iterations out of 20, and run
-        // order is what correlates against a GC/compaction log.
+        // order is what correlates against the per-iteration JVM-counter
+        // deltas emitted alongside (gc_ms / gc_n / jit_ms / cached_mb).
         val samples = runOrder.map(x => f"${x * 1000}%.1f").mkString("[", ",", "]")
+        val gcArr = iterSamples.map(_.gcMs).mkString("[", ",", "]")
+        val gcNArr = iterSamples.map(_.gcN).mkString("[", ",", "]")
+        val jitArr = iterSamples.map(_.jitMs).mkString("[", ",", "]")
+        val memArr = iterSamples.map(s => f"${s.storageMb}%.1f")
+          .mkString("[", ",", "]")
         stats(name) =
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
           f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f,""" +
-          s""""samples_ms":$samples}"""
+          s""""samples_ms":$samples,"gc_ms":$gcArr,"gc_n":$gcNArr,""" +
+          s""""jit_ms":$jitArr,"cached_mb":$memArr}"""
         compact(name) =
           f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
           f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
@@ -178,7 +221,8 @@ object Bench {
                             else ("{}", "{}")
     emit(s"""{"block":"e2e","e2e":$e2e}""")
     val (scale, scaleCompact) =
-      if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4))
+      if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4),
+        perQuery.toMap, sfDir)
       else ("{}", "{}")
     emit(s"""{"block":"scale","scale":$scale}""")
 
@@ -267,7 +311,8 @@ object Bench {
     * Returns (full block JSON, compact top-boundary ratio JSON for the
     * final contract line).
     */
-  private def scaleMetrics(spark: SparkSession, iters: Int): (String, String) = {
+  private def scaleMetrics(spark: SparkSession, iters: Int,
+      headlineP50Sec: Map[String, Double], mainSfDir: String): (String, String) = {
     // benchdata/ is gitignored, so a fresh checkout loses the generated
     // decade; rebuild it in-session (~50 s, well inside the sweep budget)
     // rather than silently shrinking the sweep to three decades.
@@ -285,6 +330,8 @@ object Bench {
     try {
       val p50 = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.LinkedHashMap[String, Double]]()
+      val cellDetail = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.LinkedHashMap[String, String]]()
       dirs.foreach { d =>
         val dirIters = if (sfName(d) == "sf1") math.min(3, iters) else iters
         headline.filter(SparkEntry.queries.contains).foreach { q =>
@@ -294,12 +341,23 @@ object Bench {
             catch { case _: Throwable => return -1.0 }
             (System.nanoTime() - t0) / 1e9
           }
-          run() // one warm-up per (query, scale)
-          val lat = (1 to dirIters).map(_ => run()).filter(_ >= 0).toArray.sorted
-          if (lat.nonEmpty)
+          // Warm-up parity with the headline protocol (two untimed runs):
+          // the r8 sweep's one-warm-up cells reported sub-1.0 decade
+          // ratios — per-decade cold state dominating 5-iteration medians
+          // — which made the whole block unreadable as scale evidence.
+          run(); run()
+          val cells = (1 to dirIters)
+            .map(_ => timedIter(spark, () => run())).filter(_.sec >= 0).toArray
+          val lat = cells.map(_.sec).sorted
+          if (lat.nonEmpty) {
             p50.getOrElseUpdate(q,
               scala.collection.mutable.LinkedHashMap())(sfName(d)) =
               pct(lat, 0.5) * 1000
+            cellDetail.getOrElseUpdate(q,
+              scala.collection.mutable.LinkedHashMap())(sfName(d)) =
+              cells.map(c => f"${c.sec * 1000}%.1f").mkString("[", ",", "]") +
+                s""","gc_ms":${cells.map(_.gcMs).sum}"""
+          }
           CacheRegistry.releaseAll()
         }
       }
@@ -307,6 +365,29 @@ object Bench {
         s""""$q":${bySf.map { case (sf, ms) => f""""$sf":$ms%.2f""" }
           .mkString("{", ",", "}")}"""
       }.mkString("{", ",", "}")
+      val detailJson = cellDetail.map { case (q, bySf) =>
+        s""""$q":${bySf.map { case (sf, d) =>
+          s""""$sf":{"samples_ms":$d}""" }.mkString("{", ",", "}")}"""
+      }.mkString("{", ",", "}")
+      // Self-check: the sweep's cell at the bench's own sfDir must
+      // reproduce the headline stats block (same data, same protocol) —
+      // when it does not, the sweep's OTHER cells cannot be trusted
+      // either, and the block says so itself instead of leaving the
+      // contradiction for a reader to find.
+      val mainSf = sfName(mainSfDir)
+      val self = p50.flatMap { case (q, bySf) =>
+        for (sweepMs <- bySf.get(mainSf); headSec <- headlineP50Sec.get(q)
+             if headSec > 0)
+          yield q -> sweepMs / (headSec * 1000)
+      }
+      val selfJson = if (self.isEmpty) "{}" else {
+        val worst = self.maxBy { case (_, r) => math.max(r, 1.0 / r) }
+        val pass = self.values.forall(r => r <= 1.5 && r >= 1.0 / 1.5)
+        s"""{"dir":"$mainSf","sweep_over_headline":${self.map { case (q, r) =>
+          f""""$q":$r%.2f""" }.mkString("{", ",", "}")},""" +
+          f""""worst":"${worst._1}","worst_ratio":${worst._2}%.2f,""" +
+          s""""pass":$pass}"""
+      }
       def ratioOf(lo: String, hi: String): String =
         p50.flatMap { case (q, bySf) =>
           for (l <- bySf.get(sfName(lo)); h <- bySf.get(sfName(hi)) if l > 0)
@@ -318,6 +399,7 @@ object Bench {
       val full =
         s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
           .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
+          s""""selfcheck":$selfJson,"detail":$detailJson,""" +
           s""""note":"documents/embeddings are 500 rows at both sf0.001 and sf0.01 (5000/2000 at sf0.1), so pipeline ratios across the lower decades track corpus size, not sf; sf1 replicates both corpora 10x into copy-disjoint blocks, so sf1/sf0.1 is the honest pipeline scale ratio"}"""
       val top = dirs.takeRight(2)
       val compactRatio =
@@ -636,23 +718,29 @@ object Bench {
         percentile(col("gap_ms"), lit(0.99)).as("p99")).head()
 
       val stampDir = new java.io.File(dir, "capture_log")
-      val stampMs = udf(() => System.currentTimeMillis()).asNondeterministic()
+      // µs-resolution monotonic stamps: at local[32] the per-row capture
+      // cadence is well under 1 ms, so wall-clock ms stamps quantized
+      // every gap percentile to 0.0 (an r8 evidence-resolution defect,
+      // not a measurement one). nanoTime is comparable within the single
+      // JVM that stamps every row here; a multi-machine capture path
+      // would need per-host clocks and ms resolution again.
+      val stampUs = udf(() => System.nanoTime() / 1000L).asNondeterministic()
       val cq = CdcStream.parse(CdcStream.source(spark, cfg))
-        .withColumn("capture_ms", stampMs())
+        .withColumn("capture_us", stampUs())
         .writeStream.outputMode("append")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.select(col("id"), col("capture_ms"))
+          b.select(col("id"), col("capture_us"))
             .write.mode("append").parquet(stampDir.getPath)
         }.start()
       cq.processAllAvailable()
       cq.stop()
       val capLog = spark.read.parquet(stampDir.getPath)
       val cw = org.apache.spark.sql.expressions.Window
-        .orderBy(col("capture_ms"), col("id"))
+        .orderBy(col("capture_us"), col("id"))
       val cg = capLog
-        .withColumn("prev_ms", lag(col("capture_ms"), 1).over(cw))
-        .filter(col("prev_ms").isNotNull)
-        .select((col("capture_ms") - col("prev_ms")).as("gap_ms"))
+        .withColumn("prev_us", lag(col("capture_us"), 1).over(cw))
+        .filter(col("prev_us").isNotNull)
+        .select(((col("capture_us") - col("prev_us")) / 1000.0).as("gap_ms"))
         .agg(percentile(col("gap_ms"), lit(0.5)).as("p50"),
           percentile(col("gap_ms"), lit(0.95)).as("p95"),
           percentile(col("gap_ms"), lit(0.99)).as("p99"),
@@ -703,7 +791,7 @@ object Bench {
       f"""{"apply_ops_per_sec":${nEvents / applySec}%.1f,""" +
         f""""events":$nEvents,"micro_batches":$stagedFiles,""" +
         f""""event_gap_ms":{"semantics":"synthetic data-domain ts cadence","p50":${g.getDouble(0)}%.1f,"p95":${g.getDouble(1)}%.1f,"p99":${g.getDouble(2)}%.1f},""" +
-        f""""capture_gap_ms":{"semantics":"wall-clock capture cadence, reference protocol","p50":${cg.getDouble(0)}%.1f,"p95":${cg.getDouble(1)}%.1f,"p99":${cg.getDouble(2)}%.1f,"max":${cg.getDouble(3)}%.1f},""" +
+        f""""capture_gap_ms":{"semantics":"capture cadence, reference protocol; us-resolution monotonic stamps (single-JVM)","p50":${cg.getDouble(0)}%.3f,"p95":${cg.getDouble(1)}%.3f,"p99":${cg.getDouble(2)}%.3f,"max":${cg.getDouble(3)}%.3f},""" +
         dedupJson +
         f""""recovery":{"batches":$batches,"applied":$replayed,"ev_per_sec":${nEvents / recoverSec}%.1f}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
