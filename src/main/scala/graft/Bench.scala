@@ -77,16 +77,31 @@ object Bench {
   private def storageMb(spark: SparkSession): Double =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1048576.0
 
-  /** One timed execution plus its JVM-counter deltas:
-    * (sec, gcMsDelta, gcCount, jitMsDelta, storageMbAfter).
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** One timed execution plus its JVM-counter deltas. cpuMs vs wall time
+    * is the co-activity discriminator: a straggler iteration whose
+    * process-CPU delta matches the normal iterations was descheduled by
+    * something OUTSIDE this JVM (harness co-activity on the same cores),
+    * while a genuine plan/GC regression burns the extra time as our own
+    * CPU or shows in gcMs. sysLoad (1-min run-queue average, whole
+    * machine) names external load directly.
     */
   private case class IterSample(sec: Double, gcMs: Long, gcN: Long,
-      jitMs: Long, storageMb: Double)
+      jitMs: Long, storageMb: Double, cpuMs: Long, sysLoad: Double)
   private def timedIter(spark: SparkSession, body: () => Double): IterSample = {
-    val (g0, n0) = gcStats(); val j0 = jitMs()
+    val (g0, n0) = gcStats(); val j0 = jitMs(); val c0 = processCpuNs()
     val sec = body()
     val (g1, n1) = gcStats()
-    IterSample(sec, g1 - g0, n1 - n0, jitMs() - j0, storageMb(spark))
+    val cpuMs = if (c0 < 0) -1L else (processCpuNs() - c0) / 1000000L
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    IterSample(sec, g1 - g0, n1 - n0, jitMs() - j0, storageMb(spark),
+      cpuMs, load)
   }
 
   def main(args: Array[String]): Unit = {
@@ -148,7 +163,10 @@ object Bench {
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
           f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f,""" +
           s""""samples_ms":$samples,"gc_ms":$gcArr,"gc_n":$gcNArr,""" +
-          s""""jit_ms":$jitArr,"cached_mb":$memArr}"""
+          s""""jit_ms":$jitArr,"cached_mb":$memArr,""" +
+          s""""cpu_ms":${iterSamples.map(_.cpuMs).mkString("[", ",", "]")},""" +
+          s""""sys_load":${iterSamples.map(s => f"${s.sysLoad}%.1f")
+            .mkString("[", ",", "]")}}"""
         compact(name) =
           f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
           f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
