@@ -28,9 +28,34 @@ import org.apache.spark.sql.functions._
 object Closure {
 
   /** Max edges collected to the driver; above this callers must use the
-    * distributed frontier walk.
+    * distributed closure or the frontier walk.
     */
   val DefaultMaxEdges = 100000L
+
+  /** Edge bound for the distributed-closure middle regime: graphs too big
+    * to collect but still dimension-shaped (the closure artifact stays
+    * cluster-resident). Above this, callers fall back to the frontier
+    * walk — a graph this size is a fact table, not a dimension.
+    */
+  val DefaultMaxDistributedEdges = 10000000L
+
+  /** Preference boundary between the driver BFS and the distributed
+    * build inside [[closureAuto]]: below it the driver BFS wins (ms-scale
+    * build, tiny artifact — the ABAC case); above it the distributed
+    * build's parallel artifact serves warm queries ~4x faster than a
+    * driver-materialized one and its build parallelizes (measured at the
+    * 15k-edge sf0.1 trust chain: warm 97 ms vs 366 ms; build 5.6 s vs
+    * 4.2 s single-threaded — and the gap inverts further with size).
+    * The 100k hard driver cap stays as the memory-safety bound for
+    * explicit closureSmall callers.
+    */
+  val DriverPreferredMaxEdges = 10000L
+
+  /** Cap on materialized closure rows per doubling round — the loud guard
+    * against a dense graph whose reachability set explodes (closure rows
+    * are bounded by edges x depth only for forest/chain shapes).
+    */
+  val DefaultMaxClosureRows = 50000000L
 
   /** `maxEdges + 1` as an Int limit, clamped: a cap at or above
     * Int.MaxValue would silently wrap `(maxEdges + 1).toInt` negative and
@@ -53,18 +78,42 @@ object Closure {
   private val closureCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Auto entry point: Some(closure) when the hierarchy fits the driver
-    * cap (memoized per (plan, depth) — a memo hit skips the size probe
-    * too), None when the caller must use the distributed walk.
+  /** Auto entry point — three regimes by hierarchy size:
+    *   1. fits the driver cap → [[closureSmall]] (driver BFS, broadcast);
+    *   2. fits the distributed cap → [[closureDistributed]] (log2(d)
+    *      shuffle joins, cluster-resident artifact);
+    *   3. else None — the caller must use the frontier walk (a graph this
+    *      size is not a dimension).
+    * Memoized per (plan, depth) when the edge plan has a content identity
+    * — a memo hit skips the size probes too.
     */
   def closureAuto(edges: DataFrame, maxDepth: Int,
       parentCol: String = "parent", childCol: String = "child",
-      maxEdges: Long = DefaultMaxEdges): Option[DataFrame] =
+      maxEdges: Long = DefaultMaxEdges,
+      maxDistributedEdges: Long = DefaultMaxDistributedEdges): Option[DataFrame] = {
+    def build(): Option[DataFrame] =
+      // Driver BFS only below BOTH the caller's cap and the measured
+      // preference boundary — past ~10k edges the distributed build's
+      // parallel artifact wins warm queries even though the graph would
+      // still fit the driver (see DriverPreferredMaxEdges).
+      if (fitsDriver(edges, math.min(maxEdges, DriverPreferredMaxEdges)))
+        Some(closureSmall(edges, maxDepth, parentCol, childCol, maxEdges))
+      else if (fitsDriver(edges, maxDistributedEdges))
+        // Size-probe reuse: fitsDriver only runs a bounded count, it does
+        // not collect; the distributed build never moves edges to the
+        // driver.
+        closureDistributed(edges, maxDepth, parentCol, childCol)
+      else None
     graft.PlanKeys.planKey(edges) match {
       case Some(key) =>
-        val full = s"$key:$maxDepth:$parentCol:$childCol"
+        // Caps are part of the key: callers forcing a tier (a zero driver
+        // cap routes to the distributed build) must not be served an
+        // artifact another cap configuration built, even though the rows
+        // are provably identical — the memo entry's lifecycle and build
+        // path belong to the configuration that requested it.
+        val full = s"$key:$maxDepth:$parentCol:$childCol:$maxEdges:$maxDistributedEdges"
         Option(closureCache.get(full)).orElse {
-          if (fitsDriver(edges, maxEdges)) {
+          build().map { closure =>
             // Bounded like the other artifact memos: evicting wholesale
             // past 32 entries, unpersisting the cached closures so the
             // block store doesn't accumulate dead columnar batches in a
@@ -79,16 +128,71 @@ object Closure {
             // on EVERY query otherwise; cached, warm queries read columnar
             // batches. Deliberately not CacheRegistry-registered — the
             // artifact's lifetime is the memo entry's, like the IVF index.
-            Some(closureCache.computeIfAbsent(full,
-              _ => closureSmall(edges, maxDepth, parentCol, childCol,
-                maxEdges).cache()))
-          } else None
+            closureCache.computeIfAbsent(full, _ => closure.cache())
+          }
         }
-      case None =>
-        if (fitsDriver(edges, maxEdges))
-          Some(closureSmall(edges, maxDepth, parentCol, childCol, maxEdges))
-        else None
+      case None => build()
     }
+  }
+
+  /** Distributed bounded bag closure via prefix-decomposition doubling —
+    * the middle regime between the driver BFS and the frontier walk.
+    *
+    * Invariant: after a round extending coverage from L to L+ext, the
+    * accumulator holds EVERY (src, dst, lvl, n_paths) with lvl <= L+ext.
+    * A walk of length m in (L, L+ext] splits uniquely at its L-th node
+    * into an exactly-L prefix and a suffix of length m-L <= ext, so
+    * joining the exact-L slice against the <=ext slice and summing
+    * multiplicity products over the split node counts every walk exactly
+    * once. ceil(log2(maxDepth)) joins instead of maxDepth-1 frontier
+    * levels — at cluster scale that is ~5 shuffle stages for depth 20
+    * instead of 20 scheduler round-trips.
+    *
+    * Multiplicities are computed in DECIMAL(38,0) and checked back into
+    * Long range — a dense graph under the edge cap can push bag counts
+    * past 2^63, and this path must fail as loudly as closureSmall's
+    * Math.addExact does (same contract, reference path-count semantics).
+    *
+    * Each round localCheckpoints the accumulator: lineage stays one round
+    * deep and the per-round row-count guard (`maxRows`) doubles as the
+    * materialization barrier. Returns None when the closure exceeds
+    * `maxRows` — the graph is too dense for a materialized closure and
+    * the caller must walk.
+    */
+  def closureDistributed(edges: DataFrame, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child",
+      maxRows: Long = DefaultMaxClosureRows): Option[DataFrame] = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    var p = edges.select(col(parentCol).as("src"), col(childCol).as("dst"),
+        lit(1).as("lvl"), lit(1L).cast(dec).as("n_paths"))
+      .localCheckpoint()
+    var covered = 1
+    while (covered < maxDepth) {
+      val ext = math.min(covered, maxDepth - covered)
+      val prefix = p.filter(col("lvl") === covered)
+        .select(col("src"), col("dst").as("mid"), col("n_paths").as("n_a"))
+      val suffix = p.filter(col("lvl") <= ext)
+        .select(col("src").as("mid"), col("dst"), col("lvl"),
+          col("n_paths").as("n_b"))
+      val grown = prefix.join(suffix, "mid")
+        .groupBy(col("src"), col("dst"), (col("lvl") + covered).as("lvl"))
+        .agg(sum(col("n_a") * col("n_b")).as("n_paths"))
+      p = p.unionByName(grown.select("src", "dst", "lvl", "n_paths"))
+        .localCheckpoint()
+      covered += ext
+      if (p.count() > maxRows) return None
+    }
+    // Loud overflow check, closureSmall contract parity: a null decimal
+    // (overflowed 38 digits) or a value past Long range means the bag
+    // multiplicities are not representable — never silently wrap.
+    val bad = p.filter(col("n_paths").isNull ||
+      col("n_paths") > lit(Long.MaxValue).cast(dec)).limit(1).count()
+    if (bad > 0) throw new ArithmeticException(
+      "closureDistributed: path multiplicity overflow — graph too dense " +
+        "for bag closure")
+    Some(p.select(col("src"), col("dst"), col("lvl"),
+      col("n_paths").cast("long").as("n_paths")))
+  }
 
   /** All (src, dst, lvl, n_paths) with 1 <= lvl <= maxDepth and n_paths
     * the number of distinct walks src→dst of length lvl. Rows appear once
@@ -133,6 +237,16 @@ object Closure {
       }
     }
     import spark.implicits._
-    rows.result().toDF("src", "dst", "lvl", "n_paths")
+    val out = rows.result()
+    val df = out.toDF("src", "dst", "lvl", "n_paths")
+    // A driver-built closure is a single-partition LocalRelation; once it
+    // grows past trivial size, every warm query over the cached artifact
+    // would scan it on one core (measured: 3M rows ≈ 3.2 s/query at
+    // local[32] vs 0.14 s spread). Spread big artifacts at build time —
+    // one shuffle once; tiny hierarchies (the common ABAC case) stay
+    // single-partition and skip the per-query many-task overhead.
+    if (out.length > 100000)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 }

@@ -144,14 +144,15 @@ object GraphQueries {
     */
   def r3WotPathCount(spark: SparkSession, d: String): DataFrame = {
     val chain = GraphData.trustChain(spark, d)
-    // Same shape decision as r4: a 20-level walk over a driver-collectable
-    // trust graph pays ~90 tiny scheduler jobs per run (TravProf), which
-    // is the wrong physical plan for a dimension-sized graph at ANY
-    // scale. closureAuto computes the bounded bag closure once (memoized
-    // across runs), and the path count is a filter + sum over it. Above
-    // the 100k-edge cap — the at-scale WoT regime, where the trust graph
-    // is NOT a dimension — it returns None and the distributed walk
-    // below stays the plan.
+    // Same shape decision as r4: a 20-level walk over a dimension-sized
+    // trust graph pays ~90 tiny scheduler jobs per run (TravProf), the
+    // wrong physical plan at ANY scale. closureAuto picks by size:
+    // driver BFS closure under 100k edges, the log2(d)-round distributed
+    // closure (Closure.closureDistributed) up to 10M edges — both
+    // memoized across runs, so the path count is a filter + sum over a
+    // cached artifact. Only past 10M edges (a trust graph that is a fact
+    // table, not a dimension) does the per-query frontier walk below
+    // stay the plan.
     graft.graph.Closure.closureAuto(chain, maxDepth = 20) match {
       case Some(closure) =>
         closure.filter(col("src") === "E0" && col("dst") === "E15")
@@ -164,6 +165,22 @@ object GraphQueries {
           .filter(col("node") === "E15")
           .agg(count(lit(1)).as("n_paths"))
     }
+  }
+
+  /** R3 through the DISTRIBUTED closure tier, forced by a zero driver
+    * cap: same semantics and oracle as [[r3WotPathCount]], but the bag
+    * closure is built with log2(d) shuffle joins
+    * ([[graft.graph.Closure.closureDistributed]]) instead of the driver
+    * BFS — the gate pins the middle regime an over-100k-edge hierarchy
+    * takes at scale (e.g. the sf1 trust chain).
+    */
+  def r3WotPathCountDist(spark: SparkSession, d: String): DataFrame = {
+    val chain = GraphData.trustChain(spark, d)
+    val closure = graft.graph.Closure
+      .closureAuto(chain, maxDepth = 20, maxEdges = 0L)
+      .getOrElse(sys.error("distributed closure tier unavailable"))
+    closure.filter(col("src") === "E0" && col("dst") === "E15")
+      .agg(coalesce(sum(col("n_paths")), lit(0L)).as("n_paths"))
   }
 
   /** R3 with materialized paths: the Cypher `RETURN path` surface —
@@ -282,6 +299,7 @@ object GraphQueries {
     "j8_hier_vc_count" -> j8HierVcCount,
     "j7_two_hop" -> j7TwoHop,
     "r3_wot_path_count" -> r3WotPathCount,
+    "r3_wot_path_count_dist" -> r3WotPathCountDist,
     "prep_wot_count" -> prepWotCount,
     "r3_wot_path_list" -> r3WotPathList,
     "r4_abac_decision" -> r4AbacDecision,
@@ -383,6 +401,18 @@ object GraphQueries {
     "prep_wot_count" -> prepWotOracle(
       Seq(("E0", 20, "E15"), ("E3", 5, "E8"), ("E0", 5, "E15"))),
     "r3_wot_path_count" ->
+      """WITH RECURSIVE trust AS (
+        |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
+        |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |),
+        |paths AS (
+        |  SELECT child AS node, 1 AS lvl FROM trust WHERE parent = 'E0'
+        |  UNION ALL
+        |  SELECT t.child, p.lvl + 1 FROM paths p JOIN trust t ON t.parent = p.node
+        |  WHERE p.lvl < 20
+        |)
+        |SELECT count(*) AS n_paths FROM paths WHERE node = 'E15'""".stripMargin,
+    "r3_wot_path_count_dist" ->
       """WITH RECURSIVE trust AS (
         |  SELECT 'E' || a.c_custkey AS parent, 'E' || b.c_custkey AS child
         |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
