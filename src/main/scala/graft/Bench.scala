@@ -158,6 +158,26 @@ object Bench {
         val jitArr = iterSamples.map(_.jitMs).mkString("[", ",", "]")
         val memArr = iterSamples.map(s => f"${s.storageMb}%.1f")
           .mkString("[", ",", "]")
+        // Straggler self-diagnosis: any iteration past 2x p50 is named in
+        // the evidence itself — "gc" when the GC delta explains most of
+        // the excess, "external" when our own process-CPU stayed at its
+        // normal level (the JVM was descheduled: load outside this
+        // process), "cpu" when we genuinely burned the extra cycles (a
+        // real plan regression). This is the discriminator the r7/r8
+        // tails lacked; no reproduction run needed to attribute them.
+        val p50w = pct(lat, 0.5) * 1000
+        val cpuSorted = iterSamples.map(_.cpuMs.toDouble).sorted
+        val medCpu = pct(cpuSorted, 0.5)
+        val stragglers = iterSamples.zipWithIndex.collect {
+          case (s, i) if s.sec * 1000 > 2 * p50w =>
+            val excess = s.sec * 1000 - p50w
+            val cause =
+              if (s.gcMs > 0.5 * excess) "gc"
+              else if (s.cpuMs >= 0 && s.cpuMs < medCpu + 0.5 * excess)
+                "external"
+              else "cpu"
+            f"""{"iter":$i,"ms":${s.sec * 1000}%.0f,"cause":"$cause"}"""
+        }
         stats(name) =
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
@@ -166,7 +186,8 @@ object Bench {
           s""""jit_ms":$jitArr,"cached_mb":$memArr,""" +
           s""""cpu_ms":${iterSamples.map(_.cpuMs).mkString("[", ",", "]")},""" +
           s""""sys_load":${iterSamples.map(s => f"${s.sysLoad}%.1f")
-            .mkString("[", ",", "]")}}"""
+            .mkString("[", ",", "]")},""" +
+          s""""stragglers":${stragglers.mkString("[", ",", "]")}}"""
         compact(name) =
           f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
           f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
