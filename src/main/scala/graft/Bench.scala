@@ -136,8 +136,18 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
     val compact = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n))).foreach { name =>
+    // One untimed GLOBAL warm-up pass before any timing: the first
+    // measured query in a cold JVM otherwise absorbs the session's JIT
+    // warm-in into its own p50 (r1, first in protocol order, read
+    // 549 ms headline vs 324 ms in the late-run sweep over identical
+    // data — its jit_ms series showed 2.6 s of compilation landing in
+    // early timed iterations). One pass spreads compilation across all
+    // query shapes for ~15 s of wall, and the sweep self-check holds.
+    val toTime = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    toTime.foreach { n => run(n); CacheRegistry.releaseAll() }
+
+    toTime.foreach { name =>
       run(name); run(name) // two warm-ups, untimed
       val iterSamples = (1 to iters)
         .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
