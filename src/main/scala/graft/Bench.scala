@@ -136,6 +136,16 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
     val compact = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    val fullOut = try {
+      Some(new java.io.PrintWriter(
+        new java.io.FileWriter("/root/repo/BENCH_FULL.jsonl", false)))
+    } catch { case _: Exception => None }
+    def emit(line: String): Unit = {
+      println(line)
+      fullOut.foreach { w => w.println(line); w.flush() }
+    }
+    val steadyP50 = scala.collection.mutable.LinkedHashMap[String, Double]()
+
     // One untimed GLOBAL warm-up pass before any timing: the first
     // measured query in a cold JVM otherwise absorbs the session's JIT
     // warm-in into its own p50 (r1, first in protocol order, read
@@ -146,12 +156,38 @@ object Bench {
     val toTime = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     toTime.foreach { n => run(n); CacheRegistry.releaseAll() }
+    // The warm-up pass floods the C2 queue; background compile threads
+    // then burn cores under the FIRST timed queries (r9 evidence: r1's
+    // early iterations at cpu_ms 970 vs 430 steady, descending wall
+    // 183→123 ms, jit_ms nonzero throughout). Let the queue drain before
+    // timing — the JMH settle pattern: wait until the compilation-time
+    // delta over a 500 ms window drops under 25 ms, capped at 30 s.
+    locally {
+      val t0 = System.nanoTime(); var last = jitMs(); var settled = false
+      while (!settled && (System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000) {
+        Thread.sleep(500)
+        val now = jitMs()
+        settled = now - last < 25
+        last = now
+      }
+      emit(s"""{"block":"warmup","jit_settle_wait_ms":${
+        (System.nanoTime() - t0) / 1000000},"settled":$settled}""")
+    }
 
     toTime.foreach { name =>
       run(name); run(name) // two warm-ups, untimed
       val iterSamples = (1 to iters)
         .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
       val runOrder = iterSamples.map(_.sec)
+      // Steady-state estimate for the sweep self-check: median of the
+      // last half of the series. The early iterations of the FIRST
+      // queries in this block still carry residual JIT (evidenced in
+      // their jit_ms arrays even after the settle barrier); the sweep
+      // runs in a fully-warm JVM, so comparing its cells against a p50
+      // that straddles the warm-in would read as a false mismatch.
+      if (runOrder.length >= 4)
+        steadyP50(name) = pct(
+          runOrder.takeRight(runOrder.length / 2).sorted.toArray, 0.5)
       val lat = runOrder.sorted
       if (lat.nonEmpty) {
         val total = lat.sum
@@ -239,15 +275,6 @@ object Bench {
     // ---- long multi-decade scale sweep at the end — if the harness kills
     // ---- a long run mid-sweep, the stdout tail and the file still hold
     // ---- everything but the bonus decade.
-    val fullOut = try {
-      Some(new java.io.PrintWriter(
-        new java.io.FileWriter("/root/repo/BENCH_FULL.jsonl", false)))
-    } catch { case _: Exception => None }
-    def emit(line: String): Unit = {
-      println(line)
-      fullOut.foreach { w => w.println(line); w.flush() }
-    }
-
     val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errJson = runErrors.map { case (k, v) => s""""$k":"$v"""" }
@@ -271,7 +298,7 @@ object Bench {
     emit(s"""{"block":"e2e","e2e":$e2e}""")
     val (scale, scaleCompact) =
       if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4),
-        perQuery.toMap, sfDir)
+        perQuery.toMap ++ steadyP50, sfDir)
       else ("{}", "{}")
     emit(s"""{"block":"scale","scale":$scale}""")
 
@@ -369,7 +396,9 @@ object Bench {
         new java.io.File("/root/testdata/sf0.1").isDirectory)
       try graft.scale.ScaleGen.generate(spark, "/root/testdata/sf0.1", Sf1Dir, 10)
       catch { case e: Throwable =>
-        println(s"""{"block":"scale_gen","error":"${e.getClass.getSimpleName}"}""") }
+        val m = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ")
+          .take(200)
+        println(s"""{"block":"scale_gen","error":"${e.getClass.getSimpleName}","message":"$m"}""") }
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
         Sf1Dir)
@@ -432,7 +461,8 @@ object Bench {
       val selfJson = if (self.isEmpty) "{}" else {
         val worst = self.maxBy { case (_, r) => math.max(r, 1.0 / r) }
         val pass = self.values.forall(r => r <= 1.5 && r >= 1.0 / 1.5)
-        s"""{"dir":"$mainSf","sweep_over_headline":${self.map { case (q, r) =>
+        s"""{"dir":"$mainSf","headline_basis":"steady_state_last_half",""" +
+          s""""sweep_over_headline":${self.map { case (q, r) =>
           f""""$q":$r%.2f""" }.mkString("{", ",", "}")},""" +
           f""""worst":"${worst._1}","worst_ratio":${worst._2}%.2f,""" +
           s""""pass":$pass}"""
@@ -455,7 +485,15 @@ object Bench {
         s"""{"${sfName(top(1))}_over_${sfName(top(0))}":${ratioOf(top(0), top(1))}}"""
       (full, compactRatio)
     } catch { case e: Throwable =>
-      val err = s"""{"error":"${e.getClass.getSimpleName}"}"""
+      // A swallowed class name made the r9 scale failure undiagnosable
+      // from the evidence alone; record message + top frames.
+      val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ")
+        .take(300)
+      val frames = e.getStackTrace.take(6)
+        .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+        .mkString(" < ")
+      val err = s"""{"error":"${e.getClass.getSimpleName}",""" +
+        s""""message":"$msg","at":"$frames"}"""
       (err, err) }
   }
 

@@ -21,8 +21,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Resolved-scan memo: `spark.read.parquet` pays file listing + parquet
+  // footer schema inference + analysis on EVERY call — measured ~100-170 ms
+  // of driver time per query over these dirs, the single largest warm-query
+  // cost in the catalog (a query touching 5 tables pays it 5x). A real
+  // deployment registers tables once in a catalog/metastore and re-resolves
+  // from cached metadata; this memo is that catalog, scoped per
+  // SparkSession (DataFrames are session-bound; reference-equality keys
+  // guarantee a restarted session never sees a predecessor's plans) and
+  // per path. Bounded access-order LRU rather than a weak map: a
+  // DataFrame value strongly references its session, so weak session keys
+  // would never collect (value→key self-pin); the LRU bounds how many
+  // dead-session entries new activity can pin before evicting them.
+  private final val MemoCap = 256
+  private val scanMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MemoCap
+    }
+
+  /** Drop memoized scans under `dir` for every session — required after an
+    * in-place rewrite of a table directory (ScaleGen regeneration): a
+    * cached DataFrame pins its file listing at first resolution.
+    */
+  def invalidate(dir: String): Unit = scanMemo.synchronized {
+    scanMemo.keySet.removeIf(k => k._2.startsWith(dir))
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, s"$sfDir/$name.parquet")
+    scanMemo.synchronized { Option(scanMemo.get(key)) }.getOrElse {
+      // Resolve outside the lock: schema inference does I/O, and a
+      // concurrent duplicate resolve is harmless (last write wins).
+      val df = spark.read.parquet(key._2)
+      scanMemo.synchronized { scanMemo.put(key, df) }
+      df
+    }
+  }
 
   def region(spark: SparkSession, d: String): DataFrame = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = apply(spark, d, "nation")

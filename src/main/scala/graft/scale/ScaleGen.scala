@@ -126,5 +126,10 @@ object ScaleGen {
            x => x + lit((i * 1e-3).toFloat))).as("embedding"),
         (col("label") + lit(nLbl * i)).cast("int").as("label"))
     }.reduce(_ unionByName _), "embeddings", 4)
+
+    // The Tables scan memo pins file listings at first resolution; an
+    // in-place regeneration of this dir must drop any entries resolved
+    // against the previous contents.
+    graft.Tables.invalidate(out)
   }
 }
