@@ -335,4 +335,113 @@ object Dedup {
     require(converged, s"components did not converge in $maxRounds rounds")
     labels
   }
+
+  /** Max pairs collected to the driver by [[componentsAuto]]'s small
+    * tier; above this the delta iteration runs. Same bounded-driver-read
+    * contract as [[graft.graph.Closure.DefaultMaxEdges]].
+    */
+  val DefaultMaxDriverPairs = 500000L
+
+  /** Id types whose external (Row-level) natural Comparable order matches
+    * Catalyst's `min` ordering — the precondition for the driver
+    * union-find tier. Float/double ids are excluded on purpose: their
+    * NaN ordering diverges between Catalyst and Comparable, and a
+    * floating-point doc id is a modeling bug anyway.
+    */
+  private def atomicIdType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Auto entry point for near-dup clustering, tiered like
+    * [[graft.graph.Closure.closureAuto]]: a pair list that fits the
+    * driver cap resolves via union-find in one pass ([[componentsSmall]]
+    * — the near-dup PAIR list is usually dimension-shaped even when the
+    * corpus is not, because most documents have no near-duplicate at
+    * all); anything bigger runs the distributed delta iteration
+    * ([[components]]). The size probe is a bounded count, not a collect.
+    */
+  def componentsAuto(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxDriverPairs: Long = DefaultMaxDriverPairs): DataFrame = {
+    val cap = math.min(maxDriverPairs, (Int.MaxValue - 1).toLong).toInt
+    val atomicIds =
+      atomicIdType(pairs.select(col(aCol)).schema.fields(0).dataType)
+    if (atomicIds && pairs.limit(cap + 1).count() <= maxDriverPairs)
+      componentsSmall(pairs, aCol, bCol, maxDriverPairs)
+    else components(pairs, aCol, bCol)
+  }
+
+  /** Driver union-find tier of [[componentsAuto]] — identical output
+    * contract to [[components]]: one (node, lab) row per node appearing
+    * in `pairs`, lab = the component's minimum member under the node
+    * column's OWN type ordering (numeric min for numeric ids, string min
+    * for string ids — exactly the distributed tier's `min(lab)`), typed
+    * as the input column. Union by rank + path halving; the per-root
+    * minimum is resolved in a final pass, so label assignment is
+    * order-independent and deterministic.
+    */
+  def componentsSmall(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxPairs: Long = DefaultMaxDriverPairs): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = pairs.sparkSession
+    val cap = math.min(maxPairs, (Int.MaxValue - 1).toLong).toInt
+    val projected = pairs.select(col(aCol), col(bCol)).limit(cap + 1)
+    val nodeType = projected.schema.fields(0).dataType
+    require(projected.schema.fields(1).dataType == nodeType,
+      s"componentsSmall: $aCol and $bCol must share a type")
+    // min(lab) in the distributed tier is Catalyst's ordering; for atomic
+    // id types (string/int/long/decimal/date) the external values'
+    // natural Comparable order is that same order. Complex-typed ids
+    // (array/struct) are not id-shaped — route them to the distributed
+    // tier instead of defining a divergent driver order.
+    require(atomicIdType(nodeType),
+      s"componentsSmall: unsupported node type $nodeType — use components")
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val es = projected.collect().map(r => (r.get(0), r.get(1)))
+    require(es.length <= maxPairs,
+      s"componentsSmall: pair list exceeds $maxPairs — use components")
+    val id = scala.collection.mutable.HashMap[Any, Int]()
+    val nodes = scala.collection.mutable.ArrayBuffer[Any]()
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    val rank = scala.collection.mutable.ArrayBuffer[Byte]()
+    def idOf(s: Any): Int = id.getOrElseUpdate(s, {
+      nodes += s; parent += parent.length; rank += 0; nodes.length - 1
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(idOf(a)), find(idOf(b)))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap[Int, Any]()
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val n = nodes(i)
+      if (!minOf.get(r).exists(m => ord.lteq(m, n))) minOf(r) = n
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
+    nodes.indices.foreach { i =>
+      rows.add(org.apache.spark.sql.Row(nodes(i), minOf(find(i))))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("node", nodeType, nullable = false),
+      StructField("lab", nodeType, nullable = false))))
+  }
 }

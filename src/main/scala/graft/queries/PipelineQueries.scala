@@ -44,8 +44,9 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** D6: near-duplicate clustering — d4's pair list resolved into
-    * connected components ([[Dedup.components]], min-label propagation),
-    * then every document mapped to its canonical survivor (component
+    * connected components ([[Dedup.componentsAuto]]: driver union-find
+    * under an explicit pair cap, distributed min-label delta iteration
+    * past it), then every document mapped to its canonical survivor (component
     * minimum; docs with no near-dup survive as themselves). The shape a
     * training pipeline actually consumes: a total keep_id assignment,
     * not a pair list. Oracle: DuckDB recursive min-label closure over
@@ -53,7 +54,7 @@ object PipelineQueries {
     */
   def d6DedupComponents(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val comp = Dedup.components(
+    val comp = Dedup.componentsAuto(
       Dedup.ngramJaccard(docs, blockCol = "source", threshold = 0.9))
     docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

@@ -151,8 +151,38 @@ class PipelineSpec extends AnyFunSuite {
       val got = Dedup.components(edges.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"seed $i: components diverged from union-find")
+      // Tier parity: the driver union-find tier must produce the exact
+      // same (node, lab) assignment AND the same column types as the
+      // distributed delta iteration.
+      val small = Dedup.componentsSmall(edges.toDF("doc_a", "doc_b"))
+      assert(small.schema.fields.map(_.dataType).toSeq ==
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType))
+      assert(small.as[(Long, Long)].collect().toMap == expected,
+        s"seed $i: componentsSmall diverged from union-find")
       graft.CacheRegistry.releaseAll()
     }
+  }
+
+  test("componentsAuto tiers: small pair lists take the driver path, " +
+      "string ids keep string min semantics") {
+    val pairs = Seq(("d10", "d2"), ("d2", "d03"), ("x1", "x2"))
+      .toDF("doc_a", "doc_b")
+    // String min is lexicographic: min("d10","d2","d03") = "d03".
+    val expect = Map("d10" -> "d03", "d2" -> "d03", "d03" -> "d03",
+      "x1" -> "x1", "x2" -> "x1")
+    val viaSmall = Dedup.componentsSmall(pairs).as[(String, String)]
+      .collect().toMap
+    val viaDist = Dedup.components(pairs).as[(String, String)]
+      .collect().toMap
+    val viaAuto = Dedup.componentsAuto(pairs).as[(String, String)]
+      .collect().toMap
+    assert(viaSmall == expect && viaDist == expect && viaAuto == expect)
+    // Over-cap pair lists must fall through to the distributed tier.
+    val big = Dedup.componentsAuto(pairs, maxDriverPairs = 2L)
+      .as[(String, String)].collect().toMap
+    assert(big == expect)
+    graft.CacheRegistry.releaseAll()
   }
 
   test("hash sampling is content-deterministic, order- and partition-blind") {
