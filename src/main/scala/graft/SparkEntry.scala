@@ -25,7 +25,7 @@ object SparkEntry {
       (GraphQueries.defs, GraphQueries.oracles),
       (MutQueries.defs, MutQueries.oracles),
       (FuncQueries.defs, FuncQueries.oracles),
-      (PipelineQueries.defs, PipelineQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oraclesWithTwins),
       (StreamQueries.defs, StreamQueries.oracles),
       (ScenarioQueries.defs, ScenarioQueries.oracles))
 

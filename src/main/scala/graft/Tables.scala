@@ -68,15 +68,27 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = apply(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = apply(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = apply(spark, d, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default; read the nanos as long and convert to a microsecond
-    * TimestampType with integer division (a double division would lose
-    * precision above 2^53 ns).
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects by default, so it is read as long nanos and converted with
+    * integer division (a double division would lose precision above
+    * 2^53 ns) — and plain TIMESTAMP(MICROS) without UTC adjustment, which
+    * reads as TIMESTAMP_NTZ. Both normalize to a microsecond
+    * TimestampType here; the session timezone is pinned to UTC by every
+    * entry point, so the NTZ→TZ cast is wall-clock identity.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(spark, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")

@@ -52,9 +52,22 @@ object PipelineQueries {
     * not a pair list. Oracle: DuckDB recursive min-label closure over
     * the same pairs.
     */
-  def d6DedupComponents(spark: SparkSession, d: String): DataFrame = {
+  def d6DedupComponents(spark: SparkSession, d: String): DataFrame =
+    d6WithResolver(spark, d, Dedup.componentsAuto(_))
+
+  /** D6 dist twin: same query, but the pair list is FORCED through the
+    * distributed min-label delta iteration ([[Dedup.components]]) against
+    * the same oracle. At gate scale [[Dedup.componentsAuto]] always picks
+    * the driver union-find tier, so without this twin the delta iteration
+    * — the 100 TB plan — would lose its oracle pinning entirely.
+    */
+  def d6DedupComponentsDist(spark: SparkSession, d: String): DataFrame =
+    d6WithResolver(spark, d, Dedup.components(_))
+
+  private def d6WithResolver(spark: SparkSession, d: String,
+      resolve: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val comp = Dedup.componentsAuto(
+    val comp = resolve(
       Dedup.ngramJaccard(docs, blockCol = "source", threshold = 0.9))
     docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -277,6 +290,7 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d6_dedup_components" -> d6DedupComponents,
+    "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d9_contamination" -> d9Contamination,
@@ -628,4 +642,10 @@ object PipelineQueries {
       """SELECT doc_id,
         |  ((octet_length(encode(text))::INT - 1) // 64 + 1)::INT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** The dist twin computes the identical result through the distributed
+    * tier, so it is pinned by the identical oracle.
+    */
+  val oraclesWithTwins: Map[String, String] =
+    oracles + ("d6_dedup_components_dist" -> oracles("d6_dedup_components"))
 }

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *    (10× lines per part — dimension tables are not scaled).
   *  - events: `event_id += i·|E|`, `user_id += i·|C|`, `ts += i·span`
   *    so the ordered log stays strictly spread instead of 10 interleaved
-  *    identical timelines (events.parquet stores ns-longs; the shift is
-  *    plain long arithmetic and the output reads back through
-  *    Tables.events unchanged).
+  *    identical timelines (ts is normalized to epoch-micros longs first —
+  *    [[tsToMicros]] — so the shift is plain long arithmetic whatever the
+  *    source encoding; the output is written as TIMESTAMP(MICROS) and
+  *    reads back through Tables.events unchanged).
   *  - region/nation/supplier/part/documents/embeddings: copied verbatim.
   *
   * Everything is a distributed union-of-projections — no collect beyond
@@ -48,6 +49,21 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("ERROR")
     generate(spark, src, out, factor)
     spark.stop()
+  }
+
+  /** Events `ts` → epoch-micros long, dispatching on the physical type
+    * the source shipped with: ns-longs integer-divide by 1000; timestamp
+    * columns (NTZ or TZ) go through `unix_micros` after a TimestampType
+    * cast — the session timezone is UTC, so the NTZ cast is wall-clock
+    * identity. Shared with ScaleGenSpec's timeline-disjointness check.
+    */
+  def tsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("ts div 1000"))
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+    }
   }
 
   def generate(spark: SparkSession, src: String, out: String,
@@ -75,14 +91,19 @@ object ScaleGen {
 
     val customer = read("customer")
     val orders = read("orders")
-    val events = read("events")
+    // Normalize ts to epoch-micros longs so the copy shift is plain long
+    // arithmetic regardless of the source encoding (ns-longs vs
+    // TIMESTAMP(MICROS) — see Tables.events); the output converts back to
+    // a microsecond TimestampType, the canonical form every reader of the
+    // generated decade normalizes to anyway.
+    val events = tsToMicros(read("events"))
     val nCust = stride(customer, "c_custkey")
     val nOrd = stride(orders, "o_orderkey")
     val nEvt = stride(events, "event_id")
     // Keep the replicated timelines disjoint: copy i starts one second
     // after copy i-1 ends.
     val tsRow = events.agg(min(col("ts")), max(col("ts"))).head()
-    val tsSpan = tsRow.getLong(1) - tsRow.getLong(0) + 1000000000L
+    val tsSpan = tsRow.getLong(1) - tsRow.getLong(0) + 1000000L
 
     write(replicate(customer, Map("c_custkey" -> nCust)), "customer", 8)
     write(replicate(orders, Map("o_orderkey" -> nOrd, "o_custkey" -> nCust)),
@@ -90,7 +111,8 @@ object ScaleGen {
     write(replicate(read("lineitem"), Map("l_orderkey" -> nOrd)),
       "lineitem", 16)
     write(replicate(events,
-      Map("event_id" -> nEvt, "user_id" -> nCust, "ts" -> tsSpan)),
+        Map("event_id" -> nEvt, "user_id" -> nCust, "ts" -> tsSpan))
+        .withColumn("ts", timestamp_micros(col("ts"))),
       "events", 8)
     Seq("region", "nation", "supplier", "part")
       .foreach(n => write(read(n), n, 1))

@@ -58,8 +58,10 @@ class ScaleGenSpec extends AnyFunSuite {
     val n = src.count()
     assert(rep.count() == 2 * n)
     assert(rep.agg(countDistinct(col("event_id"))).head().getLong(0) == 2 * n)
-    // Copy 1's earliest ts must be after copy 0's latest.
-    val bounds = rep
+    // Copy 1's earliest ts must be after copy 0's latest. Normalize ts to
+    // epoch-micros longs first — the generated decade writes
+    // TIMESTAMP(MICROS) whatever the source encoding was.
+    val bounds = graft.scale.ScaleGen.tsToMicros(rep)
       .withColumn("copy", when(col("event_id") < n, 0).otherwise(1))
       .groupBy(col("copy")).agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       .orderBy(col("copy")).collect()
