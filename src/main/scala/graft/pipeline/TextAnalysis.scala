@@ -137,4 +137,43 @@ object TextAnalysis {
         round(avg(log(col("cnt").cast("double") / col("total"))), 4)
           .as("avg_logp"))
   }
+
+  /** T7: intra-document repetition metrics (the Gopher/MassiveText
+    * repetition filters, word-bigram form): per document, the total and
+    * distinct bigram counts, the occupancy of the single most frequent
+    * bigram, and the mass sitting in repeated bigrams. High
+    * top-bigram/duplicate mass flags boilerplate and degenerate
+    * generation loops — a standard pretraining quality signal alongside
+    * [[qualityScore]]'s length/punct/stopword stats. Counts are emitted
+    * as integers (ratios are derivable) so the oracle hash-compare never
+    * rides on float formatting.
+    *
+    * Shape: explode bigrams → two-level hash aggregate. Both shuffles
+    * key on doc_id(+gram), so at 100 TB this is embarrassingly
+    * data-parallel with map-side partial aggregation; nothing is
+    * corpus-global. Docs with fewer than two tokens come back with all
+    * zeros via the left join (explode of an empty array emits no rows).
+    */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat(w[i], ' ', w[i+1]))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val perDoc = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).cast("int").as("n_bigrams"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        max(col("n")).cast("int").as("top_n"),
+        coalesce(sum(when(col("n") > 1, col("n"))), lit(0)).cast("int")
+          .as("dup_n"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0)).as("n_distinct"),
+        coalesce(col("top_n"), lit(0)).as("top_n"),
+        coalesce(col("dup_n"), lit(0)).as("dup_n"))
+  }
 }

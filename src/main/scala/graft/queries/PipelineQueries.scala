@@ -240,6 +240,13 @@ object PipelineQueries {
     TextAnalysis.unigramLogProb(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** T7: word-bigram repetition metrics (Gopher-style boilerplate
+    * signal) — integer counts only, ratios derivable downstream.
+    */
+  def t7Repetition(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** T6: PII redaction over deterministically augmented docs — the
     * synthetic corpus carries no PII, so the gate plants one email/URL/
     * phone per doc AS PART OF THE QUERY (both engines build the same
@@ -307,6 +314,7 @@ object PipelineQueries {
     "t3_tokens" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_unigram_logprob" -> t5UnigramLogprob,
+    "t7_repetition" -> t7Repetition,
     "t6_redact_pii" -> t6RedactPii,
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
@@ -617,6 +625,24 @@ object PipelineQueries {
         |  round(avg(ln(f.cnt::DOUBLE / tot.total)), 4) AS avg_logp
         |FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t7_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |      FROM t),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM i),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, sum(n)::INT AS n_bigrams, count(*)::INT AS n_distinct,
+        |         max(n)::INT AS top_n,
+        |         COALESCE(sum(CASE WHEN n > 1 THEN n END), 0)::INT AS dup_n
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(n_distinct, 0) AS n_distinct,
+        |  COALESCE(top_n, 0) AS top_n,
+        |  COALESCE(dup_n, 0) AS dup_n
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mm1_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
         |  CAST(64 + doc_id % 64 AS INT) AS width,

@@ -160,8 +160,33 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** J12: as-of attribution — every purchase matched to the user's latest
+    * click at-or-before the purchase instant ([[graft.operators.AsOfJoin]]:
+    * tagged union → one key shuffle → running `last` sweep; no range
+    * explosion). The click side is pre-aggregated to one row per
+    * (user, ts) with the max event id so duplicate-timestamp resolution
+    * is engine-independent — DuckDB's ASOF picks an arbitrary row among
+    * exact-tie duplicates, and a gate must not hash-compare an arbitrary
+    * choice. Unmatched purchases survive with null click/gap (LEFT).
+    */
+  def j12AsofAttribution(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPrefix = "c_")
+      .select(col("event_id"), col("user_id"), col("c_click_id").as("click_id"),
+        (unix_millis(col("ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_filter" -> s1ScanFilter,
+    "j12_asof_attribution" -> j12AsofAttribution,
     "p6_distinct" -> p6Distinct,
     "p7_set_membership" -> p7SetMembership,
     "a1_count" -> a1Count,
@@ -175,6 +200,20 @@ object RelQueries {
     "set_union_all" -> setUnionAll)
 
   val oracles: Map[String, String] = Map(
+    "j12_asof_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_ms(CAST(p.ts AS TIMESTAMP)) -
+        |    epoch_ms(CAST(c.ts AS TIMESTAMP)) AS gap_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "s1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem

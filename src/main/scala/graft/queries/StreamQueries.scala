@@ -42,12 +42,36 @@ object StreamQueries {
     CdcStream.replayStatsSharded(
       Tables.events(spark, d).select(col("event_id").as("id")), 500)
 
+  /** W1: tumbling-window counts per event type — the exact `window()`
+    * expression CdcStream's latency block groups by, here in batch mode
+    * under the DuckDB oracle (epoch-aligned 1-hour buckets; Spark's
+    * default window origin is the 1970 epoch, which `date_trunc('hour')`
+    * reproduces). This pins the windowed-aggregation semantics the
+    * streaming path reuses verbatim; at scale it is a plain two-phase
+    * hash aggregate keyed on (bucket, type) — map-side combined, no
+    * global state.
+    */
+  def w1TumblingCounts(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
-    "s4_replay_stats_sharded" -> s4ReplayStatsSharded)
+    "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
+    "w1_tumbling_counts" -> w1TumblingCounts)
 
   val oracles: Map[String, String] = Map(
+    "w1_tumbling_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start_ms,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start_ms, event_type""".stripMargin,
     "s5_cdc_parse" ->
       """SELECT 'c' AS op, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
         |  user_id AS id, 'u' || user_id AS name

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the as-of join sweep: inclusive tie matching,
+  * whole-row payload propagation under genuine nulls, LEFT-outer
+  * survival, deterministic duplicate resolution via tiebreak, and a
+  * brute-force parity fuzz against the O(n·m) range-join + argmax
+  * definition the operator exists to avoid.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("backward join picks latest right row at-or-before, inclusive") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 6L, "r6"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts")
+      .select("k", "ts", "lv", "asof_rv").as[(Long, Long, String, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some("r10")),  // exact tie matches (inclusive)
+      (1L, 20L, "b", Some("r15")),  // latest preceding, not first
+      (2L, 5L, "c", None)))         // right row is later -> no match
+  }
+
+  test("null payload fields do not stitch values from older right rows") {
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some("old"), Some(100L)),
+      (1L, 20L, None, Some(200L))).toDF("k", "ts", "s", "n")
+    val row = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts")
+      .select("asof_s", "asof_n").as[(Option[String], Option[Long])]
+      .head()
+    // The matched row is ts=20 whose s IS NULL; a per-column sweep would
+    // leak "old" from ts=10 into s while taking n=200 from ts=20.
+    assert(row == (None, Some(200L)))
+  }
+
+  test("duplicate (key, ts) right rows resolve by tiebreak, last wins") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("k", "ts", "id")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      tiebreak = Some("id")).select("asof_id").as[Long].head()
+    assert(got == 9L)
+  }
+
+  test("fuzz: parity with the brute-force range-join + argmax definition") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 5) {
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val right = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 1000L + i) }
+      val lDf = left.toDF("k", "ts", "lid")
+      val rDf = right.toDF("k", "ts", "rid")
+      val got = AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", "ts")
+        .select("lid", "asof_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      val want = left.map { case (k, ts, lid) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= ts)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == want, "asof diverged from brute force")
+    }
+  }
+
+  test("plan: one exchange on the key, no join node, no cartesian") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 5L, "r")).toDF("k", "ts", "rv")
+    val plan = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      s"asof should not plan a join:\n$plan")
+  }
+}

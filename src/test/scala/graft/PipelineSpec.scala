@@ -503,4 +503,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.head.getSeq[Float](2).length == 8)
     assert(f1.head.getInt(1) > 0)
   }
+
+  test("repetition metrics: planted loop dominates, short docs all-zero") {
+    val docs = Seq(
+      (0L, "a b a b a b"),        // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, top 3, dup 5
+      (1L, "x y z"),              // xy,yz -> 2 total, 2 distinct, top 1, dup 0
+      (2L, "solo"),               // < 2 tokens -> zeros
+      (3L, "")).toDF("doc_id", "text")
+    val byId = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(byId(0L) == ((5, 2, 3, 5)))
+    assert(byId(1L) == ((2, 2, 1, 0)))
+    assert(byId(2L) == ((0, 0, 0, 0)))
+    // "" splits to one empty token -> fewer than 2 tokens -> zeros.
+    assert(byId(3L) == ((0, 0, 0, 0)))
+  }
 }
