@@ -336,6 +336,38 @@ object Dedup {
     labels
   }
 
+  /** D10: cross-document duplicate chunk detection (the corpus-wide
+    * boilerplate signal behind C4's line dedup, restated for unpunctuated
+    * text): each document splits into consecutive non-overlapping
+    * `chunkWords`-word chunks; a chunk is SHARED when its text occurs in
+    * at least two distinct documents. Returns per-document
+    * (id, n_chunks, n_shared) — the shared fraction is the drop signal.
+    *
+    * Scale shape: chunks shuffle by their sha2 digest (small fixed-width
+    * keys, never raw text); the distinct-doc count and the membership
+    * join key on that same digest so the exchange is reusable; the final
+    * rollup keys on the document id. Nothing is ever all-pairs and no
+    * per-chunk state outlives its aggregate.
+    */
+  def chunkShared(docs: DataFrame, chunkWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0D) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))"))
+        .as("chunk"))
+      .select(col(idCol), sha2(col("chunk"), 256).as("h"))
+    val spread = chunks.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+    chunks.join(spread, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        coalesce(sum(when(col("nd") > 1, 1)), lit(0)).cast("int")
+          .as("n_shared"))
+  }
+
   /** Max pairs collected to the driver by [[componentsAuto]]'s small
     * tier; above this the delta iteration runs. Same bounded-driver-read
     * contract as [[graft.graph.Closure.DefaultMaxEdges]].

@@ -247,6 +247,38 @@ object PipelineQueries {
     TextAnalysis.repetition(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** D10: cross-document duplicate 8-word-chunk counts
+    * ([[Dedup.chunkShared]]) — the C4 line-dedup signal for
+    * unpunctuated text.
+    */
+  def d10ChunkShared(spark: SparkSession, d: String): DataFrame =
+    Dedup.chunkShared(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
+  /** D11: the composed curation funnel — per-stage survivor counts for
+    * the pipeline a training-data team actually runs: exact dedup →
+    * minimum-length filter → deterministic 10% hash sample. Each stage
+    * reuses the already-gated operator (d1's keep set, a t2-style length
+    * rule, d7's content-hash membership), so the gate pins their
+    * COMPOSITION: stage predicates must commute with each other's
+    * outputs exactly or the counts drift.
+    */
+  def d11CurationFunnel(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val s1 = docs.join(keep, "doc_id")
+    val s2 = s1.filter(size(split(col("text"), " ")) >= 30)
+    val s3 = graft.pipeline.Sampling.hashSample(s2, 0.1)
+    Seq("0_all" -> docs, "1_exact_dedup" -> s1, "2_min_words" -> s2,
+      "3_sample10" -> s3)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** T6: PII redaction over deterministically augmented docs — the
     * synthetic corpus carries no PII, so the gate plants one email/URL/
     * phone per doc AS PART OF THE QUERY (both engines build the same
@@ -315,6 +347,8 @@ object PipelineQueries {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_unigram_logprob" -> t5UnigramLogprob,
     "t7_repetition" -> t7Repetition,
+    "d10_chunk_shared" -> d10ChunkShared,
+    "d11_curation_funnel" -> d11CurationFunnel,
     "t6_redact_pii" -> t6RedactPii,
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
@@ -643,6 +677,31 @@ object PipelineQueries {
         |  COALESCE(dup_n, 0) AS dup_n
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "d10_chunk_shared" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1)) AS i
+        |        FROM t)
+        |),
+        |cnt AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+        |SELECT doc_id, count(*)::INT AS n_chunks,
+        |  COALESCE(sum(CASE WHEN nd > 1 THEN 1 END), 0)::INT AS n_shared
+        |FROM ch JOIN cnt USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d11_curation_funnel" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+        |           GROUP BY sha256(text)),
+        |s1 AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+        |s2 AS (SELECT * FROM s1 WHERE len(string_split(text, ' ')) >= 30),
+        |s3 AS (SELECT * FROM s2
+        |       WHERE ('0x' || substr(sha256(text), 1, 8))::BIGINT % 10000 < 1000)
+        |SELECT '0_all' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_exact_dedup', count(*) FROM s1
+        |UNION ALL SELECT '2_min_words', count(*) FROM s2
+        |UNION ALL SELECT '3_sample10', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
     "mm1_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
         |  CAST(64 + doc_id % 64 AS INT) AS width,

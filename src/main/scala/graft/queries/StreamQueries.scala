@@ -59,11 +59,31 @@ object StreamQueries {
         col("event_type"), col("n"))
       .orderBy(col("w_start_ms"), col("event_type"))
 
+  /** W2: gap-based sessionization through Spark's native
+    * `session_window` (the second Structured Streaming window type,
+    * merge-on-overlap state semantics) in batch mode. The oracle
+    * re-derives sessions the classical way — lag-gap break flags,
+    * running-sum island ids, group-by — so the gate pins Spark's merge
+    * semantics (break at gap ≥ 30 min; session end = last event + gap)
+    * against an independent formulation. Scale shape: one shuffle on
+    * user_id; session merging is partition-local.
+    */
+  def w2SessionWindow(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
     "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
-    "w1_tumbling_counts" -> w1TumblingCounts)
+    "w1_tumbling_counts" -> w1TumblingCounts,
+    "w2_session_window" -> w2SessionWindow)
 
   val oracles: Map[String, String] = Map(
     "w1_tumbling_counts" ->
@@ -72,6 +92,27 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start_ms, event_type""".stripMargin,
+    "w2_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(CAST(ts AS TIMESTAMP))
+        |         - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS start_ms,
+        |  epoch_ms(CAST(max(ts) AS TIMESTAMP)) + 1800000 AS end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
     "s5_cdc_parse" ->
       """SELECT 'c' AS op, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
         |  user_id AS id, 'u' || user_id AS name
