@@ -40,7 +40,8 @@ object Bench {
     "q1_agg", "d2_minhash_lsh", "ann_topk", "d5_embed_cosine",
     "u2_vc_roundtrip",
     "u1_sig_roundtrip",   // crypto throughput: the catalog's heaviest row count
-    "d4_ngram_jaccard")   // prefix-filtered AllPairs join (round-8 path)
+    "d4_ngram_jaccard",   // prefix-filtered AllPairs join (round-8 path)
+    "j12_asof_attribution") // as-of join sweep (round-9 operator)
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.

@@ -52,10 +52,18 @@ object AsOfJoin {
     * @param rightPrefix prefix for emitted right payload columns.
     * @param tiebreak    right column ordering duplicates on (key, ts);
     *                    the LAST in ascending order wins.
+    * @param toleranceMs max lookback: a match older than this many
+    *                    milliseconds before the left timestamp is
+    *                    discarded (row survives with null right columns)
+    *                    — the pandas `merge_asof(tolerance=)` /
+    *                    attribution-window semantics. Requires both
+    *                    timestamp columns to be TimestampType. None =
+    *                    unbounded.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String = "asof_",
-      tiebreak: Option[String] = None): DataFrame = {
+      tiebreak: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
     val leftPayload = left.columns.filterNot(keys.contains).toIndexedSeq
     val rightPayload = right.columns.filterNot(keys.contains).toIndexedSeq
@@ -93,9 +101,23 @@ object AsOfJoin {
         col("__asof_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight.unionByName(taggedLeft)
+    toleranceMs.foreach { _ =>
+      import org.apache.spark.sql.types.TimestampType
+      require(left.schema(leftTs).dataType == TimestampType &&
+        right.schema(rightTs).dataType == TimestampType,
+        "toleranceMs requires TimestampType timestamps on both sides")
+    }
+    val swept = taggedRight.unionByName(taggedLeft)
       .withColumn("__asof_match",
         last(col("__asof_payload"), ignoreNulls = true).over(w))
+    val bounded = toleranceMs match {
+      case Some(tol) => swept.withColumn("__asof_match",
+        when(unix_millis(col("__asof_ts")) -
+          unix_millis(col(s"__asof_match.$rightTs")) <= tol,
+          col("__asof_match")))
+      case None => swept
+    }
+    bounded
       .filter(col("__asof_side") === 1)
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.zip(outRight).map { case (c, o) =>

@@ -72,6 +72,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance drops matches older than the window, keeps the row") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(t0.getTime + plusMs)
+    val left = Seq((1L, ts(100000L), "a"), (1L, ts(200000L), "b"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(95000L), "r1")).toDF("k", "ts", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      toleranceMs = Some(30000L))
+      .select("lv", "asof_rv").as[(String, Option[String])]
+      .collect().toMap
+    // "a" is 5s after r1 (inside 30s window); "b" is 105s after (outside).
+    assert(got == Map("a" -> Some("r1"), "b" -> None))
+  }
+
   test("plan: one exchange on the key, no join node, no cartesian") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 5L, "r")).toDF("k", "ts", "rv")
