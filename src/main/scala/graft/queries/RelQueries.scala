@@ -184,9 +184,68 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** J13: range-join context count — for every purchase, how many clicks
+    * the same user made in the preceding two hours
+    * ([[graft.operators.RangeJoin]]: interval bucketing turns the
+    * inequality join into an equi-join on (user, bucket) with ≤2 replicas
+    * per click — never the nested-loop plan Spark picks for raw
+    * inequality predicates). Inner matches are aggregated then
+    * left-joined back so every purchase reports, zero included.
+    */
+  def j13RangeCount(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val matched = graft.operators.RangeJoin
+      .inner(purchases, clicks, Seq("user_id"), "ts", "ts",
+        beforeMs = 7200000L, afterMs = 0L, rightPrefix = "c_")
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  /** SK1: HyperLogLog++ distinct-user sketch per event type, gated the
+    * honest way for an approximate operator (the ann_*_recall pattern):
+    * the gate emits whether the worst per-group relative error against
+    * the exact distinct count stays within 5% — the sketch value itself
+    * is engine-specific and is not hash-compared. At 100 TB the sketch
+    * IS the operator: approx_count_distinct merges fixed-size HLL
+    * registers map-side instead of shuffling a distinct set.
+    */
+  def sk1HllBound(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .agg(max(abs(col("approx") - col("exact")) /
+        col("exact").cast("double")).as("worst_err"))
+      .select((col("worst_err") <= 0.05).as("within_bound"))
+
+  /** SK2: quantile sketch (Spark's Greenwald-Khanna
+    * `approx_percentile`) — gated by rank containment: the approximate
+    * median must land between the exact 0.49 and 0.51 quantiles, i.e.
+    * within 1% rank error at accuracy 10000.
+    */
+  def sk2QuantileBound(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap"),
+        expr("percentile(l_quantity, 0.49)").as("lo"),
+        expr("percentile(l_quantity, 0.51)").as("hi"))
+      .select((col("ap") >= col("lo") && col("ap") <= col("hi"))
+        .as("within_bound"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_filter" -> s1ScanFilter,
     "j12_asof_attribution" -> j12AsofAttribution,
+    "j13_range_count" -> j13RangeCount,
+    "sk1_hll_bound" -> sk1HllBound,
+    "sk2_quantile_bound" -> sk2QuantileBound,
     "p6_distinct" -> p6Distinct,
     "p7_set_membership" -> p7SetMembership,
     "a1_count" -> a1Count,
@@ -213,6 +272,20 @@ object RelQueries {
         |    epoch_ms(CAST(c.ts AS TIMESTAMP)) AS gap_ms
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "sk1_hll_bound" -> "SELECT TRUE AS within_bound",
+    "sk2_quantile_bound" -> "SELECT TRUE AS within_bound",
+    "j13_range_count" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, count(c.ts) AS n_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+        |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
     "s1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate

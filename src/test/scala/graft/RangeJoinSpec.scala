@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the bucketed range join: inclusive endpoints, no duplicate
+  * pairs from the two-bucket replication, brute-force parity fuzz, and
+  * the load-bearing plan property — the join the optimizer executes is
+  * an EQUI-join, not the nested-loop plan raw inequality predicates get.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val epoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(plusMs: Long) = new java.sql.Timestamp(epoch.getTime + plusMs)
+
+  test("inclusive window, both endpoints, across bucket boundaries") {
+    val left = Seq((1L, ts(10000L), "L")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts(5000L), "in_lo"),    // exactly at ts - before
+      (1L, ts(10000L), "in_hi"),   // exactly at ts (after = 0)
+      (1L, ts(4999L), "out_lo"),
+      (1L, ts(10001L), "out_hi")).toDF("k", "ts", "rv")
+    val got = RangeJoin.inner(left, right, Seq("k"), "ts", "ts",
+      beforeMs = 5000L, afterMs = 0L)
+      .select("range_rv").as[String].collect().toSet
+    assert(got == Set("in_lo", "in_hi"))
+  }
+
+  test("two-bucket replication never duplicates a matched pair") {
+    // Window 10s; right rows sit near bucket edges so each is replicated
+    // into two buckets — every matched pair must still appear exactly once.
+    val left = Seq((1L, ts(9999L), 0L), (1L, ts(10001L), 1L))
+      .toDF("k", "ts", "lid")
+    val right = (0L until 40L).map(i => (1L, ts(i * 500L), i))
+      .toDF("k", "ts", "rid")
+    val got = RangeJoin.inner(left, right, Seq("k"), "ts", "ts",
+      beforeMs = 10000L, afterMs = 0L)
+      .select("lid", "range_rid").as[(Long, Long)].collect()
+    assert(got.length == got.distinct.length, "duplicate matched pairs")
+  }
+
+  test("fuzz: parity with brute-force interval filtering") {
+    val rnd = new scala.util.Random(1313)
+    for (_ <- 0 until 5) {
+      val left = Seq.tabulate(50)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(100000).toLong, i.toLong))
+      val right = Seq.tabulate(70)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(100000).toLong, 1000L + i))
+      val lDf = left.map { case (k, ms, id) => (k, ts(ms), id) }
+        .toDF("k", "ts", "lid")
+      val rDf = right.map { case (k, ms, id) => (k, ts(ms), id) }
+        .toDF("k", "ts", "rid")
+      val (before, after) = (7000L, 3000L)
+      val got = RangeJoin.inner(lDf, rDf, Seq("k"), "ts", "ts", before, after)
+        .select("lid", "range_rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lk, lms, lid) <- left
+        (rk, rms, rid) <- right
+        if lk == rk && rms >= lms - before && rms <= lms + after
+      } yield (lid, rid)).toSet
+      assert(got == want, "range join diverged from brute force")
+    }
+  }
+
+  test("plan: equi-join (hash/sort-merge), never nested-loop or cartesian") {
+    val left = Seq((1L, ts(0L), "a")).toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(0L), "r")).toDF("k", "ts", "rv")
+    val plan = RangeJoin.inner(left, right, Seq("k"), "ts", "ts", 1000L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}
