@@ -240,12 +240,39 @@ object RelQueries {
       .select((col("ap") >= col("lo") && col("ap") <= col("hi"))
         .as("within_bound"))
 
+  /** O4: pivot — day × event-type count matrix via `groupBy().pivot()`
+    * with an explicit value list (no extra distinct-values job; the plan
+    * is one hash aggregate over (day), each cell a conditional count —
+    * map-side combinable, one shuffle). Absent cells fill 0 to match the
+    * oracle's `count(*) FILTER` semantics.
+    */
+  def o4PivotCounts(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** A2+: ROLLUP grouping sets over the q1 keys — one pass computes the
+    * (flag, status), (flag), and grand-total strata (Spark expands the
+    * grouping sets before the aggregate; still a single shuffle).
+    */
+  def a2Rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_filter" -> s1ScanFilter,
     "j12_asof_attribution" -> j12AsofAttribution,
     "j13_range_count" -> j13RangeCount,
     "sk1_hll_bound" -> sk1HllBound,
     "sk2_quantile_bound" -> sk2QuantileBound,
+    "o4_pivot_counts" -> o4PivotCounts,
+    "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
     "p7_set_membership" -> p7SetMembership,
     "a1_count" -> a1Count,
@@ -275,6 +302,19 @@ object RelQueries {
         |ORDER BY p.event_id""".stripMargin,
     "sk1_hll_bound" -> "SELECT TRUE AS within_bound",
     "sk2_quantile_bound" -> "SELECT TRUE AS within_bound",
+    "o4_pivot_counts" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "a2_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "j13_range_count" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events
