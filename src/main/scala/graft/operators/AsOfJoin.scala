@@ -65,6 +65,8 @@ object AsOfJoin {
       tiebreak: Option[String] = None,
       toleranceMs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
+    require(!keys.contains(rightTs),
+      s"asof: $rightTs cannot be both a key and the ordering timestamp")
     val leftPayload = left.columns.filterNot(keys.contains).toIndexedSeq
     val rightPayload = right.columns.filterNot(keys.contains).toIndexedSeq
     val outRight = rightPayload.map(c => s"$rightPrefix$c")

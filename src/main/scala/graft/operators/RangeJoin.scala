@@ -47,6 +47,8 @@ object RangeJoin {
       s"window extents must be non-negative, got [$beforeMs, $afterMs]")
     val span = beforeMs + afterMs
     require(span > 0, "window must have positive width")
+    require(!keys.contains(rightTs),
+      s"range: $rightTs cannot be both a key and the ordering timestamp")
     import org.apache.spark.sql.types.TimestampType
     require(left.schema(leftTs).dataType == TimestampType &&
       right.schema(rightTs).dataType == TimestampType,
