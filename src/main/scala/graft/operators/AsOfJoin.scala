@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *    resolution engine-defined — pre-aggregate the right side when
   *    bit-determinism matters, as the j12 gate does).
   *  - Unmatched left rows survive with null right columns (LEFT OUTER).
+  *  - Null keys never match (SQL equality / DuckDB ASOF semantics):
+  *    right rows with any null key are dropped — they could never join —
+  *    and left rows with null keys survive unmatched. Without this,
+  *    `Window.partitionBy` would group null keys as equal and invent
+  *    matches no equality join produces.
   *
   * Scale posture: the single exchange hash-partitions on the key columns,
   * so per-key timelines are partition-local and the window needs no
@@ -67,12 +72,18 @@ object AsOfJoin {
     require(keys.nonEmpty, "asof join requires at least one key column")
     require(!keys.contains(rightTs),
       s"asof: $rightTs cannot be both a key and the ordering timestamp")
+    require(!keys.contains(leftTs),
+      s"asof: $leftTs cannot be both a key and the probe timestamp")
     val leftPayload = left.columns.filterNot(keys.contains).toIndexedSeq
     val rightPayload = right.columns.filterNot(keys.contains).toIndexedSeq
     val outRight = rightPayload.map(c => s"$rightPrefix$c")
     require(leftPayload.intersect(outRight).isEmpty,
       s"asof: prefixed right columns collide with left: " +
         leftPayload.intersect(outRight).mkString(","))
+
+    // Backtick-quoted reference: user column names containing dots,
+    // spaces, or backticks must not be re-parsed as nested-field access.
+    def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
 
     def typed(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType)
@@ -83,22 +94,30 @@ object AsOfJoin {
     // rides in ONE struct so the sweep propagates whole rows: per-column
     // `last(ignoreNulls)` would stitch fields from different right rows
     // whenever a payload field is genuinely null.
-    val taggedRight = right.select(
-      keys.map(col) ++
-        Seq(col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
-          tiebreak.map(col).getOrElse(col(rightTs)).as("__asof_tie"),
-          struct(rightPayload.map(col): _*).as("__asof_payload")) ++
+    // Null keys never match: a right row with a null key can join nothing
+    // under equality semantics, so drop it before the union — otherwise
+    // partitionBy (which groups nulls as equal) would sweep its payload
+    // onto null-keyed left rows. Left rows keep LEFT-OUTER survival: a
+    // null-keyed left partition then contains no right rows, so its
+    // running `last` is null and the row emits with null right columns.
+    val matchableRight = right.filter(
+      keys.map(k => qcol(k).isNotNull).reduce(_ && _))
+    val taggedRight = matchableRight.select(
+      keys.map(qcol) ++
+        Seq(qcol(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
+          tiebreak.map(qcol).getOrElse(qcol(rightTs)).as("__asof_tie"),
+          struct(rightPayload.map(qcol): _*).as("__asof_payload")) ++
         leftPayload.map(c => typed(left, c).as(c)): _*)
     val taggedLeft = left.select(
-      keys.map(col) ++
-        Seq(col(leftTs).as("__asof_ts"), lit(1).as("__asof_side"),
+      keys.map(qcol) ++
+        Seq(qcol(leftTs).as("__asof_ts"), lit(1).as("__asof_side"),
           lit(null).cast(taggedRight.schema("__asof_tie").dataType)
             .as("__asof_tie"),
           lit(null).cast(taggedRight.schema("__asof_payload").dataType)
             .as("__asof_payload")) ++
-        leftPayload.map(col): _*)
+        leftPayload.map(qcol): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(keys.map(qcol): _*)
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc,
         col("__asof_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -113,17 +132,20 @@ object AsOfJoin {
       .withColumn("__asof_match",
         last(col("__asof_payload"), ignoreNulls = true).over(w))
     val bounded = toleranceMs match {
+      // µs precision (the parquet timestamp resolution): an ms-truncated
+      // difference would admit matches up to 999 µs older than the stated
+      // tolerance on sub-millisecond data.
       case Some(tol) => swept.withColumn("__asof_match",
-        when(unix_millis(col("__asof_ts")) -
-          unix_millis(col(s"__asof_match.$rightTs")) <= tol,
+        when(unix_micros(col("__asof_ts")) -
+          unix_micros(col("__asof_match").getField(rightTs)) <= tol * 1000L,
           col("__asof_match")))
       case None => swept
     }
     bounded
       .filter(col("__asof_side") === 1)
-      .select(keys.map(col) ++ leftPayload.map(col) ++
+      .select(keys.map(qcol) ++ leftPayload.map(qcol) ++
         rightPayload.zip(outRight).map { case (c, o) =>
-          col(s"__asof_match.$c").as(o)
+          col("__asof_match").getField(c).as(o)
         }: _*)
   }
 }

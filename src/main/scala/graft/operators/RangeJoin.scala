@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Temporal range (interval-containment) join: every (left, right) row
@@ -61,27 +61,39 @@ object RangeJoin {
       s"range: prefixed right columns collide with left: " +
         leftPayload.intersect(outRight).mkString(","))
 
-    // floor() (not integer division, which truncates toward zero) keeps
-    // bucket math correct for pre-1970 timestamps; ms magnitudes are far
-    // inside double's exact-integer range.
+    // Backtick-quoted reference: user column names containing dots,
+    // spaces, or backticks must not be re-parsed as nested-field access.
+    def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
+    // All arithmetic in MICROseconds (the parquet timestamp resolution):
+    // a ms-truncated containment check would diverge from a full-precision
+    // oracle on rows with sub-millisecond components at window endpoints.
+    // The ≤2-bucket fan-out argument is unchanged — it only needs bucket
+    // width == window width, both now in µs. floor() (not integer
+    // division, which truncates toward zero) keeps bucket math correct
+    // for pre-1970 timestamps; µs magnitudes (~1.7e15 today) are inside
+    // double's exact-integer range (9e15).
+    val beforeUs = beforeMs * 1000L
+    val afterUs = afterMs * 1000L
+    val spanUs = span * 1000L
     val lb = left.withColumn("__rj_bucket",
-      expr(s"cast(floor(unix_millis($leftTs) / ${span}D) as long)"))
+      floor(unix_micros(qcol(leftTs)) / lit(spanUs.toDouble)).cast("long"))
     val rb = right.select(
-      keys.map(col) :+ col(rightTs).as("__rj_rts") :+
-        struct(rightPayload.map(col): _*).as("__rj_payload"): _*)
+      keys.map(qcol) :+ qcol(rightTs).as("__rj_rts") :+
+        struct(rightPayload.map(qcol): _*).as("__rj_payload"): _*)
       .withColumn("__rj_bucket", explode(expr(
-        s"sequence(cast(floor((unix_millis(__rj_rts) - ${afterMs}L) / ${span}D) as long), " +
-          s"cast(floor((unix_millis(__rj_rts) + ${beforeMs}L) / ${span}D) as long))")))
+        s"sequence(cast(floor((unix_micros(__rj_rts) - ${afterUs}L) / ${spanUs}D) as long), " +
+          s"cast(floor((unix_micros(__rj_rts) + ${beforeUs}L) / ${spanUs}D) as long))")))
       .drop("__rj_rts")
 
     lb.join(rb, keys :+ "__rj_bucket")
       .filter(
-        unix_millis(col(s"__rj_payload.$rightTs"))
-          .between(unix_millis(col(leftTs)) - beforeMs,
-            unix_millis(col(leftTs)) + afterMs))
-      .select(keys.map(col) ++ leftPayload.map(col) ++
+        unix_micros(col("__rj_payload").getField(rightTs))
+          .between(unix_micros(qcol(leftTs)) - beforeUs,
+            unix_micros(qcol(leftTs)) + afterUs))
+      .select(keys.map(qcol) ++ leftPayload.map(qcol) ++
         rightPayload.zip(outRight).map { case (c, o) =>
-          col(s"__rj_payload.$c").as(o)
+          col("__rj_payload").getField(c).as(o)
         }: _*)
   }
 }

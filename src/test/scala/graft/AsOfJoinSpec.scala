@@ -86,6 +86,52 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some("r1"), "b" -> None))
   }
 
+  test("null keys never match: right dropped, left survives unmatched") {
+    val left = Seq((Option(1L), 10L, "a"), (None: Option[Long], 10L, "b"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((Option(1L), 5L, "r1"), (None: Option[Long], 5L, "rnull"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts")
+      .select("lv", "asof_rv").as[(String, Option[String])]
+      .collect().toMap
+    // A null-keyed left row must NOT pick up the null-keyed right row
+    // (SQL equality: null = null is not true), but it stays in the output.
+    assert(got == Map("a" -> Some("r1"), "b" -> None))
+  }
+
+  test("probe timestamp doubling as a key is rejected") {
+    val df = Seq((1L, 10L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(df, df, Seq("ts"), "ts", "k")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(df, df, Seq("k", "ts"), "ts", "ts")
+    }
+  }
+
+  test("dotted column names resolve literally, not as field access") {
+    val left = Seq((1L, 10L, "a")).toDF("k.x", "event.ts", "l.v")
+    val right = Seq((1L, 5L, "r")).toDF("k.x", "event.ts", "r.v")
+    val got = AsOfJoin.backward(left, right, Seq("k.x"), "event.ts",
+        "event.ts")
+      .select(col("`l.v`"), col("`asof_r.v`")).as[(String, Option[String])]
+      .head()
+    assert(got == (("a", Some("r"))))
+  }
+
+  test("tolerance compares at microsecond precision") {
+    def tsUs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1704067200L, us * 1000L))
+    // Match is 1000.5 ms older than the probe; an ms-truncated diff reads
+    // 1000 and would keep it, the µs diff reads 1000500 µs > 1000 ms.
+    val left = Seq((1L, tsUs(2000500L), "a")).toDF("k", "ts", "lv")
+    val right = Seq((1L, tsUs(1000000L), "r")).toDF("k", "ts", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      toleranceMs = Some(1000L))
+      .select("asof_rv").as[Option[String]].head()
+    assert(got.isEmpty, "match 500µs past tolerance must be dropped")
+  }
+
   test("plan: one exchange on the key, no join node, no cartesian") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 5L, "r")).toDF("k", "ts", "rv")

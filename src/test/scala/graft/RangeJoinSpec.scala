@@ -65,6 +65,31 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("containment is exact at microsecond precision") {
+    def tsUs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1704067200L, us * 1000L))
+    val left = Seq((1L, tsUs(10000000L), "L")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, tsUs(5000000L), "in_lo"),   // exactly at ts - before
+      (1L, tsUs(4999500L), "out_lo"),  // 500µs outside (ms math keeps it)
+      (1L, tsUs(10000500L), "out_hi")) // 500µs past ts (after = 0)
+      .toDF("k", "ts", "rv")
+    val got = RangeJoin.inner(left, right, Seq("k"), "ts", "ts",
+      beforeMs = 5000L, afterMs = 0L)
+      .select("range_rv").as[String].collect().toSet
+    assert(got == Set("in_lo"))
+  }
+
+  test("dotted column names resolve literally, not as field access") {
+    val left = Seq((1L, ts(1000L), "a")).toDF("k.x", "event.ts", "l.v")
+    val right = Seq((1L, ts(500L), "r")).toDF("k.x", "event.ts", "r.v")
+    val got = RangeJoin.inner(left, right, Seq("k.x"), "event.ts",
+        "event.ts", beforeMs = 1000L, afterMs = 0L)
+      .select(col("`l.v`"), col("`range_r.v`")).as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("a", "r")))
+  }
+
   test("plan: equi-join (hash/sort-merge), never nested-loop or cartesian") {
     val left = Seq((1L, ts(0L), "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, ts(0L), "r")).toDF("k", "ts", "rv")
