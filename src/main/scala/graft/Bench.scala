@@ -132,6 +132,13 @@ object Bench {
     // Iteration aid: SPARK_GRAFT_ONLY="a,b" restricts the headline set and
     // skips the cold pass + cdc/dynamic blocks. Not used by the driver.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Isolated-block reruns: SPARK_GRAFT_BLOCKS="dynamic" runs ONLY the
+    // named blocks (headline, cold, cdc, prepared, dynamic, e2e, scale)
+    // in a fresh JVM — the evidence protocol for attributing a block's
+    // regression to its own code vs contamination from the blocks that
+    // normally precede it in a full run. Not set by the driver.
+    val blocks = sys.env.get("SPARK_GRAFT_BLOCKS").map(_.split(",").toSet)
+    def blockOn(b: String): Boolean = blocks.forall(_.contains(b))
 
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -156,6 +163,7 @@ object Bench {
     // query shapes for ~15 s of wall, and the sweep self-check holds.
     val toTime = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+      .filter(_ => blockOn("headline"))
     // Two passes: the second matures the driver's Catalyst
     // analysis/optimization paths (not just executor JIT), which
     // otherwise keeps improving across the whole run and leaves the
@@ -168,7 +176,7 @@ object Bench {
     // 183→123 ms, jit_ms nonzero throughout). Let the queue drain before
     // timing — the JMH settle pattern: wait until the compilation-time
     // delta over a 500 ms window drops under 25 ms, capped at 30 s.
-    locally {
+    if (toTime.nonEmpty) locally {
       val t0 = System.nanoTime(); var last = jitMs(); var settled = false
       while (!settled && (System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000) {
         Thread.sleep(500)
@@ -180,11 +188,66 @@ object Bench {
         (System.nanoTime() - t0) / 1000000},"settled":$settled}""")
     }
 
+    // Machine-checked flatness (round-10 protocol): a headline series
+    // whose p95 exceeds 2x p50, or whose first-half p50 exceeds 1.5x its
+    // second-half p50, is NOT steady-state evidence — the r9 official run
+    // shipped a bimodal r1 series (iterations 1-10 at ~1.2 s, 11-20 at
+    // ~160 ms) under a commit message claiming clean tails. The check
+    // runs on every headline query; one retime from the now-warm state
+    // is allowed and BOTH series are committed (first attempt preserved
+    // in the stats), so a contaminated first series can never silently
+    // become the official number, and a still-unflat retry fails the
+    // block in the evidence itself.
+    val flatness = scala.collection.mutable.LinkedHashMap[String, String]()
+    var flatnessPass = true
+    def halves(runOrder: Array[Double]): (Double, Double) = (
+      pct(runOrder.take(runOrder.length / 2).sorted, 0.5),
+      pct(runOrder.drop(runOrder.length / 2).sorted, 0.5))
+    def isFlat(runOrder: Array[Double]): Boolean =
+      runOrder.length < 4 || {
+        val lat = runOrder.sorted
+        val (h1, h2) = halves(runOrder)
+        pct(lat, 0.95) <= 2 * pct(lat, 0.5) && (h2 <= 0 || h1 / h2 <= 1.5)
+      }
+
     toTime.foreach { name =>
-      run(name); run(name) // two warm-ups, untimed
-      val iterSamples = (1 to iters)
+      // Adaptive warm-up: minimum two untimed runs (the reference's
+      // protocol), then keep warming until the last three warm-up times
+      // sit inside a 1.4x max/min band, capped at 8 total — absorbs
+      // machine-state contamination (page-cache churn from a process
+      // that ran just before the bench) that a fixed two-run warm-up
+      // leaked into the r9 timed series as a bimodal first half.
+      val warm = scala.collection.mutable.ArrayBuffer[Double]()
+      warm += run(name); warm += run(name)
+      while (warm.length < 8 && {
+        val w = warm.takeRight(3)
+        w.length < 3 || w.exists(_ < 0) || w.max > 1.4 * w.min
+      }) warm += run(name)
+
+      def timeSeries(): Array[IterSample] = (1 to iters)
         .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
+      var iterSamples = timeSeries()
+      var firstAttempt: Option[Array[Double]] = None
+      if (iterSamples.nonEmpty && !isFlat(iterSamples.map(_.sec))) {
+        firstAttempt = Some(iterSamples.map(_.sec))
+        iterSamples = timeSeries()
+      }
       val runOrder = iterSamples.map(_.sec)
+      if (runOrder.length >= 4) {
+        val lat0 = runOrder.sorted
+        val (h1, h2) = halves(runOrder)
+        val pass = isFlat(runOrder)
+        if (!pass) flatnessPass = false
+        flatness(name) =
+          f"""{"p95_over_p50":${pct(lat0, 0.95) / pct(lat0, 0.5)}%.2f,""" +
+            f""""half_ratio":${if (h2 > 0) h1 / h2 else 0.0}%.2f,""" +
+            s""""retimed":${firstAttempt.nonEmpty},"warmups":${warm.length},""" +
+            s""""pass":$pass}"""
+      }
+      firstAttempt.foreach { fa =>
+        stats(name + "__first_attempt") = s""""unflat series, retimed once; """ +
+          s"""run-order ms: ${fa.map(x => f"${x * 1000}%.1f").mkString("[", ",", "]")}""""
+      }
       // Steady-state estimate for the sweep self-check: median of the
       // last half of the series. The early iterations of the FIRST
       // queries in this block still carry residual JIT (evidenced in
@@ -230,9 +293,14 @@ object Bench {
               else "cpu"
             f"""{"iter":$i,"ms":${s.sec * 1000}%.0f,"cause":"$cause"}"""
         }
+        // BOTH p50 bases are first-class evidence (r9 verdict item 6):
+        // official p50 over the full series, steady_p50 over its last
+        // half — so round-over-round comparisons never have to re-derive
+        // steady state from the raw samples.
         stats(name) =
           f"""{"p50_ms":${pct(lat, 0.5) * 1000}%.2f,"p95_ms":${pct(lat, 0.95) * 1000}%.2f,""" +
           f""""p99_ms":${pct(lat, 0.99) * 1000}%.2f,"min_ms":${lat.head * 1000}%.2f,""" +
+          f""""steady_p50_ms":${steadyP50.getOrElse(name, pct(lat, 0.5)) * 1000}%.2f,""" +
           f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f,""" +
           s""""samples_ms":$samples,"gc_ms":$gcArr,"gc_n":$gcNArr,""" +
           s""""jit_ms":$jitArr,"cached_mb":$memArr,""" +
@@ -242,7 +310,9 @@ object Bench {
           s""""stragglers":${stragglers.mkString("[", ",", "]")}}"""
         compact(name) =
           f"""{"p50":${pct(lat, 0.5) * 1000}%.0f,"p95":${pct(lat, 0.95) * 1000}%.0f,""" +
-          f""""p99":${pct(lat, 0.99) * 1000}%.0f,"tps":${lat.length / total}%.2f}"""
+          f""""p99":${pct(lat, 0.99) * 1000}%.0f,""" +
+          f""""sp50":${steadyP50.getOrElse(name, pct(lat, 0.5)) * 1000}%.0f,""" +
+          f""""tps":${lat.length / total}%.2f}"""
       } else {
         perQuery(name) = -1.0
         val err = runErrors.getOrElse(name, "unknown")
@@ -256,7 +326,7 @@ object Bench {
     }
 
     // Cold single pass over the rest of the catalog.
-    if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+    if (only.isEmpty && blockOn("cold")) SparkEntry.queries.keys.toSeq.sorted
       .filterNot(headline.contains)
       .foreach { n => perQuery(n) = run(n); CacheRegistry.releaseAll() }
 
@@ -288,23 +358,34 @@ object Bench {
     val total = perQuery.values.filter(_ >= 0).sum
     emit(s"""{"block":"queries","queries":$qs,"errors":$errJson}""")
     emit(s"""{"block":"stats","iterations":$iters,"stats":$st}""")
+    if (flatness.nonEmpty) {
+      val fl = flatness.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      emit(s"""{"block":"flatness","per_query":$fl,"pass":$flatnessPass,""" +
+        s""""rule":"p95<=2x p50 and first-half p50<=1.5x second-half; one retime allowed, both series committed"}""")
+    }
 
-    val cdc = if (only.isEmpty) cdcMetrics(spark, sfDir) else "{}"
+    val cdc = if (only.isEmpty && blockOn("cdc")) cdcMetrics(spark, sfDir)
+              else "{}"
     emit(s"""{"block":"cdc","cdc":$cdc}""")
     val prepared =
-      if (only.isEmpty) preparedMetrics(spark, sfDir, math.max(3, iters / 4))
+      if (only.isEmpty && blockOn("prepared"))
+        preparedMetrics(spark, sfDir, math.max(3, iters / 4))
       else "{}"
     emit(s"""{"block":"prepared","prepared":$prepared}""")
     val (dyn, dynCompact) =
-      if (only.isEmpty) dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
+      if (only.isEmpty && blockOn("dynamic"))
+        dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
       else ("{}", "{}")
     emit(s"""{"block":"dynamic","dynamic":$dyn}""")
-    val (e2e, e2eCompact) = if (only.isEmpty) e2eMetrics(spark, sfDir)
-                            else ("{}", "{}")
+    val (e2e, e2eCompact) =
+      if (only.isEmpty && blockOn("e2e")) e2eMetrics(spark, sfDir)
+      else ("{}", "{}")
     emit(s"""{"block":"e2e","e2e":$e2e}""")
     val (scale, scaleCompact) =
-      if (only.isEmpty) scaleMetrics(spark, math.max(3, iters / 4),
-        perQuery.toMap ++ steadyP50, sfDir)
+      if (only.isEmpty && blockOn("scale"))
+        scaleMetrics(spark, math.max(3, iters / 4),
+          perQuery.toMap ++ steadyP50, sfDir)
       else ("{}", "{}")
     emit(s"""{"block":"scale","scale":$scale}""")
 
@@ -315,7 +396,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsHead,""" +
       s""""stats":$cs,"e2e":$e2eCompact,"dynamic":$dynCompact,""" +
       s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
-      s""""full":"BENCH_FULL.jsonl"}"""
+      s""""flatness_pass":$flatnessPass,"full":"BENCH_FULL.jsonl"}"""
 
     emit(finalLine)
     fullOut.foreach(_.close())
@@ -425,11 +506,20 @@ object Bench {
             catch { case _: Throwable => return -1.0 }
             (System.nanoTime() - t0) / 1e9
           }
-          // Warm-up parity with the headline protocol (two untimed runs):
-          // the r8 sweep's one-warm-up cells reported sub-1.0 decade
-          // ratios — per-decade cold state dominating 5-iteration medians
-          // — which made the whole block unreadable as scale evidence.
-          run(); run()
+          // Warm-up parity with the headline protocol: minimum two
+          // untimed runs (the r8 sweep's one-warm-up cells reported
+          // sub-1.0 decade ratios — per-decade cold state dominating
+          // 5-iteration medians), extended adaptively until the last
+          // three warm-ups sit in a 1.4x band (cap 6) — the r9 sweep's
+          // sf0.01/sf0.001 cells were still cold-contaminated (u1 sf0.01
+          // read 31.5 s vs sf0.1's 2.4 s) because two warm-ups don't
+          // outlast machine-state churn from the preceding decades.
+          val w = scala.collection.mutable.ArrayBuffer[Double]()
+          w += run(); w += run()
+          while (w.length < 6 && {
+            val t = w.takeRight(3)
+            t.length < 3 || t.exists(_ < 0) || t.max > 1.4 * t.min
+          }) w += run()
           val cells = (1 to dirIters)
             .map(_ => timedIter(spark, () => run())).filter(_.sec >= 0).toArray
           val lat = cells.map(_.sec).sorted
@@ -478,18 +568,44 @@ object Bench {
         // sweep cells share that maximal warmth, so intra-sweep decade
         // ratios stay comparable — it cannot fabricate sub-linearity.
         // Report the warmer-than-headline queries by name instead of
-        // failing the block on JVM maturity.
+        // failing the block on JVM maturity — but keep a loose lower
+        // band: a sweep cell under 1/3 of the headline steady state is
+        // not maturity, it is a headline/sweep contradiction (one of the
+        // two numbers is wrong), and the block must fail rather than
+        // file it under footnotes.
         val cold = self.filter { case (_, r) => r > 1.5 }
         val warmer = self.filter { case (_, r) => r < 1.0 / 1.5 }
-        val pass = cold.isEmpty
+        val gross = self.filter { case (_, r) => r < 1.0 / 3.0 }
+        val pass = cold.isEmpty && gross.isEmpty
         s"""{"dir":"$mainSf","headline_basis":"steady_state_last_half",""" +
           s""""sweep_over_headline":${self.map { case (q, r) =>
           f""""$q":$r%.2f""" }.mkString("{", ",", "}")},""" +
           f""""worst":"${worst._1}","worst_ratio":${worst._2}%.2f,""" +
           s""""sweep_warmer_than_headline":${warmer.keys
           .map(q => s""""$q"""").mkString("[", ",", "]")},""" +
+          s""""gross_contradiction":${gross.keys
+          .map(q => s""""$q"""").mkString("[", ",", "]")},""" +
           s""""pass":$pass}"""
       }
+      // Decade plausibility (r9 "what's wrong" #3): a cell where 10x
+      // LESS data runs >1.5x SLOWER than the next decade up is not scale
+      // evidence, it is residual cold state (r9 canary: u1 sf0.01 at
+      // 31.5 s vs sf0.1 at 2.4 s) — checked for EVERY adjacent decade
+      // pair, so the lower decades are held to the same standard as the
+      // sf0.1 cell instead of being committed unreadable.
+      val implausible = p50.toSeq.flatMap { case (q, bySf) =>
+        dirs.map(sfName).sliding(2).flatMap {
+          case Seq(lo, hi) =>
+            for (l <- bySf.get(lo); h <- bySf.get(hi) if l > 1.5 * h)
+              yield f"""{"query":"$q","lo":"$lo","lo_ms":$l%.1f,""" +
+                f""""hi":"$hi","hi_ms":$h%.1f}"""
+          case _ => None
+        }
+      }
+      val decadeJson =
+        s"""{"implausible":${implausible.mkString("[", ",", "]")},""" +
+          s""""pass":${implausible.isEmpty},""" +
+          s""""rule":"p50 at 10x less data must not exceed 1.5x the next decade up"}"""
       def ratioOf(lo: String, hi: String): String =
         p50.flatMap { case (q, bySf) =>
           for (l <- bySf.get(sfName(lo)); h <- bySf.get(sfName(hi)) if l > 0)
@@ -501,7 +617,8 @@ object Bench {
       val full =
         s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
           .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
-          s""""selfcheck":$selfJson,"detail":$detailJson,""" +
+          s""""selfcheck":$selfJson,"decade_check":$decadeJson,""" +
+          s""""detail":$detailJson,""" +
           s""""note":"documents/embeddings are 500 rows at both sf0.001 and sf0.01 (5000/2000 at sf0.1), so pipeline ratios across the lower decades track corpus size, not sf; sf1 replicates both corpora 10x into copy-disjoint blocks, so sf1/sf0.1 is the honest pipeline scale ratio"}"""
       val top = dirs.takeRight(2)
       val compactRatio =

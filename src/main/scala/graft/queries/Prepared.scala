@@ -18,18 +18,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Prepared {
 
   /** A prepared statement closed over a session: `bind` executes with a
-    * fresh parameter map.
+    * fresh parameter map. `validate` runs against every binding BEFORE
+    * execution — driver-side, so it fires even under plans where column
+    * pruning would eliminate an in-SQL guard expression (a bare
+    * `.count()` prunes unused projections, raise_error included).
     */
-  final case class PreparedQuery(spark: SparkSession, sql: String) {
-    def bind(args: Map[String, Any]): DataFrame = spark.sql(sql, args)
+  final case class PreparedQuery(spark: SparkSession, sql: String,
+      validate: Map[String, Any] => Unit = _ => ()) {
+    def bind(args: Map[String, Any]): DataFrame = {
+      validate(args)
+      spark.sql(sql, args)
+    }
   }
 
   /** The reference's parameterized WoT reachability count: how many trust
-    * paths from `:client` reach `:anchor` within `:length` hops (native
-    * recursive CTE — Spark 4.x; same bag semantics as
-    * [[graft.graph.Traverse.expand]], seeded at the client's children).
+    * paths from `:client` reach `:anchor` within `:length` hops.
+    *
+    * Prepare-time heavy lifting, bind-time point probe: preparation
+    * materializes the ≤`maxDepth`-hop bag closure of the trust graph
+    * ([[graft.graph.Closure.closureAuto]] — memoized per content key, so
+    * re-preparing the same graph is a cache hit), and each bind is a
+    * three-predicate filter + sum over the cached artifact. This is what
+    * a prepared statement IS — the reference's psycopg PREPARE parses and
+    * plans once so EXECUTE is cheap — where the previous rCTE body
+    * re-paid the UnionLoop's per-step job scheduling on every bind
+    * (~1.9 s on a 20-step one-row-frontier chain; measured in PLANS.md).
+    * Bind stays the named-parameter protocol (`spark.sql(text, args)`,
+    * literal-bound, injection-safe) exactly like the reference's
+    * parameter dict.
+    *
+    * A bind with `:length > maxDepth` raises (the closure only covers
+    * `maxDepth` hops — silently undercounting is the one wrong answer).
+    * Falls back to the native recursive CTE when the graph exceeds the
+    * distributed-closure cap (then it is a fact table, not a dimension).
     */
-  def wotPathCount(spark: SparkSession, sfDir: String): PreparedQuery = {
+  def wotPathCount(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 20): PreparedQuery =
+    graft.graph.Closure.closureAuto(
+        GraphData.trustChain(spark, sfDir), maxDepth) match {
+      case Some(closure) =>
+        closure.createOrReplaceTempView("wot_closure")
+        PreparedQuery(spark,
+          s"""SELECT cast(coalesce(sum(n_paths), 0) as bigint) AS n_paths
+             |FROM wot_closure
+             |WHERE src = :client AND dst = :anchor AND lvl <= :length""".stripMargin,
+          validate = args => args.get("length").foreach {
+            case n: Int => require(n <= maxDepth,
+              s"bind length $n exceeds prepared maxDepth $maxDepth")
+            case n: Long => require(n <= maxDepth,
+              s"bind length $n exceeds prepared maxDepth $maxDepth")
+            case _ => ()
+          })
+      case None => wotPathCountRcte(spark, sfDir)
+    }
+
+  /** Native recursive-CTE form — the fallback when the graph is too large
+    * to materialize a closure, and the surface that exercises Spark's
+    * UnionLoop bind protocol directly (kept under test; the
+    * r1_chain_levels_rcte gate pins the same executor).
+    */
+  def wotPathCountRcte(spark: SparkSession, sfDir: String): PreparedQuery = {
     // Materialized (NOT merely cached) behind the view: UnionLoop's
     // per-step re-plan bypasses cache substitution, so a .cache() here
     // is silently ignored and every binding re-pays the customer
