@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics retrieval operators for the training-data pipeline:
+  * exact heavy-hitter n-grams (the boilerplate-detection / contamination
+  * vocabulary pass every large corpus audit runs) and BM25 relevance
+  * scoring (the lexical retrieval baseline behind eval-set decontamination
+  * and targeted corpus slicing).
+  *
+  * Both are deliberately scan-shaped for 100 TB:
+  *  - `topNgrams` is partial-aggregate → one shuffle on the gram key →
+  *    TakeOrderedAndProject: the map-side combine collapses each
+  *    partition's gram counts before anything moves, and only k rows
+  *    survive the final ordering. The approximate alternative
+  *    (count-min + heap) saves the shuffle of the distinct-gram tail;
+  *    the exact form is kept because the gate needs a DuckDB oracle.
+  *  - `bm25` never shuffles tokens at all: per-document term frequencies
+  *    are computed inside the scan stage with array `filter`/`size`
+  *    (no explode → regroup round-trip), the corpus statistics
+  *    (N, avgdl, per-term document frequencies) are ONE tiny aggregate
+  *    broadcast back, and scoring is a second scan-stage projection.
+  *    Two passes over the corpus, zero wide exchanges — at 1000
+  *    executors the cost is two table scans, not a token shuffle.
+  */
+object Search {
+
+  private def ws(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+
+  /** Exact top-`k` whitespace-token `n`-grams by corpus frequency,
+    * ties broken by gram text — a total order, so the result is
+    * deterministic and oracle-comparable.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    docs.select(ws(textCol).as("ws"))
+      .select(explode(when(size(col("ws")) >= n,
+        expr(s"transform(sequence(0, size(ws) - $n), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** BM25 score of every document containing at least one query term.
+    *
+    * Standard Robertson/Sparck-Jones form with the +1 idf smoothing
+    * (idf = ln((N − df + 0.5)/(df + 0.5) + 1), so idf > 0 always):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * The score is rounded to 4 decimals — term contributions are summed
+    * in the caller-supplied term order in both this plan and the SQL
+    * oracle, and rounding absorbs last-ulp `ln` differences between
+    * engines (same contract as t5's avg_logp).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 requires at least one query term")
+    require(terms.distinct == terms, "bm25 query terms must be distinct")
+    def tfCol(t: String) = s"tf_${terms.indexOf(t)}"
+    val per = docs.select(
+      col(idCol) +: size(ws(textCol)).cast("double").as("dl") +:
+        terms.map(t =>
+          size(filter(ws(textCol), w => w === lit(t))).cast("double")
+            .as(tfCol(t))): _*)
+    // ONE corpus aggregate carries every global statistic the score
+    // needs; broadcast back as a 1-row scalar (the allowed crossJoin
+    // shape — see the anti-pattern sweep note in VERDICT r8).
+    val aggCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t => sum(when(col(tfCol(t)) > 0, 1).otherwise(0))
+        .cast("double").as(s"df_${terms.indexOf(t)}"))
+    val corpus = per.agg(aggCols.head, aggCols.tail: _*)
+    val scored = per.crossJoin(broadcast(corpus))
+    val termScore = terms.map { t =>
+      val i = terms.indexOf(t)
+      val tf = col(s"tf_$i"); val dft = col(s"df_$i")
+      val idf = log((col("n_docs") - dft + 0.5) / (dft + 0.5) + 1)
+      // lit() keeps scalar*column association identical to the oracle's
+      // ((b*dl)/avgdl) — float op order is part of the hash contract.
+      when(tf > 0,
+        idf * tf * (k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(0.0)
+    }.reduceLeft(_ + _) // left-to-right: the oracle adds in the same order
+    scored
+      .filter(terms.map(t => col(s"tf_${terms.indexOf(t)}")).reduce(_ + _) > 0)
+      .select(col(idCol), round(termScore, 4).as("bm25"))
+  }
+}

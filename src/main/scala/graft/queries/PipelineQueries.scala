@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,21 @@ object PipelineQueries {
           .as("recall"))
   }
 
+  /** T8: BM25 relevance of every document against a fixed lexical query
+    * — the retrieval baseline behind targeted corpus slicing and eval-set
+    * decontamination. Two scan passes, zero token shuffle
+    * ([[graft.pipeline.Search.bm25]]).
+    */
+  def t8Bm25(spark: SparkSession, d: String): DataFrame =
+    Search.bm25(Tables.documents(spark, d), Seq("hash", "join", "vector"))
+      .orderBy(col("doc_id"))
+
+  /** T9: exact corpus heavy hitters — top-20 trigrams by frequency, the
+    * boilerplate-vocabulary audit pass ([[graft.pipeline.Search.topNgrams]]).
+    */
+  def t9TopkNgrams(spark: SparkSession, d: String): DataFrame =
+    Search.topNgrams(Tables.documents(spark, d), n = 3, k = 20)
+
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -347,6 +362,8 @@ object PipelineQueries {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_unigram_logprob" -> t5UnigramLogprob,
     "t7_repetition" -> t7Repetition,
+    "t8_bm25" -> t8Bm25,
+    "t9_topk_ngrams" -> t9TopkNgrams,
     "d10_chunk_shared" -> d10ChunkShared,
     "d11_curation_funnel" -> d11CurationFunnel,
     "t6_redact_pii" -> t6RedactPii,
@@ -702,6 +719,48 @@ object PipelineQueries {
         |UNION ALL SELECT '2_min_words', count(*) FROM s2
         |UNION ALL SELECT '3_sample10', count(*) FROM s3
         |ORDER BY stage""".stripMargin,
+    "t8_bm25" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+'))::DOUBLE AS dl,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w = 'hash'))::DOUBLE AS tf0,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w = 'join'))::DOUBLE AS tf1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w = 'vector'))::DOUBLE AS tf2
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM per)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN
+        |      ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1)
+        |        / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN
+        |      ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1)
+        |        / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN
+        |      ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * (1.2 + 1)
+        |        / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |FROM per, corpus
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY doc_id""".stripMargin,
+    "t9_topk_ngrams" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE []::VARCHAR[] END) AS gram
+        |  FROM w)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
     "mm1_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
         |  CAST(64 + doc_id % 64 AS INT) AS width,

@@ -1,0 +1,74 @@
+package graft
+
+import graft.pipeline.Search
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the retrieval operators: heavy-hitter n-grams against a
+  * brute-force recount, BM25 against a direct reimplementation of the
+  * formula plus the structural properties (term-absent docs excluded,
+  * more matching occurrences → higher score, rarer term → higher idf
+  * contribution).
+  */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("topNgrams matches brute-force trigram counting, deterministic order") {
+    val texts = Seq(
+      "a b c a b c a b", "a b c d e", "x y", "a b c",
+      "d e a b c d e")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Search.topNgrams(df, n = 3, k = 5)
+      .as[(String, Long)].collect().toSeq
+    val want = texts.flatMap { t =>
+      val w = t.toLowerCase.split("\\s+").toSeq
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, n) => (-n, g) }.take(5)
+    assert(got == want)
+  }
+
+  test("bm25 matches a direct reimplementation of the formula") {
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "vector scan table"),
+      (3L, "sort merge window"), // no query term -> absent from output
+      (4L, "hash hash hash hash hash"))
+      .toDF("doc_id", "text")
+    val terms = Seq("hash", "join", "vector")
+    val got = Search.bm25(docs, terms).as[(Long, Double)].collect().toMap
+
+    val toks = Map(1L -> "hash join hash scan", 2L -> "vector scan table",
+      3L -> "sort merge window", 4L -> "hash hash hash hash hash")
+      .view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length).sum / n
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = {
+      val dl = toks(id).length.toDouble
+      val raw = terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.values.count(_.contains(t)).toDouble
+          math.log((n - df + 0.5) / (df + 0.5) + 1) * tf * (k1 + 1) /
+            (tf + k1 * (1 - b + b * dl / avgdl))
+        }
+      }.sum
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 2L, 4L), "term-absent doc must be excluded")
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(math.abs(got(id) - score(id)) < 1e-9,
+        s"doc $id: got ${got(id)}, want ${score(id)}")
+    }
+    // Structural: BM25 saturates term frequency — a single term's
+    // contribution is bounded by idf·(k1+1) no matter how often it
+    // repeats, so doc 4 (five 'hash' repeats, nothing else) stays under
+    // that asymptote and below doc 1's two-term match.
+    val idfHash = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)
+    assert(got(4L) < idfHash * (k1 + 1))
+    assert(got(1L) > got(4L))
+  }
+}
