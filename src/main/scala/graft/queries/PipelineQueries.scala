@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Packing, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,12 @@ object PipelineQueries {
   def t9TopkNgrams(spark: SparkSession, d: String): DataFrame =
     Search.topNgrams(Tables.documents(spark, d), n = 3, k = 20)
 
+  /** D12: token-budget shard packing — per-shard doc/token totals from
+    * the distributed two-pass prefix sum ([[graft.pipeline.Packing]]).
+    */
+  def d12TokenShards(spark: SparkSession, d: String): DataFrame =
+    Packing.tokenShards(Tables.documents(spark, d), budget = 2048L)
+
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -364,6 +370,7 @@ object PipelineQueries {
     "t7_repetition" -> t7Repetition,
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
+    "d12_token_shards" -> d12TokenShards,
     "d10_chunk_shared" -> d10ChunkShared,
     "d11_curation_funnel" -> d11CurationFunnel,
     "t6_redact_pii" -> t6RedactPii,
@@ -750,6 +757,19 @@ object PipelineQueries {
         |FROM per, corpus
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+    "d12_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+'))::BIGINT AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM t)
+        |SELECT prefix // 2048 AS shard, count(*) AS n_docs,
+        |  sum(toks)::BIGINT AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "t9_topk_ngrams" ->
       """WITH w AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
