@@ -54,4 +54,30 @@ object Sampling {
     docs.withColumn("__rk", row_number().over(byHash))
       .filter(col("__rk") <= quota).drop("__rk")
   }
+
+  /** Per-block TOKEN cap: keep each block's documents in id order until
+    * the block's cumulative token count reaches `budget` — the
+    * per-domain token quota of web-corpus curation (caps are set in
+    * tokens, not documents, because domains differ wildly in document
+    * length). A document straddling the boundary is kept iff its
+    * prefix starts under the budget, so a block always contributes at
+    * least one document.
+    *
+    * Shape: one shuffle on the block key, then a partition-local
+    * running sum — the same scale class as [[stratifiedQuota]]; no
+    * global window, no driver state.
+    */
+  def tokenCapPerGroup(docs: DataFrame, blockCol: String, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val before = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__toks",
+        size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("__before",
+        coalesce(sum(col("__toks")).over(before), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__toks", "__before")
+  }
 }

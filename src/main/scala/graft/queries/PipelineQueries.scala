@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Packing, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Packing, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,32 @@ object PipelineQueries {
   def d12TokenShards(spark: SparkSession, d: String): DataFrame =
     Packing.tokenShards(Tables.documents(spark, d), budget = 2048L)
 
+  /** D13: sliding-window chunking with overlap (window 16, stride 12) —
+    * the doc→embedding-unit generator ([[graft.pipeline.Chunking]]).
+    */
+  def d13ChunkOverlap(spark: SparkSession, d: String): DataFrame =
+    Chunking.slidingChunks(Tables.documents(spark, d),
+        window = 16, stride = 12)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** D14: temperature-smoothed language mixture (alpha 0.5, 1M-token
+    * budget) — per-language natural share, smoothed weight, and quota
+    * ([[graft.pipeline.Mixing]]).
+    */
+  def d14MixWeights(spark: SparkSession, d: String): DataFrame =
+    Mixing.temperatureQuotas(Tables.documents(spark, d),
+        groupCol = "lang", alpha = 0.5, budget = 1000000L)
+      .orderBy(col("lang"))
+
+  /** D15: per-source token cap (600 tokens) — the per-domain token
+    * quota pass ([[graft.pipeline.Sampling.tokenCapPerGroup]]).
+    */
+  def d15TokenCap(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.tokenCapPerGroup(Tables.documents(spark, d),
+        blockCol = "source", budget = 600L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** T1: heuristic language ID per document. */
   def t1LangId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -371,6 +397,9 @@ object PipelineQueries {
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
     "d12_token_shards" -> d12TokenShards,
+    "d13_chunk_overlap" -> d13ChunkOverlap,
+    "d14_mix_weights" -> d14MixWeights,
+    "d15_token_cap" -> d15TokenCap,
     "d10_chunk_shared" -> d10ChunkShared,
     "d11_curation_funnel" -> d11CurationFunnel,
     "t6_redact_pii" -> t6RedactPii,
@@ -770,6 +799,52 @@ object PipelineQueries {
         |SELECT prefix // 2048 AS shard, count(*) AS n_docs,
         |  sum(toks)::BIGINT AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d13_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, len(w) AS nt,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(w) <= 16 THEN 0
+        |           ELSE CAST(ceil((len(w) - 16) / 12.0) AS INT) END))
+        |      AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  least(16, nt - chunk_idx * 12) AS n_tokens,
+        |  w[chunk_idx * 12 + 1] AS first_tok,
+        |  w[chunk_idx * 12 + least(16, nt - chunk_idx * 12)] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d14_mix_weights" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(len(string_split_regex(text, '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    n_tokens::DOUBLE / sum(n_tokens) OVER () AS p
+        |  FROM g),
+        |t AS (
+        |  SELECT lang, n_docs, n_tokens, p,
+        |    pow(p, 0.5) / sum(pow(p, 0.5)) OVER () AS w
+        |  FROM p)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(p, 6) AS p_raw, round(w, 6) AS weight,
+        |  CAST(round(w * 1000000) AS BIGINT) AS quota
+        |FROM t ORDER BY lang""".stripMargin,
+    "d15_token_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(text, '\s+'))::BIGINT AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source FROM c
+        |WHERE cum_before < 600 ORDER BY doc_id""".stripMargin,
     "t9_topk_ngrams" ->
       """WITH w AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),

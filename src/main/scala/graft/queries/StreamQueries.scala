@@ -78,12 +78,47 @@ object StreamQueries {
         col("n_events"))
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** W3: watermark late-data semantics as a batch twin. Structured
+    * Streaming's event-time watermark is `max(event time seen) - delay`,
+    * and a stateful aggregation drops rows older than it. This gate
+    * replays that rule deterministically: arrival order = `event_id`
+    * (the reference's monotone change_id), the high-water mark before
+    * each row is a running max over arrival order, and a row is dropped
+    * iff its event time is more than `delay` behind that mark; the
+    * survivors feed the same tumbling window as w1. Pins exactly the
+    * boundary arithmetic (`>=` keeps a row AT the watermark) that
+    * `withWatermark` + `window()` applies incrementally — where the
+    * runtime holds only the scalar max per trigger, the batch twin
+    * reconstructs it per row.
+    *
+    * The global ordered window is the o3_lag_gaps shape: fine at replay
+    * sizes, single-partition at scale — the 100 TB form IS the streaming
+    * runtime (O(1) watermark state, no per-row window), which this gate
+    * exists to pin, not replace.
+    */
+  def w3LateDrop(spark: SparkSession, d: String): DataFrame = {
+    val arrival = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    Tables.events(spark, d)
+      .withColumn("__hwm", max(col("ts")).over(arrival))
+      .filter(col("__hwm").isNull ||
+        col("ts") >= col("__hwm") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
     "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
     "w1_tumbling_counts" -> w1TumblingCounts,
-    "w2_session_window" -> w2SessionWindow)
+    "w2_session_window" -> w2SessionWindow,
+    "w3_late_drop" -> w3LateDrop)
 
   val oracles: Map[String, String] = Map(
     "w1_tumbling_counts" ->
@@ -131,5 +166,18 @@ object StreamQueries {
         |  SELECT event_id AS id,
         |    (event_id - (SELECT min(event_id) FROM events)) // 500 AS batch_no
         |  FROM events
-        |) GROUP BY batch_no ORDER BY batch_no""".stripMargin)
+        |) GROUP BY batch_no ORDER BY batch_no""".stripMargin,
+    "w3_late_drop" ->
+      """WITH a AS (
+        |  SELECT event_id, ts, event_type,
+        |    max(ts) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |k AS (
+        |  SELECT * FROM a
+        |  WHERE hwm IS NULL OR ts >= hwm - INTERVAL 10 MINUTE)
+        |SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start_ms,
+        |  event_type, count(*) AS n
+        |FROM k GROUP BY 1, 2
+        |ORDER BY w_start_ms, event_type""".stripMargin)
 }

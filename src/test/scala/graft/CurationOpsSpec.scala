@@ -1,0 +1,163 @@
+package graft
+
+import graft.pipeline.{Chunking, Mixing, Sampling}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 curation operators: sliding-window chunking, temperature
+  * mixture weights, per-block token caps, and the watermark late-drop
+  * batch twin. Each test pins the property the DuckDB gate cannot see
+  * from one fixed corpus (coverage/overlap invariants, limit behavior,
+  * plan shape).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsOf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  private def collectLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectLeaves(a.executedPlan)
+    case other => other +: other.children.flatMap(collectLeaves)
+  }
+
+  test("chunking covers every token exactly and respects the overlap") {
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 50).map(_ =>
+      Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(9)).mkString(" "))
+    val w = 16; val s = 12
+    val rows = Chunking.slidingChunks(docsOf(texts), w, s)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Int, Int)].collect().toSeq.groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val nt = t.split("\\s+").length
+      val chunks = rows(i.toLong).sortBy(_._2)
+      // Contiguous chunk ids from 0; expected count from the definition.
+      assert(chunks.map(_._2) == chunks.indices)
+      val expected =
+        if (nt <= w) 1 else math.ceil((nt - w).toDouble / s).toInt + 1
+      assert(chunks.size == expected, s"doc $i: nt=$nt")
+      // Span [idx*s, idx*s + n) — union covers [0, nt), last ends at nt.
+      chunks.foreach { case (_, idx, n) =>
+        assert(n == math.min(w, nt - idx * s), s"doc $i chunk $idx")
+        assert(n >= 1)
+      }
+      assert(chunks.last._2 * s + chunks.last._3 == nt,
+        s"doc $i: final chunk must reach the end")
+      // Consecutive chunks overlap by w - s tokens (full-width chunks).
+      chunks.sliding(2).foreach {
+        case Seq((_, i1, n1), (_, i2, _)) if n1 == w =>
+          assert(i1 * s + n1 - i2 * s == w - s)
+        case _ => ()
+      }
+    }
+  }
+
+  test("chunking is a pure map-side generator — no shuffle in the plan") {
+    val df = Chunking.slidingChunks(docsOf(Seq.fill(8)("a b c d e")), 4, 2)
+    val plan = df.queryExecution.executedPlan
+    assert(!collectLeaves(plan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "slidingChunks must not shuffle")
+  }
+
+  test("mixture weights: alpha=1 is the natural distribution, sums hold") {
+    val docs = Seq(
+      ("en", Seq.fill(80)("w").mkString(" ")),
+      ("en", Seq.fill(40)("w").mkString(" ")),
+      ("de", Seq.fill(30)("w").mkString(" ")),
+      ("fr", Seq.fill(10)("w").mkString(" "))
+    ).toDF("lang", "text")
+    val natural = Mixing.temperatureQuotas(docs, "lang", alpha = 1.0,
+        budget = 1000L)
+      .select("lang", "p_raw", "weight", "quota")
+      .as[(String, Double, Double, Long)].collect().toSeq.sortBy(_._1)
+    natural.foreach { case (l, p, wt, _) =>
+      assert(math.abs(p - wt) < 1e-9, s"alpha=1 must keep $l at natural p")
+    }
+    assert(math.abs(natural.map(_._3).sum - 1.0) < 1e-6)
+    // Quotas sum to the budget up to per-group rounding.
+    assert(math.abs(natural.map(_._4).sum - 1000L) <= natural.size / 2 + 1)
+    val en = natural.find(_._1 == "en").get
+    assert(math.abs(en._2 - 0.75) < 1e-9) // 120 of 160 tokens
+  }
+
+  test("mixture weights: alpha<1 upsamples the tail, preserves order") {
+    val docs = Seq(
+      ("big", Seq.fill(900)("w").mkString(" ")),
+      ("small", Seq.fill(100)("w").mkString(" "))
+    ).toDF("lang", "text")
+    val m = Mixing.temperatureQuotas(docs, "lang", alpha = 0.5,
+        budget = 1000L)
+      .select("lang", "p_raw", "weight").as[(String, Double, Double)]
+      .collect().map { case (l, p, wt) => l -> ((p, wt)) }.toMap
+    val (pBig, wBig) = m("big"); val (pSmall, wSmall) = m("small")
+    assert(wSmall > pSmall, "tail group must gain weight")
+    assert(wBig < pBig, "head group must shed weight")
+    assert(wBig > wSmall, "smoothing must not invert the ranking")
+  }
+
+  test("token cap keeps an id-prefix per block and never starves a block") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "s" + i % 7,
+        Seq.fill(1 + rnd.nextInt(50))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budget = 120L
+    val kept = Sampling.tokenCapPerGroup(docs, "source", budget)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val allBy = (0 until 200).groupBy(i => "s" + i % 7)
+    allBy.foreach { case (src, ids) =>
+      val k = keptBy.getOrElse(src, Set.empty)
+      assert(k.nonEmpty, s"block $src must contribute at least one doc")
+      // Prefix property: everything below the largest kept id is kept.
+      val maxKept = k.max
+      ids.filter(_ <= maxKept).foreach(i =>
+        assert(k.contains(i.toLong), s"gap in $src at doc $i"))
+    }
+    // Budget bound, computed from the actual frame: prefix-before-last
+    // of each block's kept set must be under budget.
+    val withToks = docs
+      .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
+      .select("doc_id", "source", "toks")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2)
+    withToks.foreach { case (src, rows) =>
+      val keptIds = keptBy.getOrElse(src, Set.empty)
+      val keptRows = rows.filter(r => keptIds.contains(r._1)).sortBy(_._1)
+      val beforeLast = keptRows.dropRight(1).map(_._3).sum
+      assert(beforeLast < budget, s"block $src exceeded the cap early")
+      // And the first dropped doc (if any) would have crossed the budget.
+      val dropped = rows.filter(r => !keptIds.contains(r._1)).sortBy(_._1)
+      if (dropped.nonEmpty)
+        assert(keptRows.map(_._3).sum >= budget,
+          s"block $src dropped a doc while under budget")
+    }
+  }
+
+  test("late-drop twin: an out-of-order event beyond the delay is dropped") {
+    import java.sql.Timestamp
+    def ts(min: Long, sec: Long = 0) =
+      new Timestamp(1700000000000L + min * 60000L + sec * 1000L)
+    // Arrival order = event_id. Event 3 is 30 min behind the running max
+    // (dropped); event 4 is 5 min behind (kept, inside the 10 min delay).
+    val events = Seq(
+      (0L, ts(0), 1L, "a", 0.0, "{}"),
+      (1L, ts(20), 1L, "a", 0.0, "{}"),
+      (2L, ts(40), 1L, "a", 0.0, "{}"),
+      (3L, ts(10), 1L, "a", 0.0, "{}"), // 30 min late vs hwm=40
+      (4L, ts(35), 1L, "a", 0.0, "{}") // 5 min late: kept
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("w3fixture").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.StreamQueries.w3LateDrop(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(_._3).sum == 4, s"expected 4 survivors, got $out")
+  }
+}
