@@ -67,6 +67,22 @@ object DynamicReplay {
     Snapshot.updateWhere(delegation,
       col("drone_id") % modulo === step, Map("hq_id" -> lit("HQ")))
 
+  /** Apply a mutation and MATERIALIZE the post-step snapshot
+    * (`localCheckpoint`). Without this, the evolving snapshot is a
+    * lineage stack — step i's edges recompute steps 1..i's
+    * CASE/anti-join rewrites from parquet — and every one of the up to
+    * 16 traversal levels that follows re-executes the whole stack: the
+    * walk cost grows O(steps × depth) in recomputed plans. A mutable
+    * engine (the reference's UPDATE against PG heap tables) pays the
+    * write once and reads settled state; checkpointing after each step
+    * is that same contract, and it bounds both the plan depth the
+    * analyzer sees and the work each traversal level does. The
+    * materialization cost is charged INSIDE the step (eager
+    * checkpoint), so cycle timings still include the write path.
+    */
+  private def settle(mutated: DataFrame): DataFrame =
+    mutated.localCheckpoint()
+
   /** Delegation snapshot as (parent, child) edges for [[Traverse.expand]]. */
   def edges(delegation: DataFrame): DataFrame =
     delegation.select(col("hq_id").as("parent"),
@@ -98,7 +114,7 @@ object DynamicReplay {
     var delegation = baseDelegation(spark, sfDir)
     val rows = depths.zipWithIndex.map { case (depth, i) =>
       val step = i + 1
-      delegation = mutateStep(delegation, step)
+      delegation = settle(mutateStep(delegation, step))
       chainCount(spark, delegation, depth)
         .select(lit(step).as("step"), lit(depth).as("depth"), col("n"))
     }
@@ -114,7 +130,7 @@ object DynamicReplay {
     var delegation = baseDelegation(spark, sfDir)
     val rows = cycle.zipWithIndex.map { case (depth, i) =>
       val step = i + 1
-      delegation = mutateStep(delegation, step)
+      delegation = settle(mutateStep(delegation, step))
       chainCount(spark, delegation, depth)
         .select(lit(step).as("step"), lit(depth).as("depth"), col("n"))
     }
@@ -146,7 +162,7 @@ object DynamicReplay {
         .filter(col("c_custkey") % modulo === step)
         .select(col("c_custkey").cast("string").as("child"))
       val newEdges = batch.select(lit("HQ").as("parent"), col("child"))
-      e = Snapshot.rewire(e, batch, newEdges)
+      e = settle(Snapshot.rewire(e, batch, newEdges))
       Traverse.expand(Seq("HQ").toDF("node"), e, maxDepth = depth,
           expectTinyFrontier = true) // bounded-fanout forest, see chainCount
         .agg(count(lit(1)).as("n"))
