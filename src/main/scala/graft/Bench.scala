@@ -144,9 +144,17 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
     val compact = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // Filtered runs (SPARK_GRAFT_ONLY / SPARK_GRAFT_BLOCKS — dev/forensic
+    // protocol) must never overwrite the official full-run evidence: a
+    // debug rerun silently replacing BENCH_FULL.jsonl with empty blocks
+    // is exactly the kind of evidence corruption the round-10 protocol
+    // exists to prevent. They get their own sidecar file.
+    val isFiltered = sys.env.contains("SPARK_GRAFT_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_BLOCKS")
+    val fullPath = if (isFiltered) "/root/repo/BENCH_DEBUG.jsonl"
+      else "/root/repo/BENCH_FULL.jsonl"
     val fullOut = try {
-      Some(new java.io.PrintWriter(
-        new java.io.FileWriter("/root/repo/BENCH_FULL.jsonl", false)))
+      Some(new java.io.PrintWriter(new java.io.FileWriter(fullPath, false)))
     } catch { case _: Exception => None }
     def emit(line: String): Unit = {
       println(line)
@@ -396,7 +404,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsHead,""" +
       s""""stats":$cs,"e2e":$e2eCompact,"dynamic":$dynCompact,""" +
       s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
-      s""""flatness_pass":$flatnessPass,"full":"BENCH_FULL.jsonl"}"""
+      s""""flatness_pass":$flatnessPass,"full":"${fullPath.split('/').last}"}"""
 
     emit(finalLine)
     fullOut.foreach(_.close())
