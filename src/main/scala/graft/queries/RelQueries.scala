@@ -160,6 +160,83 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** §2.7+: INTERSECT — users present in BOTH event populations, distinct
+    * semantics. Spark plans set intersection as a left-semi hash join over
+    * per-side distinct aggregates: two map-side-combined distincts + one
+    * key shuffle, output bounded by the smaller distinct set — no row
+    * explosion at any scale.
+    */
+  def setIntersect(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    e.filter(col("event_type") === "signup").select(col("user_id"))
+      .intersect(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.7+: EXCEPT — users with a high-value click but no high-value
+    * purchase (distinct semantics; the complement probe of
+    * [[setIntersect]], planned as a left-anti hash join over the
+    * distincts). The `value` filters keep the difference non-empty in the
+    * dense synthetic data — an always-empty gate would hash-match
+    * trivially and pin nothing.
+    */
+  def setExcept(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).filter(col("value") > 95)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .except(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** J14: anti join — customers with no URGENT-priority order
+    * (NOT EXISTS). `left_anti` is a hash join whose build side only needs
+    * the filtered FK column: at 100 TB both sides shuffle on the key (or
+    * the pruned orders key projection broadcasts), never a nested loop,
+    * and the probe emits at most one row per customer. The priority
+    * filter keeps the result non-empty (every customer has SOME order in
+    * the synthetic data — an empty gate would pin nothing).
+    */
+  def j14AntiJoin(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J15: semi join — parts with at least one near-capacity shipment
+    * (EXISTS). `left_semi` short-circuits inside the join: a part row is
+    * emitted once no matter how many lineitems match, so the output never
+    * multiplies — the property that makes EXISTS safe on a fact table
+    * where an inner join + distinct would shuffle the multiplied rows
+    * first.
+    */
+  def j15SemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d)
+    val l = Tables.lineitem(spark, d).filter(col("l_quantity") >= 49)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** O5: top-k per group — the 3 highest-value orders per priority class.
+    * The rank-filter shape Catalyst rewrites to WindowGroupLimit: each
+    * map task keeps only its local top-3 per group BEFORE the window
+    * exchange, so the shuffle carries O(groups × k) rows instead of the
+    * table. Ties break on the unique key for engine-independent output.
+    */
+  def o5TopkPerGroup(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   /** J12: as-of attribution — every purchase matched to the user's latest
     * click at-or-before the purchase instant ([[graft.operators.AsOfJoin]]:
     * tagged union → one key shuffle → running `last` sweep; no range
@@ -283,7 +360,12 @@ object RelQueries {
     "o1_order_by" -> o1OrderBy,
     "o3_lag_gaps" -> o3LagGaps,
     "o3_lag_gaps_sharded" -> o3LagGapsSharded,
-    "set_union_all" -> setUnionAll)
+    "set_union_all" -> setUnionAll,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "j14_anti_join" -> j14AntiJoin,
+    "j15_semi_join" -> j15SemiJoin,
+    "o5_topk_per_group" -> o5TopkPerGroup)
 
   val oracles: Map[String, String] = Map(
     "j12_asof_attribution" ->
@@ -392,5 +474,37 @@ object RelQueries {
         |  SELECT user_id FROM events WHERE event_type = 'signup'
         |  UNION ALL
         |  SELECT user_id FROM events WHERE event_type = 'click'
-        |) GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events
+        |WHERE event_type = 'click' AND value > 95
+        |EXCEPT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+    "j14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "j15_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "o5_topk_per_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |FROM orders
+        |QUALIFY rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin)
 }

@@ -112,15 +112,45 @@ object StreamQueries {
       .orderBy(col("w_start_ms"), col("event_type"))
   }
 
+  /** W4: sliding (hopping) windows — 2-hour windows advancing hourly, so
+    * every event lands in exactly duration/slide = 2 buckets. Spark plans
+    * the slide as a Generate(explode) of the per-row window set followed
+    * by the same two-phase hash aggregate as w1 — the fan-out factor is
+    * fixed at plan time and map-side combined, so the shuffle carries
+    * 2× rows pre-combine, O(buckets × types) post-combine. Completes the
+    * window-type family (w1 tumbling / w2 session / w3 watermark / w4
+    * sliding) the streaming runtime reuses verbatim.
+    */
+  def w4SlidingCounts(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
     "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
     "w1_tumbling_counts" -> w1TumblingCounts,
     "w2_session_window" -> w2SessionWindow,
-    "w3_late_drop" -> w3LateDrop)
+    "w3_late_drop" -> w3LateDrop,
+    "w4_sliding_counts" -> w4SlidingCounts)
 
   val oracles: Map[String, String] = Map(
+    "w4_sliding_counts" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+        |    event_type
+        |  FROM events
+        |)
+        |SELECT epoch_ms(ws) AS w_start_ms, event_type, count(*) AS n
+        |FROM s GROUP BY 1, 2
+        |ORDER BY w_start_ms, event_type""".stripMargin,
     "w1_tumbling_counts" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start_ms,
         |  event_type, count(*) AS n

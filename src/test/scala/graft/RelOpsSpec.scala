@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants + plan-shape pins for the round-10 relational
+  * additions (set ops, anti/semi joins, top-k per group, sliding
+  * windows). The oracle hash-compare is the strong gate; these pin the
+  * algebraic properties and the physical-plan shapes that matter at
+  * scale.
+  */
+class RelOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import graft.queries.{RelQueries, StreamQueries}
+
+  private def userSet(eventType: String, minValue: Double = -1): Set[Long] = {
+    Tables.events(spark, sf)
+      .filter(col("event_type") === eventType && col("value") > minValue)
+      .select(col("user_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("set_intersect == set-theoretic intersection of the distinct sides") {
+    val got = RelQueries.setIntersect(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (userSet("signup") intersect userSet("purchase")))
+  }
+
+  test("set_except == set difference; non-empty; disjoint from subtracted side") {
+    val got = RelQueries.setExcept(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val sub = userSet("purchase", 95)
+    assert(got == (userSet("click", 95) diff sub))
+    assert(got.nonEmpty, "gate must not be trivially empty")
+    assert((got intersect sub).isEmpty)
+  }
+
+  test("anti + semi on the same key partition the left table exactly") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val anti = RelQueries.j14AntiJoin(spark, sf)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti.count() > 0, "gate must not be trivially empty")
+    assert(anti.count() + semi == c.count())
+  }
+
+  test("semi join never multiplies: output keys are unique") {
+    val df = RelQueries.j15SemiJoin(spark, sf)
+    assert(df.count() == df.select("p_partkey").distinct().count())
+  }
+
+  test("anti/semi joins plan as hash joins, never nested loops") {
+    for (df <- Seq(RelQueries.j14AntiJoin(spark, sf),
+                   RelQueries.j15SemiJoin(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan.linesIterator.take(8).mkString("\n"))
+    }
+  }
+
+  test("o5 top-k: every group has at most 3 rows, ranked by price desc") {
+    val rows = RelQueries.o5TopkPerGroup(spark, sf).collect()
+    val byGroup = rows.groupBy(_.getString(1))
+    assert(byGroup.values.forall(_.length <= 3))
+    byGroup.values.foreach { g =>
+      val prices = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("o5 plans with WindowGroupLimit (map-side top-k prune)") {
+    val plan = RelQueries.o5TopkPerGroup(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("w4 sliding windows: every event lands in exactly duration/slide buckets") {
+    val total = StreamQueries.w4SlidingCounts(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("w4 window starts align to the slide, not the duration") {
+    val starts = StreamQueries.w4SlidingCounts(spark, sf)
+      .select(col("w_start_ms")).distinct()
+      .collect().map(_.getLong(0))
+    assert(starts.forall(_ % 3600000L == 0))
+    // Consecutive starts differ by the 1h slide somewhere (not only 2h).
+    val sorted = starts.sorted
+    val diffs = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+    assert(diffs.contains(3600000L))
+  }
+}
