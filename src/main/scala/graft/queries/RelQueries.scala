@@ -287,6 +287,35 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** J16: interval-overlap join — for every purchase, how many click
+    * activity spans `[click, click + 30 min]` intersect the purchase's
+    * preceding-hour window `[purchase − 1 h, purchase]`
+    * ([[graft.operators.RangeJoin.overlap]]: both interval sides
+    * replicate over covering buckets, the pair is kept only in the
+    * bucket holding the overlap start — one equi-join shuffle, emitted
+    * exactly once, never the nested-loop plan raw `s ≤ e` predicates
+    * get). Inner matches aggregate then left-join back so every
+    * purchase reports, zero included.
+    */
+  def j16IntervalOverlap(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("s"), col("ts").as("e"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
+    val matched = graft.operators.RangeJoin
+      .overlap(purchases, clicks, Seq("user_id"), "s", "e", "s", "e",
+        bucketMs = 1800000L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_overlaps"))
+    purchases.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .orderBy(col("event_id"))
+  }
+
   /** SK1: HyperLogLog++ distinct-user sketch per event type, gated the
     * honest way for an approximate operator (the ann_*_recall pattern):
     * the gate emits whether the worst per-group relative error against
@@ -365,7 +394,8 @@ object RelQueries {
     "set_except" -> setExcept,
     "j14_anti_join" -> j14AntiJoin,
     "j15_semi_join" -> j15SemiJoin,
-    "o5_topk_per_group" -> o5TopkPerGroup)
+    "o5_topk_per_group" -> o5TopkPerGroup,
+    "j16_interval_overlap" -> j16IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
     "j12_asof_attribution" ->
@@ -506,5 +536,19 @@ object RelQueries {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |FROM orders
         |QUALIFY rk <= 3
-        |ORDER BY o_orderpriority, rk""".stripMargin)
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+    "j16_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    ts - INTERVAL 1 HOUR AS s, ts AS e
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, count(c.s) AS n_overlaps
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND p.s <= c.e AND c.s <= p.e
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin)
 }

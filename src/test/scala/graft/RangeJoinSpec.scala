@@ -99,4 +99,87 @@ class RangeJoinSpec extends AnyFunSuite {
       && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  // ---- interval-overlap join ----
+
+  private def iv(k: Long, sMs: Long, eMs: Long, id: Long) =
+    (k, ts(sMs), ts(eMs), id)
+
+  test("overlap fuzz: parity with brute-force interval intersection") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 5) {
+      val left = Seq.tabulate(40) { i =>
+        val s = rnd.nextInt(100000).toLong
+        (rnd.nextInt(4).toLong, s, s + rnd.nextInt(20000), i.toLong)
+      }
+      val right = Seq.tabulate(60) { i =>
+        val s = rnd.nextInt(100000).toLong
+        (rnd.nextInt(4).toLong, s, s + rnd.nextInt(20000), 1000L + i)
+      }
+      val lDf = left.map { case (k, s, e, id) => iv(k, s, e, id) }
+        .toDF("k", "s", "e", "lid")
+      val rDf = right.map { case (k, s, e, id) => iv(k, s, e, id) }
+        .toDF("k", "s", "e", "rid")
+      val got = RangeJoin.overlap(lDf, rDf, Seq("k"), "s", "e", "s", "e",
+        bucketMs = 5000L)
+        .select("lid", "ov_rid").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length,
+        "multi-bucket replication duplicated a pair")
+      val want = (for {
+        (lk, ls, le, lid) <- left
+        (rk, rs, re, rid) <- right
+        if lk == rk && ls <= re && rs <= le
+      } yield (lid, rid)).toSet
+      assert(got.toSet == want, "overlap join diverged from brute force")
+    }
+  }
+
+  test("overlap endpoints are inclusive: touching intervals match") {
+    val lDf = Seq(iv(1L, 0L, 10000L, 1L)).toDF("k", "s", "e", "lid")
+    val rDf = Seq(
+      iv(1L, 10000L, 20000L, 10L),  // starts exactly at left end
+      iv(1L, 10001L, 20000L, 11L),  // 1 ms past — no overlap
+      iv(1L, -5000L, 0L, 12L),      // ends exactly at left start
+      iv(1L, -5000L, -1L, 13L))     // 1 ms before — no overlap
+      .toDF("k", "s", "e", "rid")
+    val got = RangeJoin.overlap(lDf, rDf, Seq("k"), "s", "e", "s", "e",
+      bucketMs = 4000L).select("ov_rid").as[Long].collect().toSet
+    assert(got == Set(10L, 12L))
+  }
+
+  test("overlap emits long spanning intervals exactly once") {
+    // One long left interval covering many buckets; rights scattered
+    // inside it, each sharing several buckets with the left.
+    val lDf = Seq(iv(1L, 0L, 50000L, 1L)).toDF("k", "s", "e", "lid")
+    val rDf = (0L until 20L).map(i => iv(1L, i * 2000L, i * 2000L + 9000L, i))
+      .toDF("k", "s", "e", "rid")
+    val got = RangeJoin.overlap(lDf, rDf, Seq("k"), "s", "e", "s", "e",
+      bucketMs = 3000L).select("lid", "ov_rid").as[(Long, Long)].collect()
+    assert(got.length == 20 && got.distinct.length == 20)
+  }
+
+  test("overlap guards fail loudly: fan-out blowup and inverted intervals") {
+    val lDf = Seq(iv(1L, 0L, 10000000L, 1L)).toDF("k", "s", "e", "lid")
+    val rDf = Seq(iv(1L, 0L, 1000L, 2L)).toDF("k", "s", "e", "rid")
+    val blown = intercept[Exception] {
+      RangeJoin.overlap(lDf, rDf, Seq("k"), "s", "e", "s", "e",
+        bucketMs = 1000L, maxReplicas = 16).count()
+    }
+    assert(blown.getMessage != null)
+    val inverted = Seq(iv(1L, 10000L, 0L, 1L)).toDF("k", "s", "e", "lid")
+    intercept[Exception] {
+      RangeJoin.overlap(inverted, rDf, Seq("k"), "s", "e", "s", "e",
+        bucketMs = 1000L).count()
+    }
+  }
+
+  test("overlap plan: equi-join, never nested-loop or cartesian") {
+    val lDf = Seq(iv(1L, 0L, 1000L, 1L)).toDF("k", "s", "e", "lid")
+    val rDf = Seq(iv(1L, 0L, 1000L, 2L)).toDF("k", "s", "e", "rid")
+    val plan = RangeJoin.overlap(lDf, rDf, Seq("k"), "s", "e", "s", "e",
+      bucketMs = 1000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$plan")
+  }
 }
