@@ -177,8 +177,13 @@ object Closure {
       val grown = prefix.join(suffix, "mid")
         .groupBy(col("src"), col("dst"), (col("lvl") + covered).as("lvl"))
         .agg(sum(col("n_a") * col("n_b")).as("n_paths"))
+      val prev = p
       p = p.unionByName(grown.select("src", "dst", "lvl", "n_paths"))
         .localCheckpoint()
+      // The new checkpoint materialized eagerly, so the previous round's
+      // blocks are dead — release them now instead of orphaning
+      // ceil(log2(d)) copies of the closure in executor storage.
+      prev.unpersist()
       covered += ext
       if (p.count() > maxRows) return None
     }

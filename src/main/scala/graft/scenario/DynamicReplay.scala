@@ -79,9 +79,20 @@ object DynamicReplay {
     * analyzer sees and the work each traversal level does. The
     * materialization cost is charged INSIDE the step (eager
     * checkpoint), so cycle timings still include the write path.
+    *
+    * Every settled snapshot is registered with [[CacheRegistry]]: a
+    * replay settles one snapshot per step and the result rows stay lazy
+    * until the caller's action, so the snapshots cannot be unpersisted
+    * mid-replay (localCheckpoint truncates lineage — dropped blocks are
+    * unrecoverable) — but once the action completes they are dead
+    * weight. Unregistered, a full dynamic block (4 scenarios × steps ×
+    * cycles) left ~80 orphaned snapshot RDDs pinning executor storage,
+    * and the shuffle-heavy queries timed AFTER the block (r10 sweep: d4
+    * flat at 2× its headline steady state) paid for the lost execution
+    * memory.
     */
   private def settle(mutated: DataFrame): DataFrame =
-    mutated.localCheckpoint()
+    graft.CacheRegistry.register(mutated.localCheckpoint())
 
   /** Delegation snapshot as (parent, child) edges for [[Traverse.expand]]. */
   def edges(delegation: DataFrame): DataFrame =
