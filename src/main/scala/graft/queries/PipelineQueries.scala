@@ -370,6 +370,22 @@ object PipelineQueries {
         size(Multimodal.frameSample(col("media"), 64)).as("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** MM4: binary leading-frame dedup — media payloads grouped by the
+    * content digest of their first 64-byte frame (the mm3 frame size):
+    * the thumbnail/header-dedup probe of a multimodal pipeline, and the
+    * binary twin of d1. At 100 TB the 32-byte fingerprint shuffles
+    * instead of the payloads, which stay scan-local. Emits only the
+    * duplicated groups (count + first doc id) so the gate pins real
+    * byte-level collisions (~22 groups at sf0.01); full-payload digests
+    * would be vacuously unique in this corpus.
+    */
+  def mm4BinaryDedup(spark: SparkSession, d: String): DataFrame =
+    Multimodal.mediaTable(spark, d)
+      .groupBy(sha2(substring(col("media"), 1, 64), 256).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n") > 1)
+      .orderBy(col("fp"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
@@ -405,7 +421,8 @@ object PipelineQueries {
     "t6_redact_pii" -> t6RedactPii,
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
-    "mm3_frames" -> mm3Frames)
+    "mm3_frames" -> mm3Frames,
+    "mm4_binary_dedup" -> mm4BinaryDedup)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -880,7 +897,13 @@ object PipelineQueries {
     "mm3_frames" ->
       """SELECT doc_id,
         |  ((octet_length(encode(text))::INT - 1) // 64 + 1)::INT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm4_binary_dedup" ->
+      """SELECT sha256(substring(text, 1, 64)) AS fp, count(*) AS n,
+        |  min(doc_id) AS first_doc
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin)
 
   /** The dist twin computes the identical result through the distributed
     * tier, so it is pinned by the identical oracle.

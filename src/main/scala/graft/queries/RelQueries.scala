@@ -287,6 +287,81 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** A8: CUBE grouping sets over the q1 keys — all four strata
+    * ((flag,status), (flag), (status), ()) in one pass; like ROLLUP,
+    * Spark expands the grouping sets before the aggregate and the plan
+    * stays a single map-side-combined shuffle.
+    */
+  def a8Cube(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** A9: HAVING over a scalar subquery — priority classes holding more
+    * than a 1/5 share of all orders. The scalar total is a 1-row
+    * broadcast joined under every group (the decorrelated plan every
+    * engine lowers HAVING-vs-total to); scale-free threshold so the gate
+    * stays non-trivial at every sf.
+    */
+  def a9Having(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val tot = o.agg(count(lit(1)).as("__tot"))
+    o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .join(broadcast(tot))
+      .filter(col("n") > col("__tot") / 5.0)
+      .select(col("o_orderpriority"), col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A10: correlated scalar subquery, decorrelated — orders priced above
+    * their own customer's average order value. The comparison is done as
+    * `price × n > sum` in DECIMAL so both engines decide each row
+    * exactly (a decimal `avg` rounds at engine-specific scale; the
+    * cross-multiplied form never divides). Spark's plan is the
+    * decorrelation every optimizer applies: per-customer aggregate +
+    * equi-join, one shuffle, no per-row subquery execution.
+    */
+  def a10CorrSubquery(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val byCust = o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("__sum"),
+        count(lit(1)).as("__n"))
+    o.join(byCust, "o_custkey")
+      .filter(dec(col("o_totalprice")) * col("__n") > col("__sum"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** O6: NTILE quartiles — every order bucketed into totalprice
+    * quartiles within its priority class (equal-size buckets, remainder
+    * to the leading buckets — the semantics Spark and DuckDB share).
+    * Ordering ties break on the unique key so bucket assignment is
+    * engine-independent; same WindowGroupLimit-family shuffle shape as
+    * o5 but without the rank filter (all rows emit).
+    */
+  def o6Ntile(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** §2.7+: UNION DISTINCT — completes the set-op family
+    * (union_all / intersect / except / union): distinct union of the two
+    * user populations, one hash-distinct shuffle over the concatenation.
+    */
+  def setUnionDistinct(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    e.filter(col("event_type") === "signup").select(col("user_id"))
+      .union(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
   /** J16: interval-overlap join — for every purchase, how many click
     * activity spans `[click, click + 30 min]` intersect the purchase's
     * preceding-hour window `[purchase − 1 h, purchase]`
@@ -395,7 +470,12 @@ object RelQueries {
     "j14_anti_join" -> j14AntiJoin,
     "j15_semi_join" -> j15SemiJoin,
     "o5_topk_per_group" -> o5TopkPerGroup,
-    "j16_interval_overlap" -> j16IntervalOverlap)
+    "j16_interval_overlap" -> j16IntervalOverlap,
+    "a8_cube" -> a8Cube,
+    "a9_having" -> a9Having,
+    "a10_corr_subquery" -> a10CorrSubquery,
+    "o6_ntile" -> o6Ntile,
+    "set_union_distinct" -> setUnionDistinct)
 
   val oracles: Map[String, String] = Map(
     "j12_asof_attribution" ->
@@ -537,6 +617,35 @@ object RelQueries {
         |FROM orders
         |QUALIFY rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+    "a8_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a9_having" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > (SELECT count(*) FROM orders) / 5.0
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a10_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "o6_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "j16_interval_overlap" ->
       """WITH p AS (
         |  SELECT event_id, user_id,

@@ -81,6 +81,71 @@ class RelOpsSpec extends AnyFunSuite {
     assert(total == 2 * Tables.events(spark, sf).count())
   }
 
+  test("a8 cube emits all four strata with consistent totals") {
+    val l = Tables.lineitem(spark, sf)
+    val rows = RelQueries.a8Cube(spark, sf).collect()
+    val flags = l.select("l_returnflag").distinct().count()
+    val stats = l.select("l_linestatus").distinct().count()
+    val pairs = l.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(rows.length == pairs + flags + stats + 1)
+    // Grand-total stratum equals the table count.
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(3) == l.count())
+  }
+
+  test("a9 having keeps exactly the groups above a 1/5 share") {
+    val o = Tables.orders(spark, sf)
+    val tot = o.count()
+    val want = o.groupBy(col("o_orderpriority")).count()
+      .collect().filter(_.getLong(1) > tot / 5.0).map(_.getString(0)).toSet
+    val got = RelQueries.a9Having(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < 5)
+  }
+
+  test("a10 rows are exactly the orders above their customer's mean") {
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCust = o.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(r => BigDecimal(r._3).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum / rows.length
+    }
+    val want = o.filter { case (_, c, p) =>
+      BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) > byCust(c)
+    }.map(_._1).toSet
+    val got = RelQueries.a10CorrSubquery(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("o6 ntile buckets are balanced and price-monotone per group") {
+    val rows = RelQueries.o6Ntile(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3), r.getLong(0)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sizes = g.groupBy(_._3).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, "unbalanced ntile buckets")
+      // Bucket assignment respects the (price, key) window ordering.
+      val sorted = g.sortBy(r => (r._2, r._4))
+      assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted))
+    }
+  }
+
+  test("set_union_distinct equals the set-theoretic union") {
+    val got = RelQueries.setUnionDistinct(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (userSet("signup") union userSet("purchase")))
+  }
+
+  test("mm4 groups are genuine multi-document collisions") {
+    val rows = graft.queries.PipelineQueries.mm4BinaryDedup(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "gate must not be trivially empty")
+    assert(rows.forall(_.getLong(1) >= 2))
+    val fps = rows.map(_.getString(0))
+    assert(fps.distinct.length == fps.length)
+  }
+
   test("w4 window starts align to the slide, not the duration") {
     val starts = StreamQueries.w4SlidingCounts(spark, sf)
       .select(col("w_start_ms")).distinct()
