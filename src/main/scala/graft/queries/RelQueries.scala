@@ -334,6 +334,50 @@ object RelQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** A11: GROUPING flags — cube output disambiguated: `grouping(col)`
+    * distinguishes a stratum's aggregate-null from a data null (the
+    * correctness trap in every grouping-sets consumer). Still the single
+    * expanded-grouping-sets shuffle of a8.
+    */
+  def a11GroupingId(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** A12: grouped exact percentiles — the a4 latency-stats shape per
+    * group (per-flag quantiles): one hash shuffle on the group key, the
+    * per-group sorted-quantile state never global.
+    */
+  def a12GroupedPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** A13: argmax — the highest-value order per priority class via
+    * `max_by` with a (price, key) struct so exact-price ties resolve
+    * deterministically (the generated sf1 decade replicates prices 10×,
+    * so ties are guaranteed there, not hypothetical). The oracle answers
+    * through an independent formulation — a row_number window with the
+    * same composite ordering — pinning Spark's struct-ordered max_by
+    * against DuckDB's QUALIFY top-1. One map-side-combinable aggregate,
+    * no window shuffle on the engine side.
+    */
+  def a13Argmax(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        max(col("o_totalprice")).as("top_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** O6: NTILE quartiles — every order bucketed into totalprice
     * quartiles within its priority class (equal-size buckets, remainder
     * to the leading buckets — the semantics Spark and DuckDB share).
@@ -475,7 +519,10 @@ object RelQueries {
     "a9_having" -> a9Having,
     "a10_corr_subquery" -> a10CorrSubquery,
     "o6_ntile" -> o6Ntile,
-    "set_union_distinct" -> setUnionDistinct)
+    "set_union_distinct" -> setUnionDistinct,
+    "a11_grouping_id" -> a11GroupingId,
+    "a12_grouped_percentiles" -> a12GroupedPercentiles,
+    "a13_argmax" -> a13Argmax)
 
   val oracles: Map[String, String] = Map(
     "j12_asof_attribution" ->
@@ -646,6 +693,29 @@ object RelQueries {
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "a11_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "a12_grouped_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "a13_argmax" ->
+      """SELECT o_orderpriority, o_orderkey AS top_order,
+        |  o_totalprice AS top_price
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+        |ORDER BY o_orderpriority""".stripMargin,
     "j16_interval_overlap" ->
       """WITH p AS (
         |  SELECT event_id, user_id,
