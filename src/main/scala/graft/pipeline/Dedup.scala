@@ -117,6 +117,83 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** D16: incremental near-dup — match an arriving DELTA batch against an
+    * existing corpus without re-pairing the corpus against itself (the
+    * production dedup shape: the corpus band index is built once and each
+    * batch probes it; a full [[minHashLsh]] re-run grows quadratically
+    * with corpus age while the probe grows only with batch size ×
+    * collision fan-out). Same signature/banding parameters as
+    * [[minHashLsh]]; candidates are only (batch × corpus) bucket
+    * collisions — corpus-internal pairs never materialize — then
+    * exact-verified on shingle sets. Returns
+    * (batch_doc, corpus_doc, jaccard).
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def sets(docs: DataFrame) = graft.CacheRegistry.register(
+      docs.select(col(idCol),
+        array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
+        .cache())
+    def banded(s: DataFrame) = s
+      .select(col(idCol), minhashSig(col("shset"), numHashes).as("sig"))
+      .select(col(idCol), posexplode(
+          array((0 until bands).map(b =>
+            xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*))
+        .as(Seq("band", "bucket")))
+    val corpusSets = sets(corpus)
+    val batchSets = sets(batch)
+    val candidates = banded(batchSets)
+      .select(col(idCol).as("batch_doc"), col("band"), col("bucket"))
+      .join(banded(corpusSets)
+        .select(col(idCol).as("corpus_doc"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("batch_doc", "corpus_doc").distinct()
+    candidates
+      .join(batchSets.select(col(idCol).as("batch_doc"),
+        col("shset").as("set_a")), "batch_doc")
+      .join(corpusSets.select(col(idCol).as("corpus_doc"),
+        col("shset").as("set_b")), "corpus_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact cross-side shingle-Jaccard pairs (batch × corpus) — the ground
+    * truth [[incrementalNearDup]] approximates, via the same inverted
+    * index as [[shingleJaccardPairs]] but keyed across the two sides.
+    */
+  def crossJaccardPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleLen: Int = 3, threshold: Double = 0.2): DataFrame = {
+    def sets(docs: DataFrame) = graft.CacheRegistry.register(
+      docs.select(col(idCol),
+        array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
+        .cache())
+    val bs = sets(batch)
+    val cs = sets(corpus)
+    val a = bs.select(col(idCol).as("batch_doc"), explode(col("shset")).as("sh"))
+    val b = cs.select(col(idCol).as("corpus_doc"), explode(col("shset")).as("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .groupBy(col("batch_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(bs.select(col(idCol).as("batch_doc"),
+        size(col("shset")).as("sz_a")), "batch_doc")
+      .join(cs.select(col(idCol).as("corpus_doc"),
+        size(col("shset")).as("sz_b")), "corpus_doc")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"))
+  }
+
   /** Exact shingle-set Jaccard pairs — the ground truth [[minHashLsh]]
     * approximates, in the same relational inverted-index form as
     * [[ngramJaccard]] (explode distinct shingles, equi-join on the shingle,

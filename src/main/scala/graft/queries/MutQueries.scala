@@ -115,7 +115,36 @@ object MutQueries {
       .select(col("event_id"), col("k"))
       .orderBy(col("event_id"))
 
+  /** M10: incremental aggregate maintenance
+    * ([[graft.operators.AggMerge]]) — the per-user (count, sum) view
+    * updated from partial aggregates only: base aggregate + insert-batch
+    * aggregate + retraction of the deleted rows' aggregate, merged in one
+    * union+sum shuffle. The oracle recomputes the final state from
+    * scratch, so hash equality IS the incremental-maintenance contract
+    * (delta-merge ≡ recompute) — at 100 TB the merge touches only the
+    * delta and the k-row aggregate, never the base data. Sums ride
+    * DECIMAL so retraction is exact (float retraction drifts).
+    */
+  def m10AggMerge(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    val e = Tables.events(spark, d)
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+    val base = e.filter(col("event_id") % 5 =!= 0)
+    val inserts = e.filter(col("event_id") % 5 === 0)
+    val deletes = base.filter(col("event_type") === "error")
+    graft.operators.AggMerge.merge(
+        Seq(aggOf(base), aggOf(inserts),
+          graft.operators.AggMerge.retract(aggOf(deletes), Seq("user_id"))),
+        Seq("user_id"), countCol = "n")
+      .select(col("user_id"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_agg_merge" -> m10AggMerge,
     "m1_upsert" -> m1Upsert,
     "m2_update_where" -> m2UpdateWhere,
     "m3_rewire" -> m3Rewire,
@@ -126,6 +155,13 @@ object MutQueries {
     "p9_json_field" -> p9JsonField)
 
   val oracles: Map[String, String] = Map(
+    "m10_agg_merge" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE (event_id % 5 <> 0 AND event_type <> 'error')
+        |   OR event_id % 5 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "m1_upsert" ->
       """WITH delegation AS (
         |  SELECT c_custkey AS drone_id, 'N' || c_nationkey AS hq_id FROM customer

@@ -205,6 +205,45 @@ object PipelineQueries {
           .as("recall"))
   }
 
+  private def docSplit(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, d)
+    (docs.filter(col("doc_id") % 5 =!= 0),   // corpus (the standing index)
+      docs.filter(col("doc_id") % 5 === 0))  // delta batch
+  }
+
+  /** D16: incremental near-dup — the arriving batch (every 5th doc)
+    * probed against the standing corpus band index
+    * ([[Dedup.incrementalNearDup]]): only batch × corpus bucket
+    * collisions materialize, never corpus-internal pairs. Like d2, the
+    * pair list itself is rows-only (the seeded signature path cannot run
+    * in DuckDB); [[d16IncrementalRecall]] is the oracle-green quality
+    * twin.
+    */
+  def d16IncrementalNeardup(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = docSplit(spark, d)
+    Dedup.incrementalNearDup(corpus, batch, threshold = 0.2)
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+
+  /** D16 quality twin: recall of the incremental probe against the exact
+    * cross-side shingle-Jaccard pair set, which DuckDB derives from raw
+    * text — the d2_minhash_recall pattern for the batch-vs-corpus shape.
+    */
+  def d16IncrementalRecall(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = docSplit(spark, d)
+    val exact = Dedup.crossJaccardPairs(corpus, batch, threshold = 0.2)
+    val got = Dedup.incrementalNearDup(corpus, batch, threshold = 0.2)
+      .select(col("batch_doc"), col("corpus_doc"))
+    val hits = exact.join(got, Seq("batch_doc", "corpus_doc"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .select(lit("incremental_lsh").as("method"),
+        col("n_exact").cast("int").as("n_exact"),
+        when(col("n_exact") === 0, 1.0)
+          .otherwise(round(col("hits").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
     * decontamination. Two scan passes, zero token shuffle
@@ -422,7 +461,9 @@ object PipelineQueries {
     "mm1_meta" -> mm1Meta,
     "mm2_features" -> mm2Features,
     "mm3_frames" -> mm3Frames,
-    "mm4_binary_dedup" -> mm4BinaryDedup)
+    "mm4_binary_dedup" -> mm4BinaryDedup,
+    "d16_incremental_neardup" -> d16IncrementalNeardup,
+    "d16_incremental_recall" -> d16IncrementalRecall)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -643,6 +684,24 @@ object PipelineQueries {
     // [[Dedup.shingleJaccardPairs]]: range(1, len-1) yields the same
     // n-k+1 window starts as Spark's sequence(0, n-k); docs under k words
     // contribute their whole text as one shingle in both engines.
+    "d16_incremental_recall" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 3
+        |      THEN list_transform(range(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [array_to_string(ws, ' ')] END) AS shset
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+        |  FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE len(list_intersect(a.shset, b.shset))::DOUBLE /
+        |        (len(a.shset) + len(b.shset)
+        |         - len(list_intersect(a.shset, b.shset))) >= 0.2)
+        |SELECT 'incremental_lsh' AS method, count(*)::INT AS n_exact,
+        |  CAST(1.0 AS DOUBLE) AS recall FROM p""".stripMargin,
     "d2_minhash_recall" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

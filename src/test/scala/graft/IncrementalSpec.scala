@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.AggMerge
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the incremental-maintenance operators: AggMerge's
+  * delta-merge ≡ recompute contract (including retraction and group
+  * death) and the incremental near-dup probe's batch×corpus-only
+  * candidate space + exact-duplicate guarantee.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def aggOf(rows: Seq[(String, Long)]) =
+    rows.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  test("merge of base + inserts - deletes equals recompute") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 3) {
+      val base = Seq.fill(200)((s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+      val ins = Seq.fill(60)((s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+      val del = rnd.shuffle(base).take(50)
+      val merged = AggMerge.merge(
+        Seq(aggOf(base), aggOf(ins), AggMerge.retract(aggOf(del), Seq("k"))),
+        Seq("k"), "n")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = aggOf(base.diff(del) ++ ins)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == want, "delta-merge diverged from recompute")
+    }
+  }
+
+  test("a fully-deleted group disappears from the merged view") {
+    val base = Seq(("dead", 5L), ("dead", 7L), ("live", 1L))
+    val merged = AggMerge.merge(
+      Seq(aggOf(base),
+        AggMerge.retract(aggOf(Seq(("dead", 5L), ("dead", 7L))), Seq("k"))),
+      Seq("k"), "n")
+    assert(merged.select("k").as[String].collect().toSeq == Seq("live"))
+  }
+
+  test("mismatched part schemas are rejected") {
+    val a = aggOf(Seq(("x", 1L)))
+    val b = a.withColumnRenamed("sv", "other")
+    intercept[IllegalArgumentException] {
+      AggMerge.merge(Seq(a, b), Seq("k"), "n")
+    }
+  }
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("incremental near-dup finds exact duplicates across the split") {
+    val corpus = docs(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven")
+    val batch = docs(10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "totally unrelated content words here now")
+    val got = Dedup.incrementalNearDup(corpus, batch, threshold = 0.5)
+      .select("batch_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)))
+  }
+
+  test("candidates never include corpus-internal pairs") {
+    // Two identical corpus docs would pair under full LSH; the
+    // incremental probe must not emit them.
+    val corpus = docs(1L -> "same words in this document exactly",
+      2L -> "same words in this document exactly")
+    val batch = docs(10L -> "different payload with no overlap at all")
+    assert(Dedup.incrementalNearDup(corpus, batch, threshold = 0.1).count() == 0)
+  }
+
+  test("emitted pairs are a subset of the exact ground truth (precision 1)") {
+    val corpus = docs(1L -> "a b c d e f g h", 2L -> "a b c d x y z w")
+    val batch = docs(10L -> "a b c d e f g q")
+    val got = Dedup.incrementalNearDup(corpus, batch,
+      threshold = 0.1, numHashes = 64, bands = 32)
+      .select("batch_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    val want = Dedup.crossJaccardPairs(corpus, batch, threshold = 0.1)
+      .as[(Long, Long)].collect().toSet
+    // The exact-verify stage guarantees precision 1; the strong pair
+    // (j = 6/10 vs doc 1) must also survive the banding.
+    assert(got.subsetOf(want), s"false positives: ${got.diff(want)}")
+    assert(got.contains((10L, 1L)))
+  }
+}
