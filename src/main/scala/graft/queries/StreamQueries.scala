@@ -129,6 +129,26 @@ object StreamQueries {
         col("event_type"), col("n"))
       .orderBy(col("w_start_ms"), col("event_type"))
 
+  /** W5: stream-stream interval join, batch twin — the EXACT plan
+    * [[graft.streaming.StreamJoins.clickContext]] runs under the
+    * streaming runtime (`withWatermark` is a no-op in batch), so this
+    * gate hash-pins the join the state manager executes incrementally:
+    * key equality (hash exchange) + backward event-time bound (the
+    * residual condition that also drives state eviction).
+    * StreamJoinsSpec drives the same function through MemoryStream
+    * sources and asserts streaming ≡ batch on the same data.
+    */
+  def w5StreamJoinTwin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.streaming.StreamJoins.clickContext(purchases, clicks)
+      .select(col("event_id"), unix_millis(col("c_ts")).as("click_ms"))
+      .orderBy(col("event_id"), col("click_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
@@ -136,9 +156,19 @@ object StreamQueries {
     "w1_tumbling_counts" -> w1TumblingCounts,
     "w2_session_window" -> w2SessionWindow,
     "w3_late_drop" -> w3LateDrop,
-    "w4_sliding_counts" -> w4SlidingCounts)
+    "w4_sliding_counts" -> w4SlidingCounts,
+    "w5_stream_join_twin" -> w5StreamJoinTwin)
 
   val oracles: Map[String, String] = Map(
+    "w5_stream_join_twin" ->
+      """SELECT p.event_id, epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ms
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+        |ORDER BY event_id, click_ms""".stripMargin,
     "w4_sliding_counts" ->
       """WITH s AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins — the fourth Structured Streaming surface the
+  * engine exercises, after the stateful CDC apply (CdcStream), windowed
+  * aggregation (w1/w2), and watermark late-drops (w3): two unbounded
+  * sides joined on key + event-time interval. The watermarks are
+  * load-bearing — they bound BOTH sides' join state, letting the runtime
+  * evict a buffered row once no future row on the other side can still
+  * match it; without them an inner stream-stream join's state grows
+  * forever.
+  *
+  * The same plan runs in batch mode (`withWatermark` is a no-op there),
+  * so the batch gate hash-checks exactly the join the streaming runtime
+  * executes — the CdcStream batch-twin pattern. The join keys on the
+  * user equality (hash exchange, never a nested loop); the time bound is
+  * the residual condition the state manager also uses for eviction.
+  */
+object StreamJoins {
+
+  /** Every purchase joined to the same user's clicks in the preceding
+    * `beforeMs` window — the streaming form of the j13 range-context
+    * join. Inner semantics (append-mode capable): purchases with no
+    * in-window click do not emit.
+    */
+  def clickContext(purchases: DataFrame, clicks: DataFrame,
+      beforeMs: Long = 7200000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
+        "SECONDS AND c_ts <= p_ts"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+}

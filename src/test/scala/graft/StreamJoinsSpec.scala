@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamJoins
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the stream-stream interval join through the real streaming
+  * runtime (MemoryStream sources, append sink) and pins it against the
+  * identical plan in batch mode — the batch-twin contract the w5 gate
+  * hash-checks in DuckDB.
+  */
+class StreamJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+  private def ts(plusMin: Long) =
+    new java.sql.Timestamp(base.getTime + plusMin * 60000L)
+
+  // (event_id, user_id, ts)
+  private val purchases = Seq(
+    (100L, 1L, ts(0)), (101L, 1L, ts(180)), (102L, 2L, ts(60)))
+  private val clicks = Seq(
+    (1L, ts(-60)),   // 1h before purchase 100 — in window
+    (1L, ts(0)),     // exactly at purchase 100 — inclusive
+    (1L, ts(70)),    // 110 min before purchase 101 — in its window
+    (1L, ts(50)),    // 130 min before purchase 101 — outside the 2h window
+    (1L, ts(-121)),  // 121 min before purchase 100 — outside 2h window
+    (2L, ts(61)),    // 1 min AFTER purchase 102 — outside (backward only)
+    (3L, ts(30)))    // different user — never matches
+
+  test("stream-stream interval join matches its batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoins.clickContext(
+      pSrc.toDF().toDF("event_id", "user_id", "ts"),
+      cSrc.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("w5_join").start()
+    try {
+      pSrc.addData(purchases: _*)
+      cSrc.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w5_join")
+        .select("event_id", "c_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      val batch = StreamJoins.clickContext(
+        purchases.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("user_id", "ts"))
+        .select("event_id", "c_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      assert(streamed == batch, "streaming and batch twins diverged")
+      // The expected pair set, by hand: inclusive at both window edges,
+      // backward-only, per-user.
+      val want = Set(100L -> ts(-60), 100L -> ts(0), 101L -> ts(70))
+      assert(streamed == want)
+    } finally q.stop()
+  }
+
+  test("the streaming plan is a stream-stream join with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoins.clickContext(
+      pSrc.toDF().toDF("event_id", "user_id", "ts"),
+      cSrc.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("w5_plan").start()
+    try {
+      pSrc.addData(purchases: _*); cSrc.addData(clicks: _*)
+      q.processAllAvailable()
+      val plan = q.lastProgress.sources.length
+      assert(plan == 2, "join must read two streaming sources")
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "stream-stream join must hold join state")
+    } finally q.stop()
+  }
+}
