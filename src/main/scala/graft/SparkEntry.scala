@@ -27,7 +27,8 @@ object SparkEntry {
       (FuncQueries.defs, FuncQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oraclesWithTwins),
       (StreamQueries.defs, StreamQueries.oracles),
-      (ScenarioQueries.defs, ScenarioQueries.oracles))
+      (ScenarioQueries.defs, ScenarioQueries.oracles),
+      (AnalyticsQueries.defs, AnalyticsQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
