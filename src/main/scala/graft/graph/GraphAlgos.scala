@@ -1,0 +1,64 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond reachability (Traverse/Closure):
+  * algorithms whose naive relational form explodes on exactly the graphs
+  * that matter at scale, implemented in their degree-aware forms.
+  */
+object GraphAlgos {
+
+  /** Per-node triangle participation counts via degree-ordered edge
+    * direction (the compact-forward scheme): every undirected edge is
+    * directed from its lower-rank endpoint to the higher, where rank is
+    * the (degree, id) tuple — so every triangle has exactly ONE apex node
+    * holding two out-edges, each triangle is enumerated exactly once, and
+    * the wedge join fans out only over out-adjacencies, which the
+    * ordering bounds by O(√m) on ANY graph. The naive undirected wedge
+    * join fans out Σ deg² — a single hub node in a 100 TB edge set makes
+    * that quadratic; degree-ordering caps total wedge work at O(m^{3/2})
+    * regardless of skew. Three hash joins, no cartesian anywhere.
+    *
+    * Input may contain duplicates, self-loops, or either orientation;
+    * normalized internally. Returns (node, n_tri) for nodes in ≥ 1
+    * triangle; per-node counts are orientation-independent, so the
+    * result is comparable against any exact enumeration.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // Directed low-rank -> high-rank, carrying the destination's rank so
+    // the wedge join can order neighbor pairs without another join.
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val dir = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    // Wedges from each apex u: ordered out-neighbor pairs (v, w); the
+    // closing edge (v, w) is itself directed v -> w by the same rank.
+    val e1 = dir.select(col("u"), col("v"), col("dv"))
+    val e2 = dir.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = e1.join(e2, "u")
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val triangles = wedges
+      .join(dir.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+}

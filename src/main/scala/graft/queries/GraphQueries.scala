@@ -288,7 +288,29 @@ object GraphQueries {
     hq.crossJoin(drone).withColumn("label", lit("DELEGATES"))
   }
 
+  /** G1: per-node triangle counts over the co-supplier graph (suppliers
+    * linked when both ship the same part near capacity — the sparse
+    * projection; without the quantity filter every supplier pair shares
+    * SOME part and the graph is complete, which counts nothing but
+    * C(n,3)). [[graft.graph.GraphAlgos.triangleCounts]]: degree-ordered
+    * compact-forward — wedge fan-out bounded O(√m) per node however
+    * skewed the graph; the oracle enumerates the same triangles by a
+    * 3-way relational self-join, so hash equality pins the directed
+    * scheme against the naive definition.
+    */
+  def g1Triangles(spark: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(spark, d)
+      .filter(col("l_quantity") >= 49.5)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val a = ps.select(col("l_partkey"), col("l_suppkey").as("src"))
+    val b = ps.select(col("l_partkey"), col("l_suppkey").as("dst"))
+    val e = a.join(b, "l_partkey").filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    graft.graph.GraphAlgos.triangleCounts(e).orderBy(col("node"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_triangles" -> g1Triangles,
     "s2_vertex_scan" -> s2VertexScan,
     "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
     "j6_fk_integrity" -> j6FkIntegrity,
@@ -333,6 +355,24 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g1_triangles" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |e AS (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |n AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_tri FROM n
+        |GROUP BY node ORDER BY node""".stripMargin,
     "s2_vertex_scan" ->
       "SELECT 'O' || o_orderkey AS id FROM orders ORDER BY id",
     "s3_filtered_vertex_scan" ->
