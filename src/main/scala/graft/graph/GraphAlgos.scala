@@ -61,4 +61,58 @@ object GraphAlgos {
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** PageRank over the undirected view of `edges` (each edge contributes
+    * both directions, so every node has out-degree ≥ 1 — no dangling
+    * mass to redistribute). Fixed `iterations` of the power method at
+    * `damping`: rank' = (1−d)/N + d·Σ_in rank/deg.
+    *
+    * Scale shape: the degree table joins once; each iteration is one
+    * contributions join + one keyed sum — two shuffles on node — and the
+    * rank vector is localCheckpointed every few rounds (previous
+    * checkpoint released) so lineage stays shallow instead of replaying
+    * k join-aggregates from parquet. At 100 TB the edge set is the big
+    * side and stays partitioned by src across iterations; only the
+    * k-element rank vector moves.
+    *
+    * Returns (node, rank) as exact doubles — callers gate on rounded
+    * values (float sum ORDER differs across engines; the values agree to
+    * ~1e-12 after 20 iterations, so 6-decimal rounding is stable).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 20,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val out = graft.CacheRegistry.register(
+      dir.join(deg, "src").localCheckpoint())
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("src").as("node"),
+      lit(1.0 / n).as("rank")).localCheckpoint()
+    var lastCp = ranks
+    for (i <- 1 to iterations) {
+      val contribs = out
+        .join(ranks, out("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("node"))
+        .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
+      // Shallow lineage: checkpoint every 4th round (and the last), then
+      // drop the superseded checkpoint's blocks — the new checkpoint
+      // materialized eagerly, so the old one is dead weight.
+      if (i % 4 == 0 || i == iterations) {
+        ranks = ranks.localCheckpoint()
+        lastCp.unpersist()
+        lastCp = ranks
+      }
+    }
+    // The final checkpoint outlives this call (the caller's action reads
+    // it) — registered so the session-hygiene hook releases it after.
+    graft.CacheRegistry.register(ranks)
+  }
 }

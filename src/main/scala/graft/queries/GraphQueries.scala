@@ -309,8 +309,62 @@ object GraphQueries {
     graft.graph.GraphAlgos.triangleCounts(e).orderBy(col("node"))
   }
 
+  /** G2: PageRank over the same co-supplier graph as g1 — 20 fixed
+    * power-method iterations at damping 0.85
+    * ([[graft.graph.GraphAlgos.pageRank]]). The oracle UNROLLS the same
+    * 20 iterations as chained CTEs in DuckDB and both sides round to 6
+    * decimals: the arithmetic is identical, only float summation order
+    * differs (~1e-12 after 20 rounds), so the rounded fixed point is an
+    * exact cross-engine pin — not a derived-bound gate.
+    */
+  def g2Pagerank(spark: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(spark, d)
+      .filter(col("l_quantity") >= 49.5)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val a = ps.select(col("l_partkey"), col("l_suppkey").as("src"))
+    val b = ps.select(col("l_partkey"), col("l_suppkey").as("dst"))
+    val e = a.join(b, "l_partkey").filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    graft.graph.GraphAlgos.pageRank(e, iterations = 20, damping = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  /** The g2 oracle: the same power iteration unrolled as chained CTEs
+    * (recursive CTEs disallow the per-step aggregate; generation is the
+    * d3SimhashOracle pattern).
+    */
+  private def g2Oracle(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    0.15 / (SELECT count(*) FROM deg)
+         |      + 0.85 * sum(r${i - 1}.rank / deg.deg) AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |  WHERE l_quantity >= 49.5),
+       |eu AS (
+       |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM ps a JOIN ps b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+       |e AS (SELECT s AS src, t AS dst FROM eu
+       |      UNION ALL SELECT t, s FROM eu),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT src AS node, 1.0 / (SELECT count(*) FROM deg) AS rank
+       |  FROM deg),
+       |$chain
+       |SELECT node, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
+    "g2_pagerank" -> g2Pagerank,
     "s2_vertex_scan" -> s2VertexScan,
     "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
     "j6_fk_integrity" -> j6FkIntegrity,
@@ -355,6 +409,7 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g2_pagerank" -> g2Oracle(20),
     "g1_triangles" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

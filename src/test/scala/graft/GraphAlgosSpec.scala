@@ -52,6 +52,51 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: symmetric graphs converge to uniform rank") {
+    // On a regular (here: complete) graph every node ends at exactly 1/N.
+    val k4 = for (a <- 0L until 4L; b <- (a + 1) until 4L) yield (a, b)
+    val ranks = GraphAlgos.pageRank(k4.toDF("src", "dst"), iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.size == 4)
+    ranks.values.foreach(r => assert(math.abs(r - 0.25) < 1e-12))
+  }
+
+  test("pagerank: ranks sum to 1 and order follows degree") {
+    // Star plus a pendant: hub must outrank leaves, leaves outrank none.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (4L, 5L))
+    val ranks = GraphAlgos.pageRank(star.toDF("src", "dst"), iterations = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks(0L) > ranks(4L), "hub must outrank mid-degree node")
+    assert(ranks(4L) > ranks(5L), "degree-2 node must outrank pendant")
+    assert(math.abs(ranks(1L) - ranks(2L)) < 1e-12, "symmetric leaves equal")
+  }
+
+  test("pagerank matches a driver-side power iteration exactly") {
+    val rnd = new scala.util.Random(311)
+    val n = 8
+    val edges = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      if rnd.nextDouble() < 0.5
+    } yield (a, b)).toSeq
+    val got = GraphAlgos.pageRank(edges.toDF("src", "dst"), iterations = 15)
+      .as[(Long, Double)].collect().toMap
+    // Driver reference on the same undirected expansion.
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val nodes = adj.keys.toSeq.sorted
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 15) {
+      r = nodes.map { v =>
+        val in = nodes.filter(u => adj(u).contains(v))
+          .map(u => r(u) / adj(u).size).sum
+        v -> (0.15 / nodes.size + 0.85 * in)
+      }.toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-9,
+      s"node $v: ${got(v)} vs ${r(v)}"))
+  }
+
   test("plan: three hash joins, no cartesian or nested loop") {
     val plan = GraphAlgos.triangleCounts(
         Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"))
