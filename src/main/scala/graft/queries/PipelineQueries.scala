@@ -259,6 +259,45 @@ object PipelineQueries {
   def t9TopkNgrams(spark: SparkSession, d: String): DataFrame =
     Search.topNgrams(Tables.documents(spark, d), n = 3, k = 20)
 
+  /** T10: Misra-Gries heavy hitters ([[graft.functions.MisraGries]], a
+    * mergeable k-entry typed Aggregator — the 100 TB "top values" form:
+    * the full-cardinality stream never shuffles, only ≤k-entry summaries
+    * merge). Item stream: low-value events collapse to their type (5
+    * genuinely heavy items, ~12% each) over a ~750-item tail — the skew
+    * regime the sketch exists for. The gate asserts the sketch's formal
+    * guarantee against the exact counts: every item with true count
+    * > n/(k+1) present, every estimate an undercount by ≤ n/(k+1); the
+    * oracle recomputes n_heavy exactly and pins the booleans TRUE —
+    * the sk1/ann-recall derived-bound pattern.
+    */
+  def t10MgHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    val items = Tables.events(spark, d).select(
+      when(col("value") < 50, col("event_type"))
+        .otherwise(concat(col("event_type"), lit("_"),
+          col("user_id").cast("string")))
+        .as("item"))
+    val sketch = items.as[String]
+      .select(new graft.functions.MisraGries(k).toColumn.name("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("item"), col("e._2").as("est"))
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val total = exact.agg(sum(col("c")).as("n"))
+    exact.join(sketch, Seq("item"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("item"), col("c"), col("est"),
+        (col("c") > col("n") / (k + 1.0)).as("heavy"), col("n"))
+      .agg(
+        bool_and(!col("heavy") || col("est").isNotNull)
+          .as("all_heavy_present"),
+        bool_and(col("est").isNull ||
+          (col("est") <= col("c") &&
+            col("c") - col("est") <= col("n") / (k + 1.0)))
+          .as("bound_ok"),
+        sum(col("heavy").cast("int")).cast("int").as("n_heavy"))
+  }
+
   /** D12: token-budget shard packing — per-shard doc/token totals from
     * the distributed two-pass prefix sum ([[graft.pipeline.Packing]]).
     */
@@ -451,6 +490,7 @@ object PipelineQueries {
     "t7_repetition" -> t7Repetition,
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
+    "t10_mg_heavy_hitters" -> t10MgHeavyHitters,
     "d12_token_shards" -> d12TokenShards,
     "d13_chunk_overlap" -> d13ChunkOverlap,
     "d14_mix_weights" -> d14MixWeights,
@@ -684,6 +724,16 @@ object PipelineQueries {
     // [[Dedup.shingleJaccardPairs]]: range(1, len-1) yields the same
     // n-k+1 window starts as Spark's sequence(0, n-k); docs under k words
     // contribute their whole text as one shingle in both engines.
+    "t10_mg_heavy_hitters" ->
+      """WITH items AS (
+        |  SELECT CASE WHEN value < 50 THEN event_type
+        |         ELSE event_type || '_' || user_id END AS item
+        |  FROM events)
+        |SELECT TRUE AS all_heavy_present, TRUE AS bound_ok,
+        |  CAST((SELECT count(*) FROM (
+        |    SELECT item, count(*) AS c FROM items GROUP BY item
+        |    HAVING c > (SELECT count(*) FROM items) / 21.0)) AS INT)
+        |    AS n_heavy""".stripMargin,
     "d16_incremental_recall" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

@@ -406,6 +406,37 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A14: salted two-phase aggregation — q1's aggregate computed through
+    * an explicit skew-safe plan: partial aggregate on (keys, salt) so ANY
+    * hot key splits across 32 reducers, then [[graft.operators.AggMerge]]
+    * combines the partials per key. Spark's map-side combine usually
+    * absorbs group-by skew, but when per-task pre-shuffle cardinality
+    * stays huge (high-cardinality agg buffers, combine-hostile
+    * aggregates) explicit salting bounds any one reducer's share at
+    * 1/salts of the hot key. The oracle is q1's own SQL — hash equality
+    * proves the salted decomposition is exact (sums reassociate; DECIMAL
+    * money paths keep it bit-stable).
+    */
+  def a14SaltedAgg(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val partial = l
+      .withColumn("__salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("__salt"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("__price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("__rev"),
+        count(lit(1)).as("n"))
+      .drop("__salt")
+    graft.operators.AggMerge
+      .merge(Seq(partial), Seq("l_returnflag", "l_linestatus"), "n")
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("__price").cast("double").as("sum_price"),
+        col("__rev").cast("double").as("revenue"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** J16: interval-overlap join — for every purchase, how many click
     * activity spans `[click, click + 30 min]` intersect the purchase's
     * preceding-hour window `[purchase − 1 h, purchase]`
@@ -521,6 +552,7 @@ object RelQueries {
     "o6_ntile" -> o6Ntile,
     "set_union_distinct" -> setUnionDistinct,
     "a11_grouping_id" -> a11GroupingId,
+    "a14_salted_agg" -> a14SaltedAgg,
     "a12_grouped_percentiles" -> a12GroupedPercentiles,
     "a13_argmax" -> a13Argmax)
 
@@ -693,6 +725,15 @@ object RelQueries {
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "a14_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a11_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
