@@ -510,6 +510,21 @@ object Bench {
         (d == Sf1Dir && new java.io.File("/root/testdata/sf0.1").isDirectory))
     if (dirs.size < 2) return ("{}", "{}")
     def sfName(d: String) = d.split("/").last
+    // Sweep-entry settling lap (r10): the sweep starts seconds after the
+    // e2e block's streaming machinery tears down, and the residual drag
+    // decays over ~10-20 s — measured as a FLAT ~2x elevation across the
+    // whole FIRST decade only (r5 sf0.001 278 ms vs sf0.01 126 ms,
+    // failing the decade check exactly as intended) while later decades
+    // read clean. The per-query adaptive warm-up cannot absorb a
+    // machine-wide decay; one untimed lap over the first dir can.
+    dirs.headOption.filter(d => new java.io.File(d).isDirectory)
+      .foreach { d0 =>
+        headline.filter(SparkEntry.queries.contains).foreach { q =>
+          try SparkEntry.queries(q)(spark, d0).count()
+          catch { case _: Throwable => () }
+          CacheRegistry.releaseAll()
+        }
+      }
     try {
       val p50 = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.LinkedHashMap[String, Double]]()
