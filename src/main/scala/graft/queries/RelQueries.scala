@@ -406,6 +406,45 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A15: grouped correlation — corr(quantity, price) per return flag,
+    * computed from EXACT sufficient statistics (integer-valued and
+    * DECIMAL sums; the a4 stddev pattern): `corr()` itself accumulates
+    * floats in partition order and never hash-matches across engines,
+    * while the derived form is deterministic double arithmetic over
+    * exact inputs. Sufficient statistics are also the mergeable/
+    * map-side-combinable form the sketch-and-merge world wants.
+    */
+  def a15GroupedCorr(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(col("l_quantity") * dec(col("l_extendedprice"))).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** H1: value histogram — `width_bucket` over the event value domain
+    * (20 equal buckets plus the standard under/overflow buckets 0 and
+    * 21), one map-side-combined hash aggregate; the profiling pass every
+    * ingestion pipeline runs before choosing filters.
+    */
+  def h1ValueHistogram(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(width_bucket(col("value"), lit(0.0), lit(500.0), lit(20))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** A14: salted two-phase aggregation — q1's aggregate computed through
     * an explicit skew-safe plan: partial aggregate on (keys, salt) so ANY
     * hot key splits across 32 reducers, then [[graft.operators.AggMerge]]
@@ -553,6 +592,8 @@ object RelQueries {
     "set_union_distinct" -> setUnionDistinct,
     "a11_grouping_id" -> a11GroupingId,
     "a14_salted_agg" -> a14SaltedAgg,
+    "a15_grouped_corr" -> a15GroupedCorr,
+    "h1_value_histogram" -> h1ValueHistogram,
     "a12_grouped_percentiles" -> a12GroupedPercentiles,
     "a13_argmax" -> a13Argmax)
 
@@ -725,6 +766,27 @@ object RelQueries {
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "a15_grouped_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(l_quantity * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "h1_value_histogram" ->
+      """SELECT CAST(CASE WHEN value < 0 THEN 0
+        |    WHEN value >= 500 THEN 21
+        |    ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a14_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
