@@ -42,7 +42,8 @@ object Bench {
     "u1_sig_roundtrip",   // crypto throughput: the catalog's heaviest row count
     "d4_ngram_jaccard",   // prefix-filtered AllPairs join (round-8 path)
     "j12_asof_attribution", // as-of join sweep (round-9 operator)
-    "j16_interval_overlap") // bucketed interval-overlap join (round-10 operator)
+    "j16_interval_overlap", // bucketed interval-overlap join (round-10 operator)
+    "g3_sssp")            // bounded-hop Bellman-Ford (round-10 graph analytics)
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.

@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-analytics family — the standard product-analytics shapes (time
   * series gap-fill, conversion funnel, cohort retention) a team replacing
@@ -77,10 +79,184 @@ object AnalyticsQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2))
+
+  /** A16: grouped higher moments — skewness and excess kurtosis of
+    * `l_quantity` per return flag, derived from exact BIGINT power sums
+    * (quantity is integral in this corpus; `floor` + cast makes the
+    * integrality assumption explicit and engine-agnostic — Spark CAST
+    * truncates where DuckDB rounds). The map side combines four Long
+    * sums per group — the same one-shuffle shape as q1 — and the moment
+    * algebra runs on the tiny grouped result in DOUBLE with the
+    * identical expression tree on both engines. `pow` is deliberately
+    * avoided (libm pow is not correctly rounded; `v * sqrt(v)` is).
+    */
+  def a16Moments(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .selectExpr("l_returnflag", "n",
+        "CAST(s1 AS DOUBLE) / n AS m",
+        "CAST(s2 AS DOUBLE) / n AS p2",
+        "CAST(s3 AS DOUBLE) / n AS p3",
+        "CAST(s4 AS DOUBLE) / n AS p4")
+      .selectExpr("l_returnflag", "n", "m AS mean_qty",
+        "p2 - m * m AS v",
+        "p3 - 3 * m * p2 + 2 * m * m * m AS c3",
+        "p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m AS c4")
+      .selectExpr("l_returnflag", "n", "mean_qty",
+        "v AS var_qty",
+        "c3 / (v * sqrt(v)) AS skew_qty",
+        "c4 / (v * v) - 3 AS kurt_qty")
+      .orderBy(col("l_returnflag"))
+
+  /** A17: grouped simple linear regression (price on quantity) — slope,
+    * intercept, r² per return flag from the SAME proven power sums as
+    * a15_grouped_corr (DECIMAL money sums, double casts at the very
+    * end, identical final expression both engines). The regr_slope /
+    * regr_intercept / regr_r2 family without trusting either engine's
+    * float-accumulation order.
+    */
+  def a17Regr(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(col("l_quantity") * dec(col("l_extendedprice"))).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .as("syy"))
+      .selectExpr("l_returnflag", "n",
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS num",
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS denx",
+        "CAST(n * syy - sy * sy AS DOUBLE) AS deny",
+        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd")
+      .selectExpr("l_returnflag", "n",
+        "num / denx AS slope",
+        "(syd - num / denx * sxd) / n AS intercept",
+        "(num * num) / (denx * deny) AS r2")
+      .orderBy(col("l_returnflag"))
+
+  /** A18: deterministic grouped mode — the most frequent nation per
+    * market segment, ties broken by the smaller nation key (mode is
+    * nondeterministic across engines without an explicit tie-break; the
+    * count + row_number formulation makes the tie-break part of the
+    * semantics). One hash aggregate + one k-row window.
+    */
+  def a18Mode(spark: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.customer(spark, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("c_nationkey").asc)
+    cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("modal_nation"),
+        col("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** O8: relative-rank windows — percent_rank and cume_dist of order
+    * value within each priority class. Pure rank arithmetic (ratios of
+    * identical integers) so the doubles are engine-identical; ties in
+    * `o_totalprice` are frame-independent for both functions.
+    */
+  def o8PercentRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** O9: trailing time-RANGE window — per-event count and exact DECIMAL
+    * sum of `value` over that user's trailing hour, the RANGE-frame
+    * sibling of w4's tumbling/sliding windows. Ordering on
+    * `unix_micros(ts)` keeps the frame arithmetic integral and makes
+    * peer-row (tie) semantics identical across engines; one shuffle on
+    * user_id, frame evaluation is a per-partition sliding scan, nothing
+    * global.
+    */
+  def o9TrailingWindow(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec(col("value"))).over(w).cast("double").as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J17: full outer join — per-customer URGENT vs LOW order counts
+    * stitched with COALESCE so customers active in only one priority
+    * class surface with explicit zeros. The key is deliberately
+    * high-cardinality (o_custkey, not a 25-value dimension key): with
+    * ~10 orders per customer over 5 priorities, a constant fraction of
+    * customers lacks each class at EVERY scale factor, so both null
+    * directions of the join stay exercised at sf0.001 through sf1 —
+    * a bounded key would saturate and silently degrade the gate to an
+    * inner join. Completes the join-type inventory next to j14 anti /
+    * j15 semi / left joins elsewhere; both sides shuffle once on the
+    * same key, so the outer join itself is a co-partitioned merge.
+    */
+  def j17FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_low"))
+    urgent.join(low, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** M11: SCD-2 interval construction — each user's 'view' stream becomes
+    * versioned rows with [valid_from, valid_to) ranges and an is_current
+    * flag via `lead` over (ts, event_id) (the event_id tie-break makes
+    * same-timestamp versions deterministic). The standard warehouse
+    * dimension-versioning shape: one shuffle on the entity key, then a
+    * per-partition ordered scan.
+    */
+  def m11Scd2(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("valid_from_ms"),
+        unix_millis(col("valid_to")).as("valid_to_ms"),
+        col("valid_to").isNull.as("is_current"),
+        col("value"))
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
-    "c1_cohort_retention" -> c1CohortRetention)
+    "c1_cohort_retention" -> c1CohortRetention,
+    "a16_moments" -> a16Moments,
+    "a17_regr" -> a17Regr,
+    "a18_mode" -> a18Mode,
+    "o8_percent_rank" -> o8PercentRank,
+    "o9_trailing_window" -> o9TrailingWindow,
+    "j17_full_outer" -> j17FullOuter,
+    "m11_scd2" -> m11Scd2)
 
   val oracles: Map[String, String] = Map(
     "o7_gapfill" ->
@@ -130,5 +306,105 @@ object AnalyticsQueries {
         |  count(DISTINCT user_id) AS n_users
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY 1, 2
-        |ORDER BY cohort_day, day_offset""".stripMargin)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "a16_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS s1,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)) AS s2,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)) AS s3,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |p AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS m, CAST(s2 AS DOUBLE) / n AS p2,
+        |    CAST(s3 AS DOUBLE) / n AS p3, CAST(s4 AS DOUBLE) / n AS p4
+        |  FROM s),
+        |c AS (
+        |  SELECT l_returnflag, n, m AS mean_qty,
+        |    p2 - m * m AS v,
+        |    p3 - 3 * m * p2 + 2 * m * m * m AS c3,
+        |    p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m AS c4
+        |  FROM p)
+        |SELECT l_returnflag, n, mean_qty, v AS var_qty,
+        |  c3 / (v * sqrt(v)) AS skew_qty,
+        |  c4 / (v * v) - 3 AS kurt_qty
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+    "a17_regr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(l_quantity * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  num / denx AS slope,
+        |  (syd - num / denx * sxd) / n AS intercept,
+        |  (num * num) / (denx * deny) AS r2
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+    "a18_mode" ->
+      """WITH cnt AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY n DESC, c_nationkey ASC) AS rk
+        |  FROM cnt)
+        |SELECT c_mktsegment, c_nationkey AS modal_nation, n
+        |FROM rk WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin,
+    "o8_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
+    "o9_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "j17_full_outer" ->
+      """WITH u AS (
+        |  SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (
+        |  SELECT o_custkey, count(*) AS n_low FROM orders
+        |  WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.o_custkey, l.o_custkey) AS o_custkey,
+        |  coalesce(n_urgent, 0) AS n_urgent,
+        |  coalesce(n_low, 0) AS n_low
+        |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "m11_scd2" ->
+      """SELECT user_id, event_id,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS valid_from_ms,
+        |  epoch_ms(lead(CAST(ts AS TIMESTAMP)) OVER w) AS valid_to_ms,
+        |  (lead(CAST(ts AS TIMESTAMP)) OVER w) IS NULL AS is_current,
+        |  value
+        |FROM events WHERE event_type = 'view'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin)
 }

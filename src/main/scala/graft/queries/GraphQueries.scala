@@ -298,15 +298,22 @@ object GraphQueries {
     * 3-way relational self-join, so hash equality pins the directed
     * scheme against the naive definition.
     */
-  def g1Triangles(spark: SparkSession, d: String): DataFrame = {
+  def g1Triangles(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.triangleCounts(coSupplierEdges(spark, d))
+      .orderBy(col("node"))
+
+  /** Shared graph for the g-family: suppliers linked when both ship the
+    * same part near capacity (see g1's scaladoc for why the quantity
+    * filter keeps the projection sparse). One edge per unordered pair.
+    */
+  private def coSupplierEdges(spark: SparkSession, d: String): DataFrame = {
     val ps = Tables.lineitem(spark, d)
       .filter(col("l_quantity") >= 49.5)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val a = ps.select(col("l_partkey"), col("l_suppkey").as("src"))
     val b = ps.select(col("l_partkey"), col("l_suppkey").as("dst"))
-    val e = a.join(b, "l_partkey").filter(col("src") < col("dst"))
+    a.join(b, "l_partkey").filter(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct()
-    graft.graph.GraphAlgos.triangleCounts(e).orderBy(col("node"))
   }
 
   /** G2: PageRank over the same co-supplier graph as g1 — 20 fixed
@@ -317,17 +324,60 @@ object GraphQueries {
     * differs (~1e-12 after 20 rounds), so the rounded fixed point is an
     * exact cross-engine pin — not a derived-bound gate.
     */
-  def g2Pagerank(spark: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(spark, d)
-      .filter(col("l_quantity") >= 49.5)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val a = ps.select(col("l_partkey"), col("l_suppkey").as("src"))
-    val b = ps.select(col("l_partkey"), col("l_suppkey").as("dst"))
-    val e = a.join(b, "l_partkey").filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    graft.graph.GraphAlgos.pageRank(e, iterations = 20, damping = 0.85)
+  def g2Pagerank(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.pageRank(coSupplierEdges(spark, d),
+        iterations = 20, damping = 0.85)
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
+
+  /** G3: bounded-hop weighted shortest path over the co-supplier graph
+    * ([[graft.graph.GraphAlgos.sssp]], 8 Bellman-Ford rounds from the
+    * minimum-id node). Edge weight `1 + (src+dst) % 7` is a deterministic
+    * BIGINT both engines compute identically (and is symmetric, so both
+    * directions of an undirected edge agree); min over BIGINT costs is
+    * exact, so the gate is a hash pin, not a rounded one. The oracle
+    * unrolls the same 8 relaxation rounds as chained CTEs — bounded-hop
+    * cost is the semantics, well-defined on cyclic graphs.
+    */
+  def g3Sssp(spark: SparkSession, d: String): DataFrame = {
+    val und = coSupplierEdges(spark, d)
+    val e = und
+      .unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+    val source = e.select(col("src").as("node"))
+      .agg(min(col("node")).as("node"))
+    graft.graph.GraphAlgos.sssp(e, source, maxHops = 8)
+      .orderBy(col("node"))
+  }
+
+  /** The g3 oracle: the same 8 relaxation rounds unrolled as chained
+    * CTEs (the g2Oracle pattern — recursive CTEs disallow the per-step
+    * min aggregate).
+    */
+  private def g3Oracle(hops: Int): String = {
+    val chain = (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |  WHERE l_quantity >= 49.5),
+       |eu AS (
+       |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM ps a JOIN ps b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+       |e AS (
+       |  SELECT s AS src, t AS dst, 1 + (s + t) % 7 AS w FROM eu
+       |  UNION ALL SELECT t, s, 1 + (s + t) % 7 FROM eu),
+       |d0 AS (
+       |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+       |$chain
+       |SELECT node, dist FROM d$hops ORDER BY node""".stripMargin
   }
 
   /** The g2 oracle: the same power iteration unrolled as chained CTEs
@@ -365,6 +415,7 @@ object GraphQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
     "g2_pagerank" -> g2Pagerank,
+    "g3_sssp" -> g3Sssp,
     "s2_vertex_scan" -> s2VertexScan,
     "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
     "j6_fk_integrity" -> j6FkIntegrity,
@@ -410,6 +461,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
+    "g3_sssp" -> g3Oracle(8),
     "g1_triangles" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

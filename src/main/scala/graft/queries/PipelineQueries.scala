@@ -259,6 +259,27 @@ object PipelineQueries {
   def t9TopkNgrams(spark: SparkSession, d: String): DataFrame =
     Search.topNgrams(Tables.documents(spark, d), n = 3, k = 20)
 
+  /** T11: edit distance between adjacent documents' 40-char prefixes —
+    * the exact-verification kernel a near-dup pipeline runs on candidate
+    * pairs after LSH banding (d2) proposes them; here over a
+    * deterministic pair set (doc k vs k+1) so DuckDB's `levenshtein`
+    * can pin Spark's codegen'd kernel cross-engine. Both engines use
+    * the classic unit-cost DP, and the corpus is pure ASCII, so the
+    * integer distances are an exact hash pin. The prefix bound (40
+    * chars) is what makes it a scale operator: levenshtein is O(len²)
+    * per pair, so production near-dup verify always caps the compared
+    * span. One narrow self-join on doc_id, no shuffle fan-out.
+    */
+  def t11EditDistance(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("p").as("p2"))
+    docs.join(nxt, "doc_id")
+      .select(col("doc_id"), levenshtein(col("p"), col("p2")).as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T10: Misra-Gries heavy hitters ([[graft.functions.MisraGries]], a
     * mergeable k-entry typed Aggregator — the 100 TB "top values" form:
     * the full-cardinality stream never shuffles, only ≤k-entry summaries
@@ -491,6 +512,7 @@ object PipelineQueries {
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
     "t10_mg_heavy_hitters" -> t10MgHeavyHitters,
+    "t11_edit_distance" -> t11EditDistance,
     "d12_token_shards" -> d12TokenShards,
     "d13_chunk_overlap" -> d13ChunkOverlap,
     "d14_mix_weights" -> d14MixWeights,
@@ -982,6 +1004,11 @@ object PipelineQueries {
         |  FROM w)
         |SELECT gram, count(*) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "t11_edit_distance" ->
+      """SELECT a.doc_id,
+        |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
     "mm1_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
         |  CAST(64 + doc_id % 64 AS INT) AS width,

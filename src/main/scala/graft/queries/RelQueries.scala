@@ -535,6 +535,65 @@ object RelQueries {
       .select((col("ap") >= col("lo") && col("ap") <= col("hi"))
         .as("within_bound"))
 
+  /** SK3: Bloom-filter membership sketch over the orders fact's customer
+    * FK — the build is `df.stat.bloomFilter`, whose aggregation ORs
+    * fixed-size bit arrays map-side (the row set never moves; this is
+    * exactly how a broadcast-join runtime filter is built on a dim side
+    * and shipped to prune a 100 TB fact scan). The probe side broadcasts
+    * the filter and tests distributedly — via a UDF because OSS Spark
+    * exposes no public Column-level `might_contain` (probed: unresolved
+    * in the 4.1 registry; the Expression is internal to runtime
+    * filtering). Gated the honest approximate way (sk1/sk2 pattern):
+    * zero false negatives over every inserted key, and a false-positive
+    * rate over 50k guaranteed-absent keys within 3x the configured fpp.
+    */
+  def sk3BloomBound(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, d)
+    val keys = orders.select(col("o_custkey")).distinct()
+    val nKeys = keys.count()
+    val fpp = 0.03
+    val bf = orders.stat.bloomFilter("o_custkey", math.max(nKeys, 1000L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    val falseNegs = keys.filter(!might(col("o_custkey"))).count()
+    // 1-row scalar probe (capability-probe class): the absent-key range
+    // starts just past the live key domain.
+    val maxKey = keys.agg(max(col("o_custkey"))).head().getLong(0)
+    val nProbe = 50000L
+    val fps = spark.range(1, nProbe + 1)
+      .select((col("id") + maxKey).as("k"))
+      .filter(might(col("k"))).count()
+    Seq(falseNegs == 0L && fps.toDouble / nProbe <= 3 * fpp)
+      .toDF("within_bound")
+  }
+
+  /** SK4: Count-Min frequency sketch over the event stream's user key —
+    * `df.stat.countMinSketch` merges fixed-width count matrices map-side
+    * (the mergeable-summary property that makes it a 100 TB operator,
+    * same class as sk1's HLL registers and t10's Misra-Gries maps).
+    * Gate: for the five heaviest users, the estimate must sit in the
+    * CMS guarantee band [exact, exact + eps*N] — never under (CMS only
+    * overestimates), never past the additive error bound. The 5-key
+    * probe reads the driver-held sketch directly (5 boxed lookups, not
+    * a data-path collect); seed fixed so the gate is deterministic.
+    */
+  def sk4CmsBound(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val eps = 0.0005
+    val n = e.count()
+    val cms = e.stat.countMinSketch("user_id", eps, 0.99, 42)
+    val top = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(5).collect()
+    val slack = math.ceil(eps * n).toLong
+    val ok = top.forall { r =>
+      val est = cms.estimateCount(r.getLong(0))
+      est >= r.getLong(1) && est <= r.getLong(1) + slack
+    }
+    Seq(ok).toDF("within_bound")
+  }
+
   /** O4: pivot — day × event-type count matrix via `groupBy().pivot()`
     * with an explicit value list (no extra distinct-values job; the plan
     * is one hash aggregate over (day), each cell a conditional count —
@@ -566,6 +625,8 @@ object RelQueries {
     "j13_range_count" -> j13RangeCount,
     "sk1_hll_bound" -> sk1HllBound,
     "sk2_quantile_bound" -> sk2QuantileBound,
+    "sk3_bloom_bound" -> sk3BloomBound,
+    "sk4_cms_bound" -> sk4CmsBound,
     "o4_pivot_counts" -> o4PivotCounts,
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
@@ -614,6 +675,8 @@ object RelQueries {
         |ORDER BY p.event_id""".stripMargin,
     "sk1_hll_bound" -> "SELECT TRUE AS within_bound",
     "sk2_quantile_bound" -> "SELECT TRUE AS within_bound",
+    "sk3_bloom_bound" -> "SELECT TRUE AS within_bound",
+    "sk4_cms_bound" -> "SELECT TRUE AS within_bound",
     "o4_pivot_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

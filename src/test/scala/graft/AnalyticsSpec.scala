@@ -59,4 +59,110 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.forall(_._2 >= 0), "no activity before the cohort day")
   }
+
+  test("a16 moments agree with Spark's native skewness/kurtosis") {
+    // Independent pin: the exact-power-sum derivation must reproduce the
+    // engine's own (population) moment aggregates to float precision.
+    val got = AnalyticsQueries.a16Moments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("s"),
+        kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == native.keySet)
+    got.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(sk - native(flag)._1) < 1e-8, s"skew $flag")
+      assert(math.abs(ku - native(flag)._2) < 1e-8, s"kurt $flag")
+    }
+  }
+
+  test("a17 regression agrees with Spark's native regr_* aggregates") {
+    val got = AnalyticsQueries.a17Regr(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    got.foreach { case (flag, (sl, in, r2)) =>
+      val (ns, ni, nr) = native(flag)
+      assert(math.abs(sl - ns) / math.abs(ns) < 1e-6, s"slope $flag")
+      assert(math.abs(in - ni) / math.abs(ni) < 1e-6, s"intercept $flag")
+      assert(math.abs(r2 - nr) < 1e-6, s"r2 $flag")
+    }
+  }
+
+  test("a18 mode picks the max count with the smallest-key tie-break") {
+    val cnts = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey")).count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val want = cnts.groupBy(_._1).map { case (seg, rows) =>
+      val mx = rows.map(_._3).max
+      seg -> rows.filter(_._3 == mx).map(_._2).min
+    }
+    val got = AnalyticsQueries.a18Mode(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == want)
+  }
+
+  test("o8 percent_rank/cume_dist are bounded and price-monotone") {
+    val rows = AnalyticsQueries.o8PercentRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._4).max == 1.0, "cume_dist must top out at 1")
+      assert(g.count(_._3 == 0.0) >= 1, "cheapest row has percent_rank 0")
+    }
+  }
+
+  test("o9 trailing window matches a brute-force per-event recount") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = AnalyticsQueries.o9TrailingWindow(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byUser = events.groupBy(_._2)
+    events.take(200).foreach { case (id, u, t, _) =>
+      val want = byUser(u).count(e => e._3 >= t - 3600000000L && e._3 <= t)
+      assert(got(id) == want, s"event $id trailing count")
+    }
+  }
+
+  test("j17 full outer realizes both null directions with zero fills") {
+    val rows = AnalyticsQueries.j17FullOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(r => r._2 == 0L && r._3 > 0L),
+      "low-only customer must appear")
+    assert(rows.exists(r => r._2 > 0L && r._3 == 0L),
+      "urgent-only customer must appear")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._2 > 0L || r._3 > 0L),
+      "a full-outer row must come from at least one side")
+  }
+
+  test("m11 scd2: per-user versions chain contiguously, one current") {
+    val rows = AnalyticsQueries.m11Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      assert(vs.count(_._4) == 1, s"user $u must have exactly one current")
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2),
+            s"user $u: valid_to must equal the next valid_from")
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty, "only the last version is open-ended")
+    }
+  }
 }

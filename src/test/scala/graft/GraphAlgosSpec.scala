@@ -104,4 +104,64 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  private def ssspOf(edges: Seq[(Long, Long, Long)], src: Long,
+      hops: Int): Map[Long, Long] =
+    GraphAlgos.sssp(edges.toDF("src", "dst", "w"),
+        Seq(src).toDF("node"), maxHops = hops)
+      .as[(Long, Long)].collect().toMap
+
+  test("sssp: weighted path graph yields cumulative distances") {
+    // 0 -1-> 1 -2-> 2 -3-> 3 (directed); dist = prefix sums.
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(ssspOf(e, 0L, 8) == Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 6L))
+  }
+
+  test("sssp: bounded hops are the semantics, not a convergence cutoff") {
+    // Expensive direct edge (10) vs cheap 3-hop detour (3x2=6): within
+    // 1 hop the direct edge wins; with 3 hops the detour replaces it.
+    val e = Seq((0L, 9L, 10L),
+      (0L, 1L, 2L), (1L, 2L, 2L), (2L, 9L, 2L))
+    assert(ssspOf(e, 0L, 1)(9L) == 10L)
+    assert(ssspOf(e, 0L, 3)(9L) == 6L)
+  }
+
+  test("sssp: cycles never lower costs below the acyclic optimum") {
+    // 0 <-> 1 (weight 1 each way) plus 1 -> 2: the 2-cycle must not
+    // produce distances below the simple-path costs.
+    val e = Seq((0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L))
+    assert(ssspOf(e, 0L, 8) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("sssp fuzz: parity with driver-side Bellman-Ford") {
+    val rnd = new scala.util.Random(515)
+    for (_ <- 0 until 3) {
+      val n = 10
+      val edges = (for {
+        a <- 0L until n.toLong; b <- 0L until n.toLong
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a, b, 1L + rnd.nextInt(9))).toSeq
+      val hops = 5
+      val got = ssspOf(edges, 0L, hops)
+      // Driver Bellman-Ford, same bounded-hop semantics.
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to hops) {
+        val relaxed = edges.flatMap { case (s, t, w) =>
+          dist.get(s).map(ds => t -> (ds + w))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).min }
+      }
+      assert(got == dist, "diverged from driver Bellman-Ford")
+    }
+  }
+
+  test("sssp plan: equi-joins only, no cartesian or nested loop") {
+    val df = GraphAlgos.sssp(
+      Seq((0L, 1L, 1L), (1L, 2L, 2L)).toDF("src", "dst", "w"),
+      Seq(0L).toDF("node"), maxHops = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -519,4 +519,26 @@ class PipelineSpec extends AnyFunSuite {
     // "" splits to one empty token -> fewer than 2 tokens -> zeros.
     assert(byId(3L) == ((0, 0, 0, 0)))
   }
+
+  test("t11 edit distance matches a driver-side unit-cost DP") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val prefixes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.queries.PipelineQueries.t11EditDistance(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.nonEmpty)
+    got.take(50).foreach { case (id, dist) =>
+      assert(dist == lev(prefixes(id), prefixes(id + 1)),
+        s"doc $id distance")
+    }
+  }
 }

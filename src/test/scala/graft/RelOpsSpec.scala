@@ -156,4 +156,18 @@ class RelOpsSpec extends AnyFunSuite {
     val diffs = sorted.zip(sorted.tail).map { case (a, b) => b - a }
     assert(diffs.contains(3600000L))
   }
+
+  test("sk3 bloom bound holds and is deterministic") {
+    val a = RelQueries.sk3BloomBound(spark, sf).collect()
+    assert(a.length == 1 && a.head.getBoolean(0),
+      "no false negatives; fp rate within 3x fpp")
+    val b = RelQueries.sk3BloomBound(spark, sf).collect()
+    assert(b.head.getBoolean(0) == a.head.getBoolean(0),
+      "bloom build must be deterministic (fixed hashing, data-driven size)")
+  }
+
+  test("sk4 count-min estimates sit in the [exact, exact + eps*N] band") {
+    val r = RelQueries.sk4CmsBound(spark, sf).collect()
+    assert(r.length == 1 && r.head.getBoolean(0))
+  }
 }
