@@ -118,31 +118,57 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"))
 
   /** A17: grouped simple linear regression (price on quantity) — slope,
-    * intercept, r² per return flag from the SAME proven power sums as
-    * a15_grouped_corr (DECIMAL money sums, double casts at the very
-    * end, identical final expression both engines). The regr_slope /
+    * intercept, r² per return flag. EVERY power sum is exact (BIGINT for
+    * the integral x, DECIMAL for money — double sums are
+    * accumulation-order-dependent and the `n·sxy − sx·sy` cancellation
+    * amplifies that ~1e-16 noise into the 10th significant digit by
+    * sf1, which is exactly where the cross-engine hash broke before
+    * this form). The combining arithmetic stays in DECIMAL with small
+    * declared widths (so no product exceeds precision 38 and nothing
+    * gets scale-truncated), and only the final ratios drop to DOUBLE —
+    * one identical expression tree on both engines. The regr_slope /
     * regr_intercept / regr_r2 family without trusting either engine's
     * float-accumulation order.
     */
   def a17Regr(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_quantity")).cast(DecimalType(9, 0)).as("qd"),
+        dec(col("l_extendedprice")).as("y"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity")).as("sx"),
-        sum(dec(col("l_extendedprice"))).as("sy"),
-        sum(col("l_quantity") * dec(col("l_extendedprice"))).as("sxy"),
-        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
-        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
-          .as("syy"))
+        sum(col("q")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("qd") * col("y")).as("sxy"),
+        sum(col("q") * col("q")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
       .selectExpr("l_returnflag", "n",
-        "CAST(n * sxy - sx * sy AS DOUBLE) AS num",
-        "CAST(n * sxx - sx * sx AS DOUBLE) AS denx",
-        "CAST(n * syy - sy * sy AS DOUBLE) AS deny",
-        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd")
+        // Width choreography, load-bearing on BOTH engines: every
+        // product needs ≥ one operand wider than DECIMAL(18) or DuckDB
+        // multiplies in int64 and overflows on the sum-level magnitudes
+        // (observed at sf0.01 already); but too-wide operands make
+        // Spark's static decimal rules truncate scale at the 38 cap.
+        // These exact widths keep every product ≤ precision 38 with
+        // scale preserved (exact) on both engines, with headroom to
+        // ~sf10 of this corpus; past that the decimal casts fail loud
+        // rather than silently rounding.
+        "CAST(n AS DECIMAL(19,0)) AS nd",
+        "CAST(n AS DECIMAL(10,0)) AS n2",
+        "CAST(sx AS DECIMAL(19,0)) AS sxd",
+        "CAST(sy AS DECIMAL(19,2)) AS syd",
+        "CAST(sxy AS DECIMAL(18,2)) AS sxyd",
+        "CAST(sxx AS DECIMAL(18,0)) AS sxxd",
+        "CAST(syy AS DECIMAL(22,4)) AS syyd")
+      .selectExpr("l_returnflag", "n",
+        "CAST(nd * sxyd - sxd * syd AS DOUBLE) AS num",
+        "CAST(nd * sxxd - sxd * sxd AS DOUBLE) AS denx",
+        "CAST(n2 * syyd - syd * syd AS DOUBLE) AS deny",
+        "CAST(sxd AS DOUBLE) AS sxdd", "CAST(syd AS DOUBLE) AS sydd")
       .selectExpr("l_returnflag", "n",
         "num / denx AS slope",
-        "(syd - num / denx * sxd) / n AS intercept",
+        "(sydd - num / denx * sxdd) / n AS intercept",
         "(num * num) / (denx * deny) AS r2")
       .orderBy(col("l_returnflag"))
 
@@ -339,23 +365,35 @@ object AnalyticsQueries {
     "a17_regr" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    sum(l_quantity) AS sx,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS sx,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |    sum(l_quantity * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(CAST(floor(l_quantity) AS DECIMAL(9,0))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)) AS sxx,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
         |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DECIMAL(19,0)) AS nd,
+        |    CAST(n AS DECIMAL(10,0)) AS n2,
+        |    CAST(sx AS DECIMAL(19,0)) AS sxd,
+        |    CAST(sy AS DECIMAL(19,2)) AS syd,
+        |    CAST(sxy AS DECIMAL(18,2)) AS sxyd,
+        |    CAST(sxx AS DECIMAL(18,0)) AS sxxd,
+        |    CAST(syy AS DECIMAL(22,4)) AS syyd
+        |  FROM s),
         |t AS (
         |  SELECT l_returnflag, n,
-        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
-        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny,
-        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
-        |  FROM s)
+        |    CAST(nd * sxyd - sxd * syd AS DOUBLE) AS num,
+        |    CAST(nd * sxxd - sxd * sxd AS DOUBLE) AS denx,
+        |    CAST(n2 * syyd - syd * syd AS DOUBLE) AS deny,
+        |    CAST(sxd AS DOUBLE) AS sxdd, CAST(syd AS DOUBLE) AS sydd
+        |  FROM c)
         |SELECT l_returnflag, n,
         |  num / denx AS slope,
-        |  (syd - num / denx * sxd) / n AS intercept,
+        |  (sydd - num / denx * sxdd) / n AS intercept,
         |  (num * num) / (denx * deny) AS r2
         |FROM t ORDER BY l_returnflag""".stripMargin,
     "a18_mode" ->
