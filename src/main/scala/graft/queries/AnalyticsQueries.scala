@@ -272,6 +272,56 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
   }
 
+  /** O10: frame-bound window functions — first_value / last_value /
+    * nth_value over the FULL partition frame (ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND UNBOUNDED FOLLOWING; last_value under the default
+    * frame is the famous current-row trap, so the explicit frame IS the
+    * semantics being pinned). Ordering on the unique o_orderkey makes
+    * every value deterministic; values pass through untouched, so the
+    * doubles are engine-identical.
+    */
+  def o10FrameBounds(spark: SparkSession, d: String): DataFrame = {
+    val full = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_totalprice")).over(full).as("fv"),
+        last(col("o_totalprice")).over(full).as("lv"),
+        nth_value(col("o_totalprice"), 3).over(full).as("nv"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** H2: column profiling — the schema-audit pass every ingestion
+    * pipeline runs before choosing filters: per column, row count, null
+    * count, exact distinct count, min and max (rendered as strings so
+    * heterogeneous columns stack into one result). One aggregate scan
+    * computes every stat (count/countDistinct are map-side combined);
+    * the stack to rows happens on the single result row.
+    */
+  def h2Profile(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("ndv_price"),
+        min(col("o_totalprice")).cast("string").as("min_price"),
+        max(col("o_totalprice")).cast("string").as("max_price"),
+        count(col("o_orderstatus")).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        count(col("o_orderdate")).as("nn_date"),
+        countDistinct(col("o_orderdate")).as("ndv_date"),
+        min(to_date(col("o_orderdate"))).cast("string").as("min_date"),
+        max(to_date(col("o_orderdate"))).cast("string").as("max_date"))
+      .selectExpr(
+        """stack(3,
+          |  'o_totalprice', n, n - nn_price, ndv_price, min_price, max_price,
+          |  'o_orderstatus', n, n - nn_status, ndv_status, min_status, max_status,
+          |  'o_orderdate', n, n - nn_date, ndv_date, min_date, max_date)
+          |AS (col_name, n, n_null, ndv, min_s, max_s)""".stripMargin)
+      .orderBy(col("col_name"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
@@ -282,7 +332,9 @@ object AnalyticsQueries {
     "o8_percent_rank" -> o8PercentRank,
     "o9_trailing_window" -> o9TrailingWindow,
     "j17_full_outer" -> j17FullOuter,
-    "m11_scd2" -> m11Scd2)
+    "m11_scd2" -> m11Scd2,
+    "o10_frame_bounds" -> o10FrameBounds,
+    "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
     "o7_gapfill" ->
@@ -444,5 +496,39 @@ object AnalyticsQueries {
         |FROM events WHERE event_type = 'view'
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin)
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
+    "o10_frame_bounds" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  first_value(o_totalprice) OVER w AS fv,
+        |  last_value(o_totalprice) OVER w AS lv,
+        |  nth_value(o_totalprice, 3) OVER w AS nv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "h2_profile" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    count(o_totalprice) AS nn_price,
+        |    count(DISTINCT o_totalprice) AS ndv_price,
+        |    CAST(min(o_totalprice) AS VARCHAR) AS min_price,
+        |    CAST(max(o_totalprice) AS VARCHAR) AS max_price,
+        |    count(o_orderstatus) AS nn_status,
+        |    count(DISTINCT o_orderstatus) AS ndv_status,
+        |    min(o_orderstatus) AS min_status,
+        |    max(o_orderstatus) AS max_status,
+        |    count(o_orderdate) AS nn_date,
+        |    count(DISTINCT o_orderdate) AS ndv_date,
+        |    CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+        |    CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+        |  FROM orders)
+        |SELECT 'o_totalprice' AS col_name, n, n - nn_price AS n_null,
+        |  ndv_price AS ndv, min_price AS min_s, max_price AS max_s FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, n - nn_status, ndv_status,
+        |  min_status, max_status FROM s
+        |UNION ALL
+        |SELECT 'o_orderdate', n, n - nn_date, ndv_date,
+        |  min_date, max_date FROM s
+        |ORDER BY col_name""".stripMargin)
 }

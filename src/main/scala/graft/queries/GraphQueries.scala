@@ -350,6 +350,21 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** G4: weakly connected components over the co-supplier graph —
+    * min-label delta iteration ([[graft.pipeline.Dedup.components]], the
+    * same distributed tier that canonicalizes near-dup clusters in d6;
+    * here exercised as a first-class graph-analytics operator so the
+    * g-family covers triangles / PageRank / shortest path / components).
+    * The oracle recomputes reachability as a recursive min-label closure
+    * (UNION-dedup'd so it terminates on cycles). Component ids are the
+    * min member id — engine-independent, so the gate is a hash pin.
+    */
+  def g4Wcc(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dedup.components(coSupplierEdges(spark, d),
+        aCol = "src", bCol = "dst")
+      .select(col("node"), col("lab").as("comp"))
+      .orderBy(col("node"))
+
   /** The g3 oracle: the same 8 relaxation rounds unrolled as chained
     * CTEs (the g2Oracle pattern — recursive CTEs disallow the per-step
     * min aggregate).
@@ -416,6 +431,7 @@ object GraphQueries {
     "g1_triangles" -> g1Triangles,
     "g2_pagerank" -> g2Pagerank,
     "g3_sssp" -> g3Sssp,
+    "g4_wcc" -> g4Wcc,
     "s2_vertex_scan" -> s2VertexScan,
     "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
     "j6_fk_integrity" -> j6FkIntegrity,
@@ -462,6 +478,24 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
     "g3_sssp" -> g3Oracle(8),
+    "g4_wcc" ->
+      """WITH RECURSIVE ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |eu AS (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (SELECT s AS ea, t AS eb FROM eu
+        |      UNION SELECT t, s FROM eu),
+        |nodes AS (SELECT DISTINCT ea AS node FROM e),
+        |reach(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.eb, r.lab FROM reach r JOIN e ON e.ea = r.node
+        |)
+        |SELECT node, min(lab) AS comp FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
     "g1_triangles" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

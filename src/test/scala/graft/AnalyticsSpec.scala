@@ -148,6 +148,39 @@ class AnalyticsSpec extends AnyFunSuite {
       "a full-outer row must come from at least one side")
   }
 
+  test("o10 frame bounds: lv is the true partition-last row, nv the third") {
+    // The default-frame trap: last_value over ORDER BY without an
+    // explicit frame returns the CURRENT row. Pin that our explicit
+    // full frame returns the genuine partition extremes.
+    val rows = AnalyticsQueries.o10FrameBounds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val prices = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    prices.groupBy(_._2).foreach { case (prio, g) =>
+      val sorted = g.sortBy(_._1)
+      val inGate = rows.filter(_._2 == prio)
+      assert(inGate.forall(_._3 == sorted.head._3), s"fv $prio")
+      assert(inGate.forall(_._4 == sorted.last._3), s"lv $prio")
+      val nv = if (sorted.length >= 3) Some(sorted(2)._3) else None
+      assert(inGate.forall(_._5 == nv), s"nv $prio")
+    }
+  }
+
+  test("h2 profile: stats match direct recomputation") {
+    val byCol = AnalyticsQueries.h2Profile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    assert(byCol("o_totalprice") ==
+      ((n, 0L, o.select(col("o_totalprice")).distinct().count())))
+    assert(byCol("o_orderstatus")._3 ==
+      o.select(col("o_orderstatus")).distinct().count())
+    assert(byCol("o_orderdate")._1 == n)
+  }
+
   test("m11 scd2: per-user versions chain contiguously, one current") {
     val rows = AnalyticsQueries.m11Scd2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2),

@@ -156,6 +156,16 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("wcc labels two disjoint triangles with their min members") {
+    val twoTris = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val labs = graft.pipeline.Dedup.components(
+        twoTris.toDF("src", "dst"), aCol = "src", bCol = "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("sssp plan: equi-joins only, no cartesian or nested loop") {
     val df = GraphAlgos.sssp(
       Seq((0L, 1L, 1L), (1L, 2L, 2L)).toDF("src", "dst", "w"),
