@@ -80,4 +80,43 @@ object Sampling {
       .filter(col("__before") < budget)
       .drop("__toks", "__before")
   }
+
+  /** Deterministic seeded corpus shuffle — the pre-sharding permutation
+    * every trainer applies so a corpus streams in pseudo-random order:
+    * each row hashes (seed, id) to a variate, lands in `shards` =
+    * hash-mod buckets, and takes its position within the shard by
+    * (hash, id) order. Re-running with the same seed reproduces the
+    * exact permutation; changing the seed is a fresh shuffle.
+    *
+    * Scale shape: the shard assignment is a narrow map; positions are
+    * per-shard windows — parallel across shards, never a global
+    * single-partition window. (A global rank would be the d12 two-pass
+    * prefix sum; training shards don't need cross-shard order.)
+    */
+  def seededShuffle(docs: DataFrame, seed: String, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = hashBucket(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val withShard = docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    withShard.withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Hash-based train/val/test split (80/10/10 of the bucket space) —
+    * membership is a pure function of (seed, id), so the split is
+    * stable under re-ingestion, corpus growth, and repartitioning (a
+    * row never migrates between splits when other rows change — the
+    * property random splits lack). A narrow map over the scan.
+    */
+  def hashSplit(docs: DataFrame, seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val b = pmod(
+      hashBucket(concat(lit(seed + ":"), col(idCol).cast("string"))),
+      lit(100L))
+    docs.select(col(idCol),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .as("split"))
+  }
 }

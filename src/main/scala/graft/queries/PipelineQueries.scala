@@ -95,6 +95,24 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** D18: deterministic seeded corpus shuffle into 8 training shards —
+    * (shard, pos) is a pure function of (seed, doc_id), reproducible
+    * across engines ([[graft.pipeline.Sampling.seededShuffle]]).
+    */
+  def d18SeededShuffle(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.seededShuffle(Tables.documents(spark, d),
+        seed = "graft42", shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  /** D19: hash-based train/val/test split — stable under re-ingestion
+    * and corpus growth ([[graft.pipeline.Sampling.hashSplit]]).
+    */
+  def d19Split(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.hashSplit(Tables.documents(spark, d),
+        seed = "graft42")
+      .orderBy(col("doc_id"))
+
   /** D9: eval-set contamination — word-3-gram overlap of every corpus
     * doc (sources ≠ 'src0') against the 'src0' block standing in as the
     * benchmark set. Corpus side: one narrow pass probing the broadcast
@@ -494,6 +512,8 @@ object PipelineQueries {
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
+    "d18_seeded_shuffle" -> d18SeededShuffle,
+    "d19_split" -> d19Split,
     "d9_contamination" -> d9Contamination,
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
@@ -685,6 +705,26 @@ object PipelineQueries {
         |  ) AS rk FROM documents
         |)
         |SELECT doc_id, source FROM r WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "d18_seeded_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256('graft42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS INT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "d19_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256('graft42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 100 AS b
+        |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "d9_contamination" ->
       """WITH w AS (

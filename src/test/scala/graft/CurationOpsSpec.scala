@@ -160,4 +160,37 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(out.map(_._3).sum == 4, s"expected 4 survivors, got $out")
   }
+
+  test("seeded shuffle: reproducible, seed-sensitive, contiguous shards") {
+    val docs = docsOf((0 until 200).map(i => s"doc $i"))
+    def run(seed: String) =
+      Sampling.seededShuffle(docs, seed, shards = 4)
+        .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val a = run("s1")
+    assert(a == run("s1"), "same seed must reproduce the permutation")
+    assert(a != run("s2"), "a different seed must permute differently")
+    // Every shard's positions are exactly 1..n (dense ranks, no holes).
+    a.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted == (1 to g.size),
+        s"shard $shard positions must be contiguous")
+    }
+    assert(a.map(_._1).distinct.size == 200, "every doc appears once")
+  }
+
+  test("hash split: stable membership under corpus growth") {
+    val small = docsOf((0 until 100).map(i => s"doc $i"))
+    val grown = docsOf((0 until 300).map(i => s"doc $i"))
+    val before = Sampling.hashSplit(small, "graft42")
+      .as[(Long, String)].collect().toMap
+    val after = Sampling.hashSplit(grown, "graft42")
+      .as[(Long, String)].collect().toMap
+    before.foreach { case (id, split) =>
+      assert(after(id) == split,
+        s"doc $id must not migrate splits when the corpus grows")
+    }
+    // Fractions roughly honor 80/10/10 on the larger corpus.
+    val counts = after.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts("train") > 200 && counts("train") < 280)
+    assert(counts("val") + counts("test") > 20)
+  }
 }
