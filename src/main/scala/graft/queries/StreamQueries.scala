@@ -149,6 +149,25 @@ object StreamQueries {
       .orderBy(col("event_id"), col("click_ms"))
   }
 
+  /** W6: batch twin of the LEFT OUTER stream-stream interval join
+    * ([[graft.streaming.StreamJoins.clickContextOuter]]) — purchases
+    * with no in-window click surface with a null click time. The
+    * streaming runtime emits those rows at state-eviction time
+    * (watermark-proven no-more-matches); batch mode emits them
+    * immediately; StreamJoinsSpec pins the two result sets equal
+    * through MemoryStream.
+    */
+  def w6StreamLeftOuterTwin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.streaming.StreamJoins.clickContextOuter(purchases, clicks)
+      .select(col("event_id"), unix_millis(col("c_ts")).as("click_ms"))
+      .orderBy(col("event_id"), col("click_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
@@ -157,9 +176,19 @@ object StreamQueries {
     "w2_session_window" -> w2SessionWindow,
     "w3_late_drop" -> w3LateDrop,
     "w4_sliding_counts" -> w4SlidingCounts,
-    "w5_stream_join_twin" -> w5StreamJoinTwin)
+    "w5_stream_join_twin" -> w5StreamJoinTwin,
+    "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    "w6_stream_left_outer_twin" ->
+      """SELECT p.event_id, epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ms
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+        |ORDER BY event_id, click_ms""".stripMargin,
     "w5_stream_join_twin" ->
       """SELECT p.event_id, epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ms
         |FROM (SELECT event_id, user_id, ts FROM events

@@ -41,4 +41,30 @@ object StreamJoins {
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"))
   }
+
+  /** LEFT OUTER variant of [[clickContext]]: purchases with no in-window
+    * click DO emit, with a null click timestamp — the distinct stateful
+    * semantics here is WHEN: the streaming runtime can only emit the
+    * null row once the click-side watermark proves no matching click can
+    * still arrive (state-eviction time), whereas the identical plan in
+    * batch mode emits it immediately. Same join state bounds as the
+    * inner form — the watermark pair is what makes outer stream-stream
+    * joins legal at all.
+    */
+  def clickContextOuter(purchases: DataFrame, clicks: DataFrame,
+      beforeMs: Long = 7200000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
+        "SECONDS AND c_ts <= p_ts"), "left_outer")
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
 }

@@ -59,6 +59,52 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream join emits null rows only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoins.clickContextOuter(
+      pSrc.toDF().toDF("event_id", "user_id", "ts"),
+      cSrc.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("w6_join").start()
+    try {
+      pSrc.addData(purchases: _*)
+      cSrc.addData(clicks: _*)
+      q.processAllAvailable()
+      val early = spark.table("w6_join")
+        .filter(col("c_ts").isNull).count()
+      assert(early == 0L,
+        "null rows must NOT emit before the watermark proves no match")
+      // Far-future flush rows on both sides advance both watermarks past
+      // every open join window, forcing the unmatched purchase (102) out
+      // with a null click.
+      pSrc.addData((999L, 999L, ts(10000)))
+      cSrc.addData((999L, ts(10000)))
+      q.processAllAvailable()
+      // A second even-later batch lets the engine finalize the previous
+      // watermark advance (watermarks apply from the NEXT batch).
+      pSrc.addData((998L, 998L, ts(20000)))
+      cSrc.addData((998L, ts(20000)))
+      q.processAllAvailable()
+      val streamed = spark.table("w6_join")
+        .filter(col("event_id") < 900)
+        .select("event_id", "c_ts")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)))).toSet
+      val batch = StreamJoins.clickContextOuter(
+        purchases.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("user_id", "ts"))
+        .select("event_id", "c_ts")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)))).toSet
+      assert(streamed == batch,
+        "streaming left-outer and its batch twin diverged")
+      assert(streamed.contains(102L -> None),
+        "the unmatched purchase must emit with a null click")
+    } finally q.stop()
+  }
+
   test("the streaming plan is a stream-stream join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
