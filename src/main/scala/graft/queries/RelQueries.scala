@@ -415,22 +415,39 @@ object RelQueries {
     * map-side-combinable form the sketch-and-merge world wants.
     */
   def a15GroupedCorr(spark: SparkSession, d: String): DataFrame =
+    // Every power sum exact (BIGINT x, DECIMAL money): the original form
+    // summed qty·price as DOUBLE, whose accumulation order leaks into the
+    // 10th significant digit at sf1 through the n·sxy − sx·sy
+    // cancellation (caught by the regenerated-sf1 replay; a17_regr hit
+    // the identical defect). Width choreography as in a17: ≥19-digit
+    // operands keep DuckDB in int128, small enough widths keep Spark's
+    // 38-precision cap from truncating scale.
     Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_quantity")).cast(DecimalType(9, 0)).as("qd"),
+        dec(col("l_extendedprice")).as("y"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity")).as("sx"),
-        sum(dec(col("l_extendedprice"))).as("sy"),
-        sum(col("l_quantity") * dec(col("l_extendedprice"))).as("sxy"),
-        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
-        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
-          .as("syy"))
-      .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-            .cast("double")))).as("corr_qty_price"))
+        sum(col("q")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("qd") * col("y")).as("sxy"),
+        sum(col("q") * col("q")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("l_returnflag", "n",
+        "CAST(n AS DECIMAL(19,0)) AS nd",
+        "CAST(n AS DECIMAL(10,0)) AS n2",
+        "CAST(sx AS DECIMAL(19,0)) AS sxd",
+        "CAST(sy AS DECIMAL(19,2)) AS syd",
+        "CAST(sxy AS DECIMAL(18,2)) AS sxyd",
+        "CAST(sxx AS DECIMAL(18,0)) AS sxxd",
+        "CAST(syy AS DECIMAL(22,4)) AS syyd")
+      .selectExpr("l_returnflag", "n",
+        "CAST(nd * sxyd - sxd * syd AS DOUBLE) /" +
+          " (sqrt(CAST(nd * sxxd - sxd * sxd AS DOUBLE))" +
+          " * sqrt(CAST(n2 * syyd - syd * syd AS DOUBLE)))" +
+          " AS corr_qty_price")
       .orderBy(col("l_returnflag"))
 
   /** H1: value histogram — `width_bucket` over the event value domain
@@ -832,18 +849,30 @@ object RelQueries {
     "a15_grouped_corr" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    sum(l_quantity) AS sx,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS sx,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |    sum(l_quantity * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(CAST(floor(l_quantity) AS DECIMAL(9,0))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT)) AS sxx,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DECIMAL(19,0)) AS nd,
+        |    CAST(n AS DECIMAL(10,0)) AS n2,
+        |    CAST(sx AS DECIMAL(19,0)) AS sxd,
+        |    CAST(sy AS DECIMAL(19,2)) AS syd,
+        |    CAST(sxy AS DECIMAL(18,2)) AS sxyd,
+        |    CAST(sxx AS DECIMAL(18,0)) AS sxxd,
+        |    CAST(syy AS DECIMAL(22,4)) AS syyd
+        |  FROM s)
         |SELECT l_returnflag, n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |  CAST(nd * sxyd - sxd * syd AS DOUBLE) /
+        |    (sqrt(CAST(nd * sxxd - sxd * sxd AS DOUBLE)) *
+        |     sqrt(CAST(n2 * syyd - syd * syd AS DOUBLE))) AS corr_qty_price
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "h1_value_histogram" ->
       """SELECT CAST(CASE WHEN value < 0 THEN 0
         |    WHEN value >= 500 THEN 21
