@@ -58,6 +58,52 @@ class ScaleLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned layout prunes to one partition at the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val days = spark.read.parquet(dir).select(col("day")).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(days.length > 1, "fixture must span multiple days")
+    val q = spark.read.parquet(dir)
+      .filter(col("day") === days.head)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // The day predicate must be a PARTITION filter (planning-time
+    // pruning), not a row-level data filter.
+    assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
+    // Correctness: pruned result equals the unpartitioned filter.
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(to_date(col("ts")) === days.head)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // ... and the executed scan must have touched ONLY that partition's
+    // files (metrics, not plan text — the toString elides the count).
+    val fileScan = {
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => find(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => find(s.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(find)
+        }
+      find(q.queryExecution.executedPlan).head
+    }
+    val filesRead = fileScan.metrics("numFiles").value
+    val filesInPartition = new java.io.File(s"$dir/day=${days.head}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesRead == filesInPartition,
+      s"read $filesRead files, partition holds $filesInPartition")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // One hot key carrying ~all rows vs a flat dimension: with the skew
     // thresholds scaled down to test size, AQE must mark the join
