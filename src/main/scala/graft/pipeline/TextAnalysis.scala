@@ -176,4 +176,33 @@ object TextAnalysis {
         coalesce(col("top_n"), lit(0)).as("top_n"),
         coalesce(col("dup_n"), lit(0)).as("dup_n"))
   }
+
+  /** T12: per-document average bigram conditional log-probability under
+    * the corpus bigram model — ln(count(w1 w2) / count(w1 ·)) averaged
+    * over the document's bigrams. The order-2 sibling of
+    * [[unigramLogProb]]'s quality signal: degenerate or boilerplate text
+    * scores high (its bigrams dominate their contexts), natural text
+    * lower — the cheap LM-perplexity stand-in when no trained LM is in
+    * the loop. Same shape class as t5: explode, two corpus aggregates
+    * (the bigram and context tables), broadcast-joinable back over the
+    * stream, one final per-doc aggregate; nothing all-pairs. Docs with
+    * fewer than two tokens produce no bigrams and drop out, same as
+    * t5's empty docs.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat(w[i], ' ', w[i+1]))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val cu = grams.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    grams.join(cb, "g").join(cu, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(log(col("cb").cast("double") / col("cu"))), 4)
+          .as("avg_logp"))
+  }
 }

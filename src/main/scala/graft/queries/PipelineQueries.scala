@@ -404,6 +404,13 @@ object PipelineQueries {
     TextAnalysis.unigramLogProb(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** T12: corpus-bigram conditional log-prob per document — the order-2
+    * LM quality signal ([[graft.pipeline.TextAnalysis.bigramLogProb]]).
+    */
+  def t12BigramLogprob(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** T7: word-bigram repetition metrics (Gopher-style boilerplate
     * signal) — integer counts only, ratios derivable downstream.
     */
@@ -528,6 +535,7 @@ object PipelineQueries {
     "t3_tokens" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_unigram_logprob" -> t5UnigramLogprob,
+    "t12_bigram_logprob" -> t12BigramLogprob,
     "t7_repetition" -> t7Repetition,
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
@@ -900,6 +908,17 @@ object PipelineQueries {
         |  round(avg(ln(f.cnt::DOUBLE / tot.total)), 4) AS avg_logp
         |FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t12_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |      FROM t),
+        |gr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS w1 FROM i),
+        |cb AS (SELECT g, count(*) AS cb FROM gr GROUP BY g),
+        |cu AS (SELECT w1, count(*) AS cu FROM gr GROUP BY w1)
+        |SELECT gr.doc_id, count(*)::INT AS n_bigrams,
+        |  round(avg(ln(cb.cb::DOUBLE / cu.cu)), 4) AS avg_logp
+        |FROM gr JOIN cb USING (g) JOIN cu USING (w1)
+        |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin,
     "t7_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i

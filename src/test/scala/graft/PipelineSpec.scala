@@ -520,6 +520,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(3L) == ((0, 0, 0, 0)))
   }
 
+  test("t12 bigram logprob: deterministic contexts score 0, ambiguous negative") {
+    // In "a b a b a b" every context predicts its successor uniquely
+    // EXCEPT where the corpus makes it ambiguous; in a corpus of one
+    // doc with a strict alternation, each bigram is its context's only
+    // continuation -> avg ln(1) = 0. Adding a doc that forks "a"'s
+    // continuation drags doc 0's score negative.
+    val solo = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogProb(solo).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(0L) == 0.0, "unique continuations must score ln(1) = 0")
+    val forked = Seq((0L, "a b a b a b"), (1L, "a c a c")).toDF("doc_id", "text")
+    val f = TextAnalysis.bigramLogProb(forked).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(f(0L) < 0.0 && f(1L) < 0.0,
+      "forked contexts must lower both docs' scores")
+    assert(f(0L) > f(1L),
+      "the doc holding more of the context mass must score higher")
+  }
+
   test("t11 edit distance matches a driver-side unit-cost DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
