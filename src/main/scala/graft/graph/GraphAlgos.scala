@@ -168,4 +168,55 @@ object GraphAlgos {
     // it) — registered so the session-hygiene hook releases it after.
     graft.CacheRegistry.register(dist)
   }
+
+  /** k-core decomposition: the maximal subgraph in which every node has
+    * degree ≥ k, computed by iterative peeling — drop nodes under
+    * degree k, recompute, repeat until stable. Each round is one
+    * degree aggregate + two LEFT SEMI joins (hash, never nested-loop),
+    * and the edge set only ever SHRINKS, so at 100 TB later rounds get
+    * cheaper, not costlier; the peel is the standard prelude that
+    * carves the dense region out of a web-scale graph before running
+    * anything quadratic-ish (triangles, community detection) on it.
+    *
+    * Converges in ≤ maxRounds or fails loud (`require`), which keeps
+    * the fixed-round oracle honest: peeling is idempotent after the
+    * fixed point, so an oracle that unrolls exactly maxRounds equals
+    * the true k-core whenever convergence is proven here.
+    *
+    * Returns (node, deg) for core members with their in-core degrees.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var lastCp = e
+    var n = e.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      lastCp.unpersist()
+      lastCp = next
+      e = next
+      round += 1
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds")
+    graft.CacheRegistry.register(e)
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -365,6 +365,49 @@ object GraphQueries {
       .select(col("node"), col("lab").as("comp"))
       .orderBy(col("node"))
 
+  /** G5: k-core decomposition of the co-supplier graph
+    * ([[graft.graph.GraphAlgos.kCore]], k=5) — iterative peel to the
+    * maximal subgraph of min-degree 5 (6 effective peels at sf0.01/0.1;
+    * the engine proves convergence with a loud `require`, the oracle
+    * unrolls 12 fixed rounds, and peeling is idempotent past the fixed
+    * point so the two agree exactly). Output is each core member with
+    * its in-core degree — a BIGINT hash pin.
+    */
+  def g5Kcore(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.kCore(coSupplierEdges(spark, d), k = 5)
+      .orderBy(col("node"))
+
+  /** The g5 oracle: 12 unrolled peel rounds (idempotent after the
+    * fixed point the engine proves it reaches).
+    */
+  private def g5Oracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each round references its
+    // predecessor three times, and DuckDB inlines plain CTEs — 3^12
+    // copies of the base scan ("too many open files", observed).
+    val chain = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN (SELECT src FROM (SELECT src, count(*) AS c
+         |        FROM e${i - 1} GROUP BY src) dsrc WHERE c >= $k) ka
+         |    ON e.src = ka.src
+         |  JOIN (SELECT src FROM (SELECT src, count(*) AS c
+         |        FROM e${i - 1} GROUP BY src) ddst WHERE c >= $k) kb
+         |    ON e.dst = kb.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |  WHERE l_quantity >= 49.5),
+       |eu AS (
+       |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM ps a JOIN ps b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+       |e0 AS (SELECT s AS src, t AS dst FROM eu
+       |       UNION ALL SELECT t, s FROM eu),
+       |$chain
+       |SELECT src AS node, count(*) AS deg FROM e$rounds
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
   /** The g3 oracle: the same 8 relaxation rounds unrolled as chained
     * CTEs (the g2Oracle pattern — recursive CTEs disallow the per-step
     * min aggregate).
@@ -432,6 +475,7 @@ object GraphQueries {
     "g2_pagerank" -> g2Pagerank,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
+    "g5_kcore" -> g5Kcore,
     "s2_vertex_scan" -> s2VertexScan,
     "s3_filtered_vertex_scan" -> s3FilteredVertexScan,
     "j6_fk_integrity" -> j6FkIntegrity,
@@ -478,6 +522,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
     "g3_sssp" -> g3Oracle(8),
+    "g5_kcore" -> g5Oracle(5, 12),
     "g4_wcc" ->
       """WITH RECURSIVE ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

@@ -166,6 +166,26 @@ class GraphAlgosSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("k-core peels pendants and keeps the clique") {
+    // K5 (every node degree 4) plus a pendant chain hanging off node 0:
+    // the 3-core must be exactly the K5 — the chain peels away over
+    // multiple rounds (each peel exposes the next pendant).
+    val k5 = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    val chain = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val core = GraphAlgos.kCore((k5 ++ chain).toDF("src", "dst"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core.keySet == (0L until 5L).toSet, "only the clique survives")
+    assert(core.values.forall(_ >= 3), "every core degree is >= k")
+    assert(core(0L) == 4L, "pendant edges must not count in core degree")
+  }
+
+  test("k-core of a sparse graph is empty, and that converges cleanly") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val core = GraphAlgos.kCore(path.toDF("src", "dst"), k = 2)
+      .collect()
+    assert(core.isEmpty, "a path has no 2-core")
+  }
+
   test("sssp plan: equi-joins only, no cartesian or nested loop") {
     val df = GraphAlgos.sssp(
       Seq((0L, 1L, 1L), (1L, 2L, 2L)).toDF("src", "dst", "w"),
