@@ -113,6 +113,48 @@ object PipelineQueries {
         seed = "graft42")
       .orderBy(col("doc_id"))
 
+  /** D20: winsorization — clip each event's value to its type's
+    * [p1, p99] band: the outlier-capping cleaning stage that runs
+    * before any scale-sensitive statistic. Exact `percentile`
+    * (cross-engine-proven by a4) on the ≤5-row type table, broadcast
+    * back over the scan; each output is either the untouched raw
+    * double or a proven-identical percentile — bitwise stable.
+    */
+  def d20Winsorize(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val bands = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.01)).as("lo"),
+        percentile(col("value"), lit(0.99)).as("hi"))
+    e.join(broadcast(bands), "event_type")
+      .select(col("event_id"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D21: per-group z-score normalization — (value − mean)/sd within
+    * the event type, the standard feature-scaling pass. Mean/sd derive
+    * from exact DECIMAL sums (the a15/a17 discipline — double sums
+    * would drift cross-engine) with ONE identical final expression
+    * tree; the per-row z is then double arithmetic on identical
+    * inputs. Sample sd (n−1), matching a4.
+    */
+  def d21Zscore(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val stats = e.select(col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .selectExpr("event_type",
+        "CAST(s1 AS DOUBLE) / n AS mean",
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd")
+    e.join(broadcast(stats), "event_type")
+      .select(col("event_id"),
+        ((col("value") - col("mean")) / col("sd")).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** D9: eval-set contamination — word-3-gram overlap of every corpus
     * doc (sources ≠ 'src0') against the 'src0' block standing in as the
     * benchmark set. Corpus side: one narrow pass probing the broadcast
@@ -411,6 +453,23 @@ object PipelineQueries {
     TextAnalysis.bigramLogProb(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** T13: text normalization — the canonical first cleaning stage
+    * (lowercase, strip non-alphanumerics to spaces, collapse runs,
+    * trim). Pure codegen'd scan-stage expressions, zero shuffle; the
+    * oracle replays the same regex pipeline (DuckDB needs the 'g' flag
+    * — its regexp_replace defaults to FIRST match where Spark's
+    * replaces all). Emits a length so the gate pins both the string
+    * bytes and the shrinkage.
+    */
+  def t13Normalize(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        length(col("norm")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** T7: word-bigram repetition metrics (Gopher-style boilerplate
     * signal) — integer counts only, ratios derivable downstream.
     */
@@ -521,6 +580,9 @@ object PipelineQueries {
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
     "d19_split" -> d19Split,
+    "d20_winsorize" -> d20Winsorize,
+    "d21_zscore" -> d21Zscore,
+    "t13_normalize" -> t13Normalize,
     "d9_contamination" -> d9Contamination,
     "d5_embed_cosine" -> d5EmbedCosine,
     "ann_topk" -> annTopk,
@@ -734,6 +796,37 @@ object PipelineQueries {
         |      1, 8))::BIGINT % 100 AS b
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "d20_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, least(greatest(value, lo), hi) AS clipped
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "d21_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |        * CAST(value AS DECIMAL(18,2))) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM s)
+        |SELECT event_id, (value - mean) / sd AS z
+        |FROM events JOIN m USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "t13_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |  length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::INT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d9_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws

@@ -177,6 +177,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.map(_._1).distinct.size == 200, "every doc appears once")
   }
 
+  test("winsorize caps only the tails; z-scores standardize per group") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("value")).as[(Long, Double)]
+      .collect().toMap
+    val clipped = graft.queries.PipelineQueries
+      .d20Winsorize(spark, sf).as[(Long, Double)].collect().toMap
+    val changed = clipped.count { case (id, c) => c != raw(id) }
+    assert(changed > 0 && changed < raw.size / 10,
+      s"winsorize must touch only the tails (touched $changed)")
+    val z = graft.queries.PipelineQueries.d21Zscore(spark, sf)
+      .join(Tables.events(spark, sf).select(col("event_id"),
+        col("event_type")), "event_id")
+      .select(col("event_type"), col("z")).as[(String, Double)]
+      .collect().toSeq
+    z.groupBy(_._1).foreach { case (t, g) =>
+      val vs = g.map(_._2)
+      val m = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+      assert(math.abs(m) < 1e-9, s"$t z-mean must be ~0, got $m")
+      assert(math.abs(sd - 1.0) < 1e-9, s"$t z-sd must be ~1, got $sd")
+    }
+  }
+
+  test("text normalization is idempotent and canonical") {
+    val out = graft.queries.PipelineQueries
+      .t13Normalize(spark, "/root/testdata/sf0.001")
+      .select(col("norm")).as[String].collect()
+    out.foreach { s =>
+      assert(!s.contains("  "), "no double spaces survive")
+      assert(s == s.toLowerCase, "lowercased")
+      assert(s == s.trim, "trimmed")
+      assert(s.forall(c => c.isLetterOrDigit || c == ' '),
+        "only alphanumerics and single spaces")
+    }
+  }
+
   test("hash split: stable membership under corpus growth") {
     val small = docsOf((0 until 100).map(i => s"doc $i"))
     val grown = docsOf((0 until 300).map(i => s"doc $i"))
