@@ -143,8 +143,39 @@ object MutQueries {
       .orderBy(col("user_id"))
   }
 
+  /** M12: incremental maintenance of a JOIN view — the m10 pattern
+    * extended through a dimension join, the shape every materialized
+    * "fact ⋈ dim → rollup" view needs under CDC. The view is
+    * orders ⋈ customer grouped by segment; a deterministic slice of
+    * orders plays the arriving delta. Maintenance computes
+    * agg(Δorders ⋈ customer) — the DELTA join, |Δ| × broadcast-dim
+    * work, never a rescan of the base fact — and merges it into the
+    * base aggregate with [[graft.operators.AggMerge.merge]]. The
+    * oracle full-recomputes over ALL orders: hash equality IS the
+    * delta-join algebra (Δ(A⋈B) = ΔA⋈B when only A changed).
+    */
+  def m12JoinDelta(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    def viewOf(orders: DataFrame): DataFrame = orders
+      .join(c, orders("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    val base = o.filter(col("o_orderkey") % 97 =!= 0)
+    val delta = o.filter(col("o_orderkey") % 97 === 0)
+    graft.operators.AggMerge.merge(
+        Seq(viewOf(base), viewOf(delta)),
+        Seq("c_mktsegment"), countCol = "n")
+      .select(col("c_mktsegment"), col("n"),
+        col("rev").cast("double").as("rev"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m10_agg_merge" -> m10AggMerge,
+    "m12_join_delta" -> m12JoinDelta,
     "m1_upsert" -> m1Upsert,
     "m2_update_where" -> m2UpdateWhere,
     "m3_rewire" -> m3Rewire,
@@ -155,6 +186,11 @@ object MutQueries {
     "p9_json_field" -> p9JsonField)
 
   val oracles: Map[String, String] = Map(
+    "m12_join_delta" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "m10_agg_merge" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

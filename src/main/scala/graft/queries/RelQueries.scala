@@ -522,6 +522,34 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** J18: SCD2 point-in-time lookup — every purchase resolves the user's
+    * dimension version (the m11 'view' stream) active at purchase time.
+    * THE most common warehouse lookup, and deliberately implemented by
+    * REUSING [[graft.operators.AsOfJoin.backward]]: a contiguous
+    * version chain makes "valid_from ≤ ts < valid_to" equivalent to
+    * "latest valid_from ≤ ts", which the as-of sweep answers in one
+    * exchange of |facts|+|versions| rows — no interval fan-out at all.
+    * Left-outer: purchases before the user's first version emit nulls.
+    * Version ties on (user, ts) break by version_id, mirrored in the
+    * oracle's row_number ordering.
+    */
+  def j18Scd2Lookup(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val versions = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("event_id").as("version_id"), col("value").as("vval"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.backward(facts, versions,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "valid_from",
+        rightPrefix = "v_", tiebreak = Some("version_id"))
+      .select(col("event_id"),
+        unix_millis(col("v_valid_from")).as("version_from_ms"),
+        col("v_version_id").as("version_id"),
+        col("v_vval").as("version_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** SK1: HyperLogLog++ distinct-user sketch per event type, gated the
     * honest way for an approximate operator (the ann_*_recall pattern):
     * the gate emits whether the worst per-group relative error against
@@ -640,6 +668,7 @@ object RelQueries {
     "s1_scan_filter" -> s1ScanFilter,
     "j12_asof_attribution" -> j12AsofAttribution,
     "j13_range_count" -> j13RangeCount,
+    "j18_scd2_lookup" -> j18Scd2Lookup,
     "sk1_hll_bound" -> sk1HllBound,
     "sk2_quantile_bound" -> sk2QuantileBound,
     "sk3_bloom_bound" -> sk3BloomBound,
@@ -690,6 +719,26 @@ object RelQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "j18_scd2_lookup" ->
+      """WITH versions AS (
+        |  SELECT user_id, ts AS valid_from, event_id AS version_id,
+        |    value AS vval
+        |  FROM events WHERE event_type = 'view'),
+        |facts AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT f.event_id, v.valid_from, v.version_id, v.vval,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY v.valid_from DESC, v.version_id DESC) AS rk
+        |  FROM facts f JOIN versions v
+        |    ON v.user_id = f.user_id AND v.valid_from <= f.ts)
+        |SELECT f.event_id,
+        |  epoch_ms(CAST(r.valid_from AS TIMESTAMP)) AS version_from_ms,
+        |  r.version_id, r.vval AS version_value
+        |FROM facts f LEFT JOIN ranked r
+        |  ON r.event_id = f.event_id AND r.rk = 1
+        |ORDER BY f.event_id""".stripMargin,
     "sk1_hll_bound" -> "SELECT TRUE AS within_bound",
     "sk2_quantile_bound" -> "SELECT TRUE AS within_bound",
     "sk3_bloom_bound" -> "SELECT TRUE AS within_bound",

@@ -53,6 +53,49 @@ class IncrementalSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("join-view delta maintenance equals the monolithic recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val incremental = graft.queries.MutQueries
+      .m12JoinDelta(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val full = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == full)
+    // The delta slice must be non-empty, else the gate degenerates.
+    assert(o.filter(col("o_orderkey") % 97 === 0).count() > 0)
+  }
+
+  test("scd2 lookup resolves the latest version at or before each fact") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, sf)
+    val versions = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val got = graft.queries.RelQueries.j18Scd2Lookup(spark, sf)
+      .select(col("event_id"), col("version_id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    facts.foreach { case (fid, user, fts) =>
+      val eligible = versions.filter(v => v._1 == user && v._2 <= fts)
+      val want =
+        if (eligible.isEmpty) None
+        else Some(eligible.maxBy(v => (v._2, v._3))._3)
+      assert(got(fid) == want, s"fact $fid resolved wrong version")
+    }
+  }
+
   test("incremental near-dup finds exact duplicates across the split") {
     val corpus = docs(1L -> "alpha beta gamma delta epsilon zeta",
       2L -> "one two three four five six seven")
