@@ -179,6 +179,34 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(core(0L) == 4L, "pendant edges must not count in core degree")
   }
 
+  test("k-core fuzz: parity with driver-side peeling on random graphs") {
+    val rnd = new scala.util.Random(717)
+    for (trial <- 0 until 3) {
+      val n = 14
+      val edges = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val k = 3
+      // Driver reference: peel to fixpoint on the undirected edge set.
+      var es = edges.toSet
+      var stable = false
+      while (!stable) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        stable = next == es
+        es = next
+      }
+      val wantDeg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+      val got = GraphAlgos.kCore(edges.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == wantDeg, s"trial $trial diverged from driver peel")
+    }
+  }
+
   test("k-core of a sparse graph is empty, and that converges cleanly") {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
     val core = GraphAlgos.kCore(path.toDF("src", "dst"), k = 2)
