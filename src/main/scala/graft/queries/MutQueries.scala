@@ -173,7 +173,30 @@ object MutQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** M13: full three-clause MERGE over the delegation snapshot
+    * ([[Snapshot.merge]]): the change batch updates every third drone to a
+    * new command `M<k%5>`, except batch rows landing on `M0` (k%15==0)
+    * which are matched DELETEs, plus three brand-new drones (`+1000000`
+    * keys) that take the INSERT clause. The oracle recomputes the merged
+    * state as the three disjoint clause outputs unioned — hash equality
+    * pins all four row classes (untouched / updated / deleted / inserted)
+    * in one gate.
+    */
+  def m13MergeFull(spark: SparkSession, d: String): DataFrame = {
+    val snap = delegation(spark, d)
+    val c = Tables.customer(spark, d)
+    val src = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("drone_id"),
+        concat(lit("M"), (col("c_custkey") % 5).cast("string")).as("hq_id"))
+      .unionByName(c.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 1000000L).as("drone_id"),
+          lit("NEW").as("hq_id")))
+    Snapshot.merge(snap, src, Seq("drone_id"), col("hq_id") === "M0")
+      .orderBy(col("drone_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_merge_full" -> m13MergeFull,
     "m10_agg_merge" -> m10AggMerge,
     "m12_join_delta" -> m12JoinDelta,
     "m1_upsert" -> m1Upsert,
@@ -186,6 +209,24 @@ object MutQueries {
     "p9_json_field" -> p9JsonField)
 
   val oracles: Map[String, String] = Map(
+    "m13_merge_full" ->
+      """WITH delegation AS (
+        |  SELECT c_custkey AS drone_id, 'N' || c_nationkey AS hq_id FROM customer
+        |), src AS (
+        |  SELECT c_custkey AS drone_id, 'M' || (c_custkey % 5) AS hq_id
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 500 = 0
+        |)
+        |SELECT d.drone_id, d.hq_id FROM delegation d
+        |  LEFT JOIN src s ON d.drone_id = s.drone_id WHERE s.drone_id IS NULL
+        |UNION ALL
+        |SELECT s.drone_id, s.hq_id FROM src s
+        |  JOIN delegation d ON d.drone_id = s.drone_id WHERE s.hq_id <> 'M0'
+        |UNION ALL
+        |SELECT s.drone_id, s.hq_id FROM src s
+        |  LEFT JOIN delegation d ON d.drone_id = s.drone_id WHERE d.drone_id IS NULL
+        |ORDER BY drone_id""".stripMargin,
     "m12_join_delta" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev

@@ -61,6 +61,42 @@ object Snapshot {
     edges.join(batch, batch.columns.toSeq, "left_anti").unionByName(newEdges)
       .select(edges.columns.map(col).toIndexedSeq: _*) // keep input column order
 
+  /** M13: full three-clause MERGE — the `MERGE INTO target USING source ON
+    * keys` statement a transactional lakehouse table executes:
+    * `WHEN MATCHED AND deleteWhen THEN DELETE` /
+    * `WHEN MATCHED THEN UPDATE SET *` (the source row replaces the target
+    * row) / `WHEN NOT MATCHED THEN INSERT *`. [[upsert]] is the two-clause
+    * special case; [[applyCdc]] is the op-column-driven variant — this is
+    * the conditional-clause general form the reference's per-row psycopg
+    * dispatch loops compose by hand (delete+insert rewiring,
+    * demo_did_graph/05_abac/benchmark_scenario_a.py:74-91).
+    *
+    * `source` must carry the target's column set (extra columns are
+    * dropped); `deleteWhen` is evaluated over the SOURCE columns of matched
+    * rows (nulls read as keep). One full-outer join on the keys — a single
+    * hash shuffle of |target|+|source| rows (SortMergeJoin(FullOuter);
+    * full-outer cannot broadcast, so one exchange per side is this
+    * operator's optimum — [[graft.tools.MergePlan]] is the audit). At
+    * 100 TB this is the MERGE plan itself, minus the file-level skipping a
+    * table format layers on top; keys are assumed non-null on both sides
+    * (enforce upstream), matching SQL MERGE's never-match-on-null.
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Column): DataFrame = {
+    val pre = "__src_"
+    val marked = source.withColumn("__del", coalesce(deleteWhen, lit(false)))
+    val src = source.columns.foldLeft(marked)((df, c) =>
+      df.withColumnRenamed(c, pre + c))
+    val t = target.withColumn("__t", lit(true))
+    val s = src.withColumn("__s", lit(true))
+    val cond = keys.map(k => t(k) === s(pre + k)).reduce(_ && _)
+    t.join(s, cond, "full_outer")
+      .filter(!(col("__t").isNotNull && col("__s").isNotNull && col("__del")))
+      .select(target.columns.map(c =>
+        when(col("__s").isNotNull, col(pre + c)).otherwise(col(c)).as(c))
+        .toIndexedSeq: _*)
+  }
+
   /** M8: CDC apply — keyed last-writer-wins merge of a change batch: the
     * batch twin of the streaming `foreachBatch` sink
     * (reference: demo_sqlite_cdc/01_unit_test/06_postgres_cdc_sink.py:32-64 —

@@ -74,4 +74,51 @@ class SnapshotPropertySpec extends AnyFunSuite {
       assert(got == model, s"case $i diverged")
     }
   }
+
+  test("three-clause merge covers all four row classes") {
+    // target: 1..4; source updates 2, deletes 3 (deleteWhen), inserts 9,
+    // leaves 1 and 4 untouched; extra source columns are dropped.
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val source = Seq((2L, "B", false), (3L, "dead", true), (9L, "I", false))
+      .toDF("k", "v", "del")
+    val got = Snapshot.merge(target, source, Seq("k"), col("del"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d", 9L -> "I"))
+    assert(Snapshot.merge(target, source, Seq("k"), col("del"))
+      .columns.toSeq == Seq("k", "v"), "merge must keep target column order")
+  }
+
+  test("merge deleteWhen nulls read as keep, and empty source is identity") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val source = Seq((2L, "B")).toDF("k", "v")
+    val nullCond = when(lit(false), lit(true)) // evaluates to null everywhere
+    val got = Snapshot.merge(target, source, Seq("k"), nullCond)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B"))
+    val empty = Snapshot.merge(target, source.limit(0), Seq("k"), lit(true))
+      .as[(Long, String)].collect().toMap
+    assert(empty == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("random merge batches match the driver-side model") {
+    (1 to 6).foreach { i =>
+      var model = Map[Long, Long](1L -> 10L, 2L -> 20L, 3L -> 30L)
+      var df = model.toSeq.toDF("k", "v")
+      val gen = Gen.listOfN(5,
+        Gen.mapOf(Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 99L))))
+      gen(Gen.Parameters.default, Seed(99L + i)).getOrElse(Nil).foreach { batch =>
+        // deleteWhen (source v divisible by 10) only applies to MATCHED
+        // rows; an unmatched delete-flagged row still takes the
+        // unconditional NOT MATCHED INSERT * clause.
+        model = batch.foldLeft(model) { case (m, (k, v)) =>
+          if (v % 10 == 0 && m.contains(k)) m - k else m + (k -> v)
+        }
+        if (batch.nonEmpty)
+          df = Snapshot.merge(df, batch.toSeq.toDF("k", "v"), Seq("k"),
+            col("v") % 10 === 0)
+      }
+      val got = df.select("k", "v").as[(Long, Long)].collect().toMap
+      assert(got == model, s"case $i diverged")
+    }
+  }
 }
