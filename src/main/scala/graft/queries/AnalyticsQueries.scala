@@ -322,7 +322,113 @@ object AnalyticsQueries {
           |AS (col_name, n, n_null, ndv, min_s, max_s)""".stripMargin)
       .orderBy(col("col_name"))
 
+  /** O11: per-user exponential moving average (alpha 0.3) over the event
+    * stream — the classic time-series smoothing feature. EWMA is a
+    * left fold (s_i = a·x_i + (1−a)·s_{i−1}, seeded s_1 = x_1), which no
+    * fixed window frame expresses, so the per-user sequence is assembled
+    * once (`collect_list` of (ts, event_id, value) structs, `array_sort`
+    * pinning the fold order totally — event_id breaks ts ties) and folded
+    * with the higher-order `aggregate`, null-seeded so the first element
+    * becomes the seed exactly like the oracle's `list_reduce`. Both
+    * engines then execute the identical chain of double ops in the
+    * identical order — bit-reproducible, no rounding needed. One keyed
+    * shuffle; per-key state is events-per-user (bounded by the busiest
+    * key, not the corpus — the same class as the r3 path list). At 100 TB
+    * with pathological keys the same fold runs as a segmented scan:
+    * repartition by user + sortWithinPartitions + mapPartitions carries
+    * the accumulator row-to-row with O(1) state and zero collect.
+    */
+  def o11Ewma(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+        col("value").as("v")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        aggregate(col("seq"), lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x.getField("v"))
+            .otherwise(lit(0.3) * x.getField("v") + lit(0.7) * acc))
+          .as("ewma"))
+      .orderBy(col("user_id"))
+
+  /** A19: 2-D skyline (Pareto frontier) — lineitem points maximizing
+    * both quantity and extended price; a point survives iff no other
+    * point is ≥ in both dimensions and > in at least one. The textbook
+    * formulation is an all-pairs NOT EXISTS anti-join (the oracle runs
+    * exactly that) — quadratic, hopeless at scale. The engine instead
+    * uses the monotone sweep: group to per-x max-y (one keyed shuffle,
+    * map-side combined), then a running strict-prefix max over x
+    * descending — a point's x-group survives iff its max-y strictly
+    * exceeds every max-y at larger x (strictly: an equal y at larger x
+    * dominates), and within the group exactly the max-y rows survive.
+    * The global window orders |distinct x| rows (dimension-bounded,
+    * ~50 here — never data-bounded), and the survivor set joins back
+    * broadcast. Total cost: one data-sized aggregate; the all-pairs
+    * compare is gone.
+    */
+  def a19Skyline(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(spark, d)
+      .select(floor(col("l_quantity")).cast("long").as("x"),
+        col("l_extendedprice").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val perX = g.groupBy(col("x")).agg(max(col("y")).as("maxy"))
+    val sweep = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX
+      .withColumn("above", max(col("maxy")).over(sweep))
+      .filter(col("above").isNull || col("maxy") > col("above"))
+    g.join(broadcast(sky), "x")
+      .filter(col("y") === col("maxy"))
+      .select(col("x"), col("y"), col("n"))
+      .orderBy(col("x"))
+  }
+
+  /** O12: gap-fill with LINEAR INTERPOLATION — o7's hour axis, but the
+    * missing hours get the straight line between the surrounding
+    * observed hourly sums instead of zeros (resampling for models that
+    * need a continuous signal, not a count). The hourly sums go through
+    * exact DECIMAL(18,2) per the determinism discipline; each
+    * interpolated value is then THREE double ops (sub, mul-by-ratio,
+    * add) on exact inputs in an identical tree on both engines. The
+    * neighbor lookup is `last/first(…, ignoreNulls)` over asymmetric
+    * frames carrying (hour, value) in ONE struct — the AsOfJoin lesson:
+    * per-column ignoreNulls would stitch fields from different rows.
+    * Both window frames share one partitioning+ordering, so Spark plans
+    * a single window exchange; span endpoints are observed by
+    * construction, so no null survives.
+    */
+  def o12Interp(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val span = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = span.select(col("user_id"),
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val obs = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(dec(col("value"))).cast("double").as("v"))
+    val axis = hours.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("h_ms"), col("v"))
+    val byHour = Window.partitionBy(col("user_id")).orderBy(col("h_ms"))
+    val obsPoint =
+      when(col("v").isNotNull, struct(col("h_ms").as("h"), col("v").as("v")))
+    axis
+      .withColumn("pv", last(obsPoint, ignoreNulls = true)
+        .over(byHour.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv", first(obsPoint, ignoreNulls = true)
+        .over(byHour.rowsBetween(1, Window.unboundedFollowing)))
+      .select(col("user_id"), col("h_ms"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv.v") + (col("nv.v") - col("pv.v")) *
+            ((col("h_ms") - col("pv.h")) /
+              (col("nv.h") - col("pv.h")).cast("double"))).as("v"))
+      .orderBy(col("user_id"), col("h_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o11_ewma" -> o11Ewma,
+    "o12_interp" -> o12Interp,
+    "a19_skyline" -> a19Skyline,
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
     "c1_cohort_retention" -> c1CohortRetention,
@@ -337,6 +443,56 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "o11_ewma" ->
+      """WITH v AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, len(l)::BIGINT AS n_events,
+        |  list_reduce(l, (acc, x) -> 0.3*x + 0.7*acc) AS ewma
+        |FROM v ORDER BY user_id""".stripMargin,
+    "a19_skyline" ->
+      """WITH base AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |p AS (SELECT DISTINCT x, y FROM base),
+        |g AS (SELECT x, y, count(*) AS n FROM base GROUP BY x, y)
+        |SELECT g.x, g.y, g.n FROM g
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q WHERE q.x >= g.x AND q.y >= g.y
+        |    AND (q.x > g.x OR q.y > g.y))
+        |ORDER BY x""".stripMargin,
+    "o12_interp" ->
+      """WITH span AS (
+        |  SELECT user_id, date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,
+        |         date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS hi
+        |  FROM events GROUP BY user_id),
+        |hours AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |axis AS (
+        |  SELECT user_id, epoch_ms(h) AS h_ms, v
+        |  FROM hours LEFT JOIN obs USING (user_id, h)),
+        |w AS (
+        |  SELECT user_id, h_ms, v,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(h := h_ms, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h_ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(h := h_ms, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h_ms
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM axis)
+        |SELECT user_id, h_ms,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv.v + (nv.v - pv.v)
+        |            * ((h_ms - pv.h) / CAST(nv.h - pv.h AS DOUBLE)) END AS v
+        |FROM w ORDER BY user_id, h_ms""".stripMargin,
     "o7_gapfill" ->
       """WITH span AS (
         |  SELECT user_id, date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,

@@ -316,6 +316,29 @@ object GraphQueries {
       .select(col("src"), col("dst")).distinct()
   }
 
+  /** G6: local clustering coefficient — per node with degree ≥ 2,
+    * 2·triangles / (deg·(deg−1)): how close the neighborhood is to a
+    * clique, the standard cohesion metric next to raw triangle counts.
+    * Reuses [[graft.graph.GraphAlgos.triangleCounts]] (degree-ordered,
+    * O(m^1.5) wedge work bounded under any skew) plus one degree
+    * aggregate and a left join for triangle-free nodes. The coefficient
+    * is ONE double division of exact integers — correctly rounded IEEE,
+    * so the gate compares full precision, no rounding band.
+    */
+  def g6ClusteringCoeff(spark: SparkSession, d: String): DataFrame = {
+    val edges = coSupplierEdges(spark, d)
+    val deg = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(graft.graph.GraphAlgos.triangleCounts(edges), Seq("node"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1))).as("coeff"))
+      .orderBy(col("node"))
+  }
+
   /** G2: PageRank over the same co-supplier graph as g1 — 20 fixed
     * power-method iterations at damping 0.85
     * ([[graft.graph.GraphAlgos.pageRank]]). The oracle UNROLLS the same
@@ -472,6 +495,7 @@ object GraphQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
+    "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g2_pagerank" -> g2Pagerank,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
@@ -559,6 +583,31 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
+    "g6_clustering_coeff" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |e AS (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |n AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, count(*) AS n_tri FROM n GROUP BY node),
+        |d AS (
+        |  SELECT node, count(*) AS deg FROM
+        |    (SELECT s AS node FROM e UNION ALL SELECT t FROM e)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(tc.n_tri, 0) AS n_tri,
+        |  2.0 * coalesce(tc.n_tri, 0) / (d.deg * (d.deg - 1)) AS coeff
+        |FROM d LEFT JOIN tc USING (node)
+        |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
     "s2_vertex_scan" ->
       "SELECT 'O' || o_orderkey AS id FROM orders ORDER BY id",
     "s3_filtered_vertex_scan" ->

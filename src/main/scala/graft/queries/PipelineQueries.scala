@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Packing, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -439,6 +439,52 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** D22: Bloom-prefiltered novelty — which src7 batch documents are
+    * absent from the rest of the corpus by leading-content fingerprint
+    * (md5 of the first 40 normalized chars — the chunk-head dedup
+    * signal; full-text fingerprints are vacuously unique here). The
+    * engine runs [[graft.pipeline.Novelty.novelAgainst]]: distributed
+    * `BloomFilterAggregate` over the corpus → no-false-negative
+    * definite-novel pass → broadcast exact verify of the maybes; the
+    * oracle runs the NOT EXISTS the result must equal.
+    */
+  def d22BloomNovelty(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("fp",
+        md5(substring(lower(trim(col("text"))), 1, 40).cast("binary")))
+    Novelty.novelAgainst(
+        docs.filter(col("source") === "src7"),
+        docs.filter(col("source") =!= "src7"),
+        "fp", expectedItems = 600L, numBits = 8192L)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T14: inverted index construction — the retrieval-side artifact a
+    * text engine builds once per corpus: term → document frequency +
+    * the ascending posting list (rendered as a comma-joined string so
+    * the gate hashes it byte-stably in both engines). Two keyed
+    * shuffles, both map-side combined: explode → distinct (doc, term)
+    * pairs, then the term aggregate; postings are assembled with
+    * `array_sort` before the join so order never depends on shuffle
+    * arrival. Per-term state is df-bounded — at 100 TB stop-terms make
+    * df corpus-sized, so the production form pages postings into
+    * (term, shard) rows via `floor(doc_id / page)` added to the group
+    * key: the identical plan, one extra grouping column, no row ever
+    * exceeding the page size. The full-list form here is the semantics
+    * gate for it.
+    */
+  def t14InvertedIndex(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("int").as("df"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .orderBy(col("term"))
+
   /** T5: corpus-relative unigram log-prob quality score (order-1 LM
     * filter; [[TextAnalysis.unigramLogProb]]).
     */
@@ -601,6 +647,8 @@ object PipelineQueries {
     "t7_repetition" -> t7Repetition,
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
+    "t14_inverted_index" -> t14InvertedIndex,
+    "d22_bloom_novelty" -> d22BloomNovelty,
     "t10_mg_heavy_hitters" -> t10MgHeavyHitters,
     "t11_edit_distance" -> t11EditDistance,
     "d12_token_shards" -> d12TokenShards,
@@ -1156,6 +1204,23 @@ object PipelineQueries {
         |  FROM w)
         |SELECT gram, count(*) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "t14_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |d AS (SELECT DISTINCT w AS term, doc_id FROM toks WHERE w <> '')
+        |SELECT term, count(*)::INT AS df,
+        |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        |FROM d GROUP BY term ORDER BY term""".stripMargin,
+    "d22_bloom_novelty" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(substr(lower(trim(text)), 1, 40)) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id FROM fp b
+        |WHERE b.source = 'src7' AND NOT EXISTS (
+        |  SELECT 1 FROM fp c WHERE c.source <> 'src7' AND c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
     "t11_edit_distance" ->
       """SELECT a.doc_id,
         |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist

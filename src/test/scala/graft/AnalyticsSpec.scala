@@ -198,4 +198,79 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sorted.last._3.isEmpty, "only the last version is open-ended")
     }
   }
+
+  test("o11 ewma equals the driver-side left fold of the ordered stream") {
+    val got = AnalyticsQueries.o11Ewma(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val vals = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val want = vals.tail.foldLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      val (n, ewma) = got(u)
+      assert(n == vals.length, s"user $u event count")
+      // Identical double ops in identical order: bit-equal, not approx.
+      assert(ewma == want, s"user $u: got $ewma want $want")
+    }
+    assert(got.size == events.map(_._1).distinct.length)
+  }
+
+  test("o12 interpolation: observed hours untouched, gaps on the line") {
+    val rows = AnalyticsQueries.o12Interp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall(r => !r._3.isNaN), "no NaN leaks")
+    // Observed hours must carry the exact decimal hourly sum.
+    val observed = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("h_ms"))
+      .agg(sum(col("value").cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
+        .cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    observed.foreach { case (k, v) =>
+      assert(byKey(k) == v, s"observed hour $k must be exact")
+    }
+    // Every gap hour sits on the straight line between its neighbors.
+    rows.groupBy(_._1).values.foreach { g =>
+      val hs = g.sortBy(_._2)
+      val obsIdx = hs.zipWithIndex.filter(p => observed.contains((p._1._1, p._1._2)))
+      obsIdx.sliding(2).foreach {
+        case Array((a, ia), (b, ib)) if ib - ia > 1 =>
+          ((ia + 1) until ib).foreach { i =>
+            val (_, h, v) = hs(i)
+            val want = a._3 + (b._3 - a._3) *
+              ((h - a._2) / (b._2 - a._2).toDouble)
+            assert(v == want, s"gap hour $h must interpolate linearly")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("a19 skyline matches the all-pairs dominance check") {
+    val pts = Tables.lineitem(spark, sf)
+      .select(floor(col("l_quantity")).cast("long"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = pts.groupBy(identity).map { case ((x, y), g) => (x, y, g.length.toLong) }
+      .filter { case (x, y, _) =>
+        !pts.exists { case (qx, qy) =>
+          qx >= x && qy >= y && (qx > x || qy > y)
+        }
+      }.toSet
+    val got = AnalyticsQueries.a19Skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+    // The frontier is strictly monotone: x ascending implies y descending.
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 > b._2,
+        "larger x on the frontier must trade away y")
+      case _ =>
+    }
+  }
 }

@@ -230,4 +230,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(counts("train") > 200 && counts("train") < 280)
     assert(counts("val") + counts("test") > 20)
   }
+
+  test("inverted index: postings ascend, df counts them, index inverts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.PipelineQueries
+      .t14InvertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, df, postings) =>
+      val ids = postings.split(',').map(_.toLong)
+      assert(ids.length == df, s"$term: df must equal posting length")
+      assert(ids.sameElements(ids.sorted.distinct),
+        s"$term: postings must be strictly ascending")
+    }
+    // Inversion: doc 0's terms each list doc 0 in their postings, and
+    // terms absent from doc 0 never do.
+    val doc0Terms = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select(col("text"))
+      .collect().head.getString(0).split("\\s+").filter(_.nonEmpty).toSet
+    rows.foreach { case (term, _, postings) =>
+      val hasDoc0 = postings.split(',').head == "0"
+      assert(hasDoc0 == doc0Terms.contains(term),
+        s"$term: posting membership must invert doc 0's term set")
+    }
+  }
 }

@@ -222,4 +222,35 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("clustering coefficient: gate parity with the driver definition") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.GraphQueries.g6ClusteringCoeff(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // Driver truth: rebuild the co-supplier graph and check every node
+    // with degree >= 2 via direct neighborhood-edge counting.
+    val edges = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 49.5)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .values.flatMap { g =>
+        val s = g.map(_._2).distinct.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.collect { case (n, nb) if nb.size >= 2 =>
+      val tri = nb.toSeq.combinations(2).count {
+        case Seq(u, v) => adj(u).contains(v)
+      }.toLong
+      n -> ((nb.size.toLong, tri,
+        2.0 * tri / (nb.size.toLong * (nb.size - 1))))
+    }
+    assert(got == want)
+    got.values.foreach { case (_, _, c) =>
+      assert(c >= 0.0 && c <= 1.0, "coefficient must be a ratio")
+    }
+  }
 }
