@@ -27,11 +27,16 @@ object GraphAlgos {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    val und = edges
+    // The normalized edge set feeds three branches (degree aggregate,
+    // wedge build, closing-edge probe); checkpoint it once or every
+    // branch replays the caller's whole edge derivation — 113 exchange
+    // nodes observed for g6's plan before this, 10 after.
+    val und = graft.CacheRegistry.register(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint())
     val deg = und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -48,6 +53,11 @@ object GraphAlgos {
           col("da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      // Three consumers (both wedge sides + the closing-edge probe);
+      // checkpointed so each reads the directed edges, not the two
+      // degree joins that build them.
+      .localCheckpoint()
+    graft.CacheRegistry.register(dir)
     // Wedges from each apex u: ordered out-neighbor pairs (v, w); the
     // closing edge (v, w) is itself directed v -> w by the same rank.
     val e1 = dir.select(col("u"), col("v"), col("dv"))

@@ -326,7 +326,10 @@ object GraphQueries {
     * so the gate compares full precision, no rounding band.
     */
   def g6ClusteringCoeff(spark: SparkSession, d: String): DataFrame = {
-    val edges = coSupplierEdges(spark, d)
+    // Checkpointed: the degree branch and the triangle kernel both read
+    // it; without this each re-derives the lineitem self-join.
+    val edges = graft.CacheRegistry.register(
+      coSupplierEdges(spark, d).localCheckpoint())
     val deg = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
