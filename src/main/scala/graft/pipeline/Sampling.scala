@@ -104,6 +104,30 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws a seeded uniform from
+    * the first 32 bits of md5(seed ‖ id) — engine-portable, unlike
+    * seeded PRNG streams — and the k smallest exponential keys
+    * −ln(1−u)/w ARE a weight-proportional sample without replacement.
+    * The selection is `orderBy(key).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-k, merge on the driver,
+    * no global sort), so the pass over the corpus is a narrow map + a
+    * k-row reduction at ANY scale. Membership is a pure function of
+    * (seed, id, weight): stable under repartitioning and replayable,
+    * the property `rand()`-weighted sampling lacks.
+    */
+  def weightedTopK(df: DataFrame, weightCol: String, k: Int, seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val uni = conv(substring(
+        md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+        16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.withColumn("ekey", -log(lit(1.0) - uni) / col(weightCol))
+      .orderBy(col("ekey"), col(idCol))
+      .limit(k)
+  }
+
   /** Hash-based train/val/test split (80/10/10 of the bucket space) —
     * membership is a pure function of (seed, id), so the split is
     * stable under re-ingestion, corpus growth, and repartitioning (a

@@ -425,9 +425,30 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("h_ms"))
   }
 
+  /** O13: sliding distinct count — per event, how many DISTINCT users
+    * were active for this event type in the trailing hour. Distinct
+    * aggregates have no incremental window form, so Spark evaluates
+    * `size(collect_set)` over the range frame — O(frame) per row,
+    * fine when frames are duration-bounded (an hour of one event
+    * type); the 100 TB form for unbounded frames is the first-seen
+    * flag + windowed sum decomposition. One window exchange keyed on
+    * event_type; the frame is RANGE over epoch-micros so ts ties land
+    * in every tied row's frame identically in both engines.
+    */
+  def o13WindowDistinct(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, d)
+      .select(col("event_id"),
+        size(collect_set(col("user_id")).over(w)).cast("long").as("n_dist"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o11_ewma" -> o11Ewma,
     "o12_interp" -> o12Interp,
+    "o13_window_distinct" -> o13WindowDistinct,
     "a19_skyline" -> a19Skyline,
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
@@ -461,6 +482,13 @@ object AnalyticsQueries {
         |  SELECT 1 FROM p q WHERE q.x >= g.x AND q.y >= g.y
         |    AND (q.x > g.x OR q.y > g.y))
         |ORDER BY x""".stripMargin,
+    "o13_window_distinct" ->
+      """SELECT event_id,
+        |  count(DISTINCT user_id) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |  AS n_dist
+        |FROM events ORDER BY event_id""".stripMargin,
     "o12_interp" ->
       """WITH span AS (
         |  SELECT user_id, date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,

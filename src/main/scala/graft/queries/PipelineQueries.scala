@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, Sampling, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -460,6 +460,21 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D23: deterministic weighted sample — 20 documents drawn
+    * proportionally to length without replacement
+    * ([[graft.pipeline.Sampling.weightedTopK]], Efraimidis–Spirakis
+    * keys from an md5-seeded uniform both engines can compute). The
+    * ekey column is kept in the output: the gate then pins the exact
+    * selection AND the key arithmetic (ln differs across libms by ulps
+    * at most — far below the hash compare's 10-significant-digit
+    * normalization).
+    */
+  def d23WeightedSample(spark: SparkSession, d: String): DataFrame =
+    Sampling.weightedTopK(
+        Tables.documents(spark, d).select(col("doc_id"), col("n_chars")),
+        weightCol = "n_chars", k = 20, seed = "wsamp")
+      .orderBy(col("ekey"), col("doc_id"))
+
   /** T14: inverted index construction — the retrieval-side artifact a
     * text engine builds once per corpus: term → document frequency +
     * the ascending posting list (rendered as a comma-joined string so
@@ -649,6 +664,7 @@ object PipelineQueries {
     "t9_topk_ngrams" -> t9TopkNgrams,
     "t14_inverted_index" -> t14InvertedIndex,
     "d22_bloom_novelty" -> d22BloomNovelty,
+    "d23_weighted_sample" -> d23WeightedSample,
     "t10_mg_heavy_hitters" -> t10MgHeavyHitters,
     "t11_edit_distance" -> t11EditDistance,
     "d12_token_shards" -> d12TokenShards,
@@ -1221,6 +1237,14 @@ object PipelineQueries {
         |WHERE b.source = 'src7' AND NOT EXISTS (
         |  SELECT 1 FROM fp c WHERE c.source <> 'src7' AND c.fp = b.fp)
         |ORDER BY doc_id""".stripMargin,
+    "d23_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5('wsamp' || doc_id::VARCHAR), 1, 8))
+        |      ::UBIGINT)::DOUBLE / 4294967296.0 AS uni
+        |  FROM documents)
+        |SELECT doc_id, n_chars, -ln(1.0 - uni) / n_chars AS ekey
+        |FROM u ORDER BY ekey, doc_id LIMIT 20""".stripMargin,
     "t11_edit_distance" ->
       """SELECT a.doc_id,
         |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist

@@ -252,6 +252,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("o13 sliding distinct count matches the brute-force frame scan") {
+    val got = AnalyticsQueries.o13WindowDistinct(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")),
+        col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    events.groupBy(_._2).values.foreach { g =>
+      g.foreach { case (id, _, t, _) =>
+        // RANGE frames include the lower bound (>=, not >).
+        val want = g.filter(e => e._3 >= t - 3600000000L && e._3 <= t)
+          .map(_._4).distinct.length.toLong
+        assert(got(id) == want, s"event $id trailing-hour distinct")
+      }
+    }
+    assert(got.size == events.length)
+  }
+
   test("a19 skyline matches the all-pairs dominance check") {
     val pts = Tables.lineitem(spark, sf)
       .select(floor(col("l_quantity")).cast("long"), col("l_extendedprice"))

@@ -231,6 +231,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(counts("val") + counts("test") > 20)
   }
 
+  test("weighted sample: deterministic, k-bounded, weight-responsive") {
+    val docs = docsOf((0 until 400).map(i => "w " * (i % 40 + 1)))
+      .withColumn("n_chars", length(col("text")))
+    def pick(seed: String) = Sampling
+      .weightedTopK(docs, "n_chars", k = 30, seed = seed, idCol = "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val a = pick("s1")
+    assert(a == pick("s1"), "same seed must reproduce the sample")
+    assert(a != pick("s2"), "different seeds must differ")
+    assert(a.size == 30)
+    // Weight-proportionality: across seeds, the mean weight of sampled
+    // docs must exceed the corpus mean (long docs oversampled).
+    val weights = docs.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpusMean = weights.values.sum.toDouble / weights.size
+    val sampleMean = (1 to 5).flatMap(i => pick(s"seed$i"))
+      .map(weights(_)).sum.toDouble / (5 * 30)
+    assert(sampleMean > corpusMean * 1.2,
+      s"sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
+
   test("inverted index: postings ascend, df counts them, index inverts") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.PipelineQueries
