@@ -168,7 +168,33 @@ object StreamQueries {
       .orderBy(col("event_id"), col("click_ms"))
   }
 
+  /** W7: the stateful replay dedup UNDER THE ORACLE — runs the real
+    * [[CdcStream.statefulDedup]] (`flatMapGroupsWithState`, the custom
+    * keyed-state operator the bench's at-least-once `dedup_replay`
+    * drives through MemoryStream) in batch mode, where Spark executes
+    * the same state function once per key over the whole group. Input
+    * is the event log with a deterministic slice re-delivered (an
+    * at-least-once source replaying a producer batch); the operator's
+    * contract — one survivor per (id, ts_ms), replays dropped — is
+    * exactly the oracle's DISTINCT. In-stream arrival order is
+    * ts-ascending, so the streaming high-watermark path and this batch
+    * twin provably keep the same set; CdcStreamSpec pins the streaming
+    * side, this gate pins the state function's output against DuckDB.
+    */
+  def w7StatefulDedupTwin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(
+      lit("c").as("op"), unix_millis(col("ts")).as("ts_ms"),
+      col("user_id").as("id"),
+      concat(lit("u"), col("user_id")).as("name"))
+    val replay = e.filter(col("ts_ms") % 7 === 0)
+    CdcStream.statefulDedup(e.unionByName(replay))
+      .toDF("op", "ts_ms", "id", "name")
+      .select(col("id"), col("ts_ms"), col("name"))
+      .orderBy(col("id"), col("ts_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_stateful_dedup_twin" -> w7StatefulDedupTwin,
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
     "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
@@ -180,6 +206,16 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    "w7_stateful_dedup_twin" ->
+      """WITH log AS (
+        |  SELECT user_id AS id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |    'u' || user_id::VARCHAR AS name FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)),
+        |    'u' || user_id::VARCHAR FROM events
+        |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) % 7 = 0)
+        |SELECT DISTINCT id, ts_ms, name FROM log
+        |ORDER BY id, ts_ms""".stripMargin,
     "w6_stream_left_outer_twin" ->
       """SELECT p.event_id, epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ms
         |FROM (SELECT event_id, user_id, ts FROM events
