@@ -229,4 +229,46 @@ object GraphAlgos {
     graft.CacheRegistry.register(e)
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Synchronous label propagation (community detection) for a FIXED
+    * number of rounds: labels start as node ids; each round every node
+    * takes the most frequent label among its neighbors, smallest label
+    * breaking ties. Fixed rounds + the deterministic tie-break make the
+    * result a pure function of the graph — no convergence coin-flips,
+    * so it can sit under a cross-engine oracle (the DuckDB twin unrolls
+    * the same rounds as chained materialized CTEs). This differs from
+    * WCC (min-label closure): frequency voting splits a connected
+    * component into dense cores. Per round: one join (undirected edges ⋈
+    * labels) + one (node, label) count + one per-node arg-max window —
+    * all keyed shuffles, label table localCheckpointed per round so
+    * lineage stays shallow. At 100 TB the edge set stays partitioned by
+    * neighbor across rounds; only the |V|-row label table moves.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = graft.CacheRegistry.register(edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint())
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val votes = und
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val next = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+    }
+    graft.CacheRegistry.register(labels)
+  }
 }

@@ -367,11 +367,22 @@ object AnalyticsQueries {
     * broadcast. Total cost: one data-sized aggregate; the all-pairs
     * compare is gone.
     */
-  def a19Skyline(spark: SparkSession, d: String): DataFrame = {
-    val g = Tables.lineitem(spark, d)
-      .select(floor(col("l_quantity")).cast("long").as("x"),
-        col("l_extendedprice").as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+  def a19Skyline(spark: SparkSession, d: String): DataFrame =
+    skyline(Tables.lineitem(spark, d)
+        .select(floor(col("l_quantity")).cast("long").as("x"),
+          col("l_extendedprice").as("y")))
+      .orderBy(col("x"))
+
+  /** The monotone-sweep skyline over arbitrary (x, y) points (both
+    * maximized): per-x max-y aggregate → strict-prefix running max over
+    * x descending (|distinct x| rows) → broadcast survivor join.
+    * Returns (x, y, n) — frontier points with multiplicity; equal
+    * points do not dominate each other, so duplicates of a frontier
+    * point all survive (n > 1), while an equal y at strictly larger x
+    * DOES dominate (strict `>` against the prefix max).
+    */
+  def skyline(points: DataFrame): DataFrame = {
+    val g = points.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
     val perX = g.groupBy(col("x")).agg(max(col("y")).as("maxy"))
     val sweep = Window.orderBy(col("x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -381,7 +392,6 @@ object AnalyticsQueries {
     g.join(broadcast(sky), "x")
       .filter(col("y") === col("maxy"))
       .select(col("x"), col("y"), col("n"))
-      .orderBy(col("x"))
   }
 
   /** O12: gap-fill with LINEAR INTERPOLATION — o7's hour axis, but the

@@ -342,6 +342,21 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** G7: label-propagation communities over the co-supplier graph —
+    * 5 fixed synchronous rounds, most-frequent neighbor label with
+    * smallest-label tie-break ([[graft.graph.GraphAlgos.labelPropagation]]).
+    * Fixed rounds + deterministic tie-break make the result a pure
+    * function of the graph, so the oracle unrolls the SAME 5 rounds as
+    * chained MATERIALIZED CTEs (the g5 lesson: DuckDB inlines plain
+    * CTEs and a per-round multi-reference unroll goes exponential).
+    * Distinct from g4/WCC: frequency voting splits a connected
+    * component into dense cores (5 communities vs 2 components here).
+    */
+  def g7LabelPropagation(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.labelPropagation(
+        coSupplierEdges(spark, d), rounds = 5)
+      .orderBy(col("node"))
+
   /** G2: PageRank over the same co-supplier graph as g1 — 20 fixed
     * power-method iterations at damping 0.85
     * ([[graft.graph.GraphAlgos.pageRank]]). The oracle UNROLLS the same
@@ -496,9 +511,42 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for `g7_label_propagation`: the same fixed-round
+    * synchronous vote, unrolled as chained CTEs. Every CTE is
+    * MATERIALIZED — DuckDB inlines plain CTEs, and `und` is referenced
+    * by all `rounds` rounds (the g5 exponential-unroll lesson).
+    */
+  private def g7Oracle(rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = if (i > 1) s"r${i - 1}" else "l0"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT u AS node, lbl FROM (
+         |    SELECT und.u, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY und.u
+         |        ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM und JOIN $prev l ON und.v = l.node
+         |    GROUP BY und.u, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ps AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |  WHERE l_quantity >= 49.5),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM ps a JOIN ps b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+       |und AS MATERIALIZED (
+       |  SELECT s AS u, t AS v FROM e UNION SELECT t, s FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM und),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT node, lbl FROM r$rounds ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
     "g6_clustering_coeff" -> g6ClusteringCoeff,
+    "g7_label_propagation" -> g7LabelPropagation,
     "g2_pagerank" -> g2Pagerank,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
@@ -611,6 +659,7 @@ object GraphQueries {
         |  2.0 * coalesce(tc.n_tri, 0) / (d.deg * (d.deg - 1)) AS coeff
         |FROM d LEFT JOIN tc USING (node)
         |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
+    "g7_label_propagation" -> g7Oracle(5),
     "s2_vertex_scan" ->
       "SELECT 'O' || o_orderkey AS id FROM orders ORDER BY id",
     "s3_filtered_vertex_scan" ->

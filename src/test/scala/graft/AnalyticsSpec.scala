@@ -271,6 +271,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == events.length)
   }
 
+  test("skyline tie semantics: planted duplicates, same-x, equal-y-dominance") {
+    import spark.implicits._
+    // (3,9) twice: equal points never dominate each other -> n=2 survivor.
+    // (3,5): dominated within its own x group.
+    // (5,9) ABSENT but (5,8) present: y=9 at x=3 survives only because
+    //   nothing at larger x reaches 9; (4,8) is dominated by (5,8)'s
+    //   equal y at strictly larger x.
+    // (7,2): max-x always survives.
+    val pts = Seq((3L, 9.0), (3L, 9.0), (3L, 5.0), (4L, 8.0),
+      (5L, 8.0), (6L, 1.0), (7L, 2.0)).toDF("x", "y")
+    val got = AnalyticsQueries.skyline(pts).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 9.0, 2L), (5L, 8.0, 1L), (7L, 2.0, 1L)))
+    // Degenerate inputs: single point; all points identical.
+    assert(AnalyticsQueries.skyline(Seq((1L, 1.0)).toDF("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq == Seq((1L, 1.0, 1L)))
+    assert(AnalyticsQueries.skyline(
+        Seq.fill(4)((2L, 3.0)).toDF("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq == Seq((2L, 3.0, 4L)))
+  }
+
   test("a19 skyline matches the all-pairs dominance check") {
     val pts = Tables.lineitem(spark, sf)
       .select(floor(col("l_quantity")).cast("long"), col("l_extendedprice"))

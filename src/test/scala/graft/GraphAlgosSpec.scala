@@ -223,6 +223,49 @@ class GraphAlgosSpec extends AnyFunSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    GraphAlgos.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side reference: the same synchronous vote. */
+  private def lpaModel(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      labels = adj.map { case (n, nbrs) =>
+        val freq = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    labels
+  }
+
+  test("label propagation: closed forms — triangle absorbs, star oscillates") {
+    val k3 = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    assert(lpa(k3, 5) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val twoTris = k3 ++ Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    assert(lpa(twoTris, 5) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // A star has no stable labeling under synchronous votes: it
+    // oscillates with period 2 — the FIXED-round contract makes that a
+    // deterministic answer, not a convergence failure.
+    val star = (1L to 4L).map(0L -> _)
+    assert(lpa(star, 5) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(lpa(star, 4) == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("label propagation: random-graph parity with the driver model") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 30 + trial * 10
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      assert(lpa(edges, 4) == lpaModel(edges, 4), s"trial $trial")
+    }
+  }
+
   test("clustering coefficient: gate parity with the driver definition") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.queries.GraphQueries.g6ClusteringCoeff(spark, sf)
