@@ -69,6 +69,10 @@ object Novelty {
       s"""SELECT *, graft_bloom_might_contain(
          |  (SELECT f FROM __graft_nov_f$t), xxhash64(`$fpCol`)) AS __maybe
          |FROM __graft_nov_b$t""".stripMargin)
+    // Plans are fully resolved at this point; drop the plumbing views so
+    // repeated calls (bench iterations) don't grow the session catalog.
+    Seq(s"__graft_nov_c$t", s"__graft_nov_f$t", s"__graft_nov_b$t")
+      .foreach(spark.catalog.dropTempView)
     val definite = probed.filter(!col("__maybe")).drop("__maybe")
     val maybes = probed.filter(col("__maybe")).drop("__maybe")
     // Exact verify, corpus-scan-shaped: hit fingerprints = corpus
