@@ -354,6 +354,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** Asymmetric CONTAINMENT — c(a→b) = |W_a ∩ W_b| / |W_a| ≥ threshold:
+    * "a is mostly contained in b", the sub-document duplication signal
+    * (quotes, boilerplate wrappers, doc-inside-doc copies) that
+    * symmetric Jaccard misses: a short doc embedded verbatim in a long
+    * one has tiny Jaccard but containment 1.0. Ordered pairs — both
+    * directions are tested independently and can both qualify.
+    *
+    * The AllPairs prefix bound is ONE-SIDED here: only |W_a| appears in
+    * the denominator, so the probe side sends its (|A| − ⌈t·|A|⌉ + 1)
+    * RAREST words while the contained-in side must stay fully indexed
+    * (if c(a→b) ≥ t, a misses < prefix-length words, so at least one
+    * prefix word of A is shared with B). Candidate work is
+    * Σ_a prefix(a)·df — the rarity ordering keeps df small — and the
+    * verify is exact over the cached word sets, so the filter can only
+    * save work, never change the answer.
+    */
+  def containmentPairs(docs: DataFrame, blockCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.9): DataFrame = {
+    val sets = graft.CacheRegistry.register(docs.select(col(blockCol), col(idCol),
+      array_distinct(words(col(textCol))).as("ws")).cache())
+    val toks = sets.select(col(blockCol), col(idCol),
+      size(col("ws")).as("sz"), explode(col("ws")).as("w"))
+    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("w"))
+    val prefix = toks.join(dfreq, "w")
+      .withColumn("rank", row_number().over(byRarity))
+      .filter(col("rank") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1))
+      .select(col(blockCol), col(idCol), col("w"))
+    val cand = prefix.select(col(blockCol), col(idCol).as("doc_a"), col("w"))
+      .join(toks.select(col(blockCol), col(idCol).as("doc_b"), col("w")),
+        Seq(blockCol, "w"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .repartition(
+        scala.util.Try(docs.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(docs.sparkSession.sparkContext.defaultParallelism),
+        col("doc_a"), col("doc_b"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("sz_a", size(col("ws_a")))
+      .filter(col("inter").cast("double") / col("sz_a") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
+  }
+
   /** D6: connected components over a near-duplicate pair list — the
     * clustering stage that turns pairwise matches into keep/drop
     * decisions (each doc maps to its component's minimum id, the

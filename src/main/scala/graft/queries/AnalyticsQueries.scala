@@ -455,10 +455,43 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** A22: Welch two-sample t-statistic — is the mean `value` of clicks
+    * different from purchases? The A/B-test primitive an analytics
+    * engine owes its users. The per-group sums go through the exact-sum
+    * discipline: value has 2 decimals, so `round(value·100)` is an
+    * exact BIGINT and its sum/sum-of-squares are exact integers (one
+    * map-side-combined aggregate scan, no joins); mean, variance, and
+    * the t-statistic then derive in DOUBLE through an expression tree
+    * identical on both engines — cross-engine bit-equality without any
+    * rounding band, the a16/a17 discipline applied to inference.
+    */
+  def a22WelchT(spark: SparkSession, d: String): DataFrame = {
+    val v100 = round(col("value") * 100).cast("long")
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v100).as("s1"),
+        sum(v100 * v100).as("s2"))
+      .agg(
+        max(when(col("event_type") === "click", col("n"))).as("n1"),
+        max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+        max(when(col("event_type") === "click", col("s1"))).as("a1"),
+        max(when(col("event_type") === "purchase", col("s1"))).as("b1"),
+        max(when(col("event_type") === "click", col("s2"))).as("a2"),
+        max(when(col("event_type") === "purchase", col("s2"))).as("b2"))
+      .selectExpr("n1", "n2",
+        "CAST(a1 AS DOUBLE)/n1/100 - CAST(b1 AS DOUBLE)/n2/100 AS mean_diff",
+        """(CAST(a1 AS DOUBLE)/n1/100 - CAST(b1 AS DOUBLE)/n2/100) /
+          |sqrt(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE)*a1/n1)/(n1-1)/10000)/n1
+          |   + ((CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE)*b1/n2)/(n2-1)/10000)/n2)
+          |AS t_stat""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o11_ewma" -> o11Ewma,
     "o12_interp" -> o12Interp,
     "o13_window_distinct" -> o13WindowDistinct,
+    "a22_welch_t" -> a22WelchT,
     "a19_skyline" -> a19Skyline,
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
@@ -492,6 +525,30 @@ object AnalyticsQueries {
         |  SELECT 1 FROM p q WHERE q.x >= g.x AND q.y >= g.y
         |    AND (q.x > g.x OR q.y > g.y))
         |ORDER BY x""".stripMargin,
+    "a22_welch_t" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+        |    sum(CAST(round(value * 100) AS BIGINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS s2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT
+        |    max(CASE WHEN event_type='click' THEN n END) AS n1,
+        |    max(CASE WHEN event_type='purchase' THEN n END) AS n2,
+        |    max(CASE WHEN event_type='click' THEN s1 END) AS a1,
+        |    max(CASE WHEN event_type='purchase' THEN s1 END) AS b1,
+        |    max(CASE WHEN event_type='click' THEN s2 END) AS a2,
+        |    max(CASE WHEN event_type='purchase' THEN s2 END) AS b2
+        |  FROM g)
+        |SELECT n1, n2,
+        |  CAST(a1 AS DOUBLE)/n1/100 - CAST(b1 AS DOUBLE)/n2/100 AS mean_diff,
+        |  (CAST(a1 AS DOUBLE)/n1/100 - CAST(b1 AS DOUBLE)/n2/100) /
+        |  sqrt(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE)*a1/n1)/(n1-1)/10000)/n1
+        |     + ((CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE)*b1/n2)/(n2-1)/10000)/n2)
+        |  AS t_stat
+        |FROM d""".stripMargin,
     "o13_window_distinct" ->
       """SELECT event_id,
         |  count(DISTINCT user_id) OVER (

@@ -439,6 +439,19 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** D25: asymmetric containment pairs — documents ≥90% word-contained
+    * in another document of the same source
+    * ([[graft.pipeline.Dedup.containmentPairs]]; the sub-document
+    * duplication signal symmetric Jaccard misses). The oracle replays
+    * the exact definition as the all-pairs list_intersect join; the
+    * engine's one-sided prefix filter must produce the identical pair
+    * set.
+    */
+  def d25Containment(spark: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, d),
+        blockCol = "source", threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** D22: Bloom-prefiltered novelty — which src7 batch documents are
     * absent from the rest of the corpus by leading-content fingerprint
     * (md5 of the first 40 normalized chars — the chunk-head dedup
@@ -665,6 +678,7 @@ object PipelineQueries {
     "t14_inverted_index" -> t14InvertedIndex,
     "d22_bloom_novelty" -> d22BloomNovelty,
     "d23_weighted_sample" -> d23WeightedSample,
+    "d25_containment" -> d25Containment,
     "t10_mg_heavy_hitters" -> t10MgHeavyHitters,
     "t11_edit_distance" -> t11EditDistance,
     "d12_token_shards" -> d12TokenShards,
@@ -1237,6 +1251,17 @@ object PipelineQueries {
         |WHERE b.source = 'src7' AND NOT EXISTS (
         |  SELECT 1 FROM fp c WHERE c.source <> 'src7' AND c.fp = b.fp)
         |ORDER BY doc_id""".stripMargin,
+    "d25_containment" ->
+      """WITH sets AS (
+        |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.ws, b.ws))::INT AS inter,
+        |  len(a.ws)::INT AS sz_a
+        |FROM sets a JOIN sets b
+        |  ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d23_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

@@ -271,6 +271,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == events.length)
   }
 
+  test("a22 welch t matches the driver-side recompute") {
+    val r = AnalyticsQueries.a22WelchT(spark, sf).collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1))
+    def stats(t: String) = {
+      val v = vals.filter(_._1 == t).map(_._2)
+      val m = v.sum / v.length
+      (v.length.toLong, m,
+        v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (cn, cm, cv) = stats("click")
+    val (pn, pm, pv) = stats("purchase")
+    assert(n1 == cn && n2 == pn)
+    val t = (cm - pm) / math.sqrt(cv / cn + pv / pn)
+    // Different summation order on the driver: approx, not bit-equal.
+    assert(math.abs(r.getDouble(3) - t) < 1e-9 * math.max(1.0, math.abs(t)),
+      s"got ${r.getDouble(3)} want $t")
+  }
+
   test("skyline tie semantics: planted duplicates, same-x, equal-y-dominance") {
     import spark.implicits._
     // (3,9) twice: equal points never dominate each other -> n=2 survivor.

@@ -116,6 +116,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: one-sided prefix path matches driver brute force") {
+    // Same contract as the Jaccard fuzz: the prefix bound only prunes
+    // provably-sub-threshold candidates — now with the asymmetric
+    // denominator, where only the probe side's size matters and pairs
+    // are ordered (a→b and b→a judged independently).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val doc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (i <- 1 to 3; t <- Seq(0.5, 0.8, 1.0)) {
+      val docs = Gen.listOfN(16, doc)(Gen.Parameters.default, Seed(700L + i))
+        .getOrElse(Nil)
+      val rows = docs.zipWithIndex.map { case (txt, j) =>
+        (j.toLong, txt, s"s${j % 2}")
+      } ++ docs.take(3).zipWithIndex.map { case (txt, j) =>
+        // Planted containers: the copy plus extra words fully contains
+        // the original (containment 1.0 one way, lower the other).
+        (300L + j, txt + " alpha beta gamma delta", s"s${j % 2}")
+      }
+      val df = rows.toDF("doc_id", "text", "source")
+      val got = Dedup.containmentPairs(df, "source", threshold = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      val sets = rows.map { case (id, txt, src) =>
+        (id, src, txt.split(" ").filter(_.nonEmpty).toSet)
+      }
+      val want = (for {
+        (a, sa, wa) <- sets; (b, sb, wb) <- sets
+        if a != b && sa == sb
+        inter = (wa & wb).size
+        if inter.toDouble / wa.size >= t
+      } yield (a, b, inter, wa.size)).toSet
+      assert(got == want, s"seed=$i t=$t: " +
+        s"(only-got=${got -- want}, only-want=${want -- got})")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("components resolves chains and leaves islands separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
       .toDF("doc_a", "doc_b")
