@@ -43,7 +43,10 @@ object Bench {
     "d4_ngram_jaccard",   // prefix-filtered AllPairs join (round-8 path)
     "j12_asof_attribution", // as-of join sweep (round-9 operator)
     "j16_interval_overlap", // bucketed interval-overlap join (round-10 operator)
-    "g3_sssp")            // bounded-hop Bellman-Ford (round-10 graph analytics)
+    "g3_sssp",            // bounded-hop Bellman-Ford (round-10 graph analytics)
+    "g7_label_propagation", // fixed-round community voting (round-10 closing wave)
+    "d25_containment",    // one-sided-prefix containment dedup (round-10 closing wave)
+    "o13_window_distinct") // sliding distinct count (round-10 closing wave)
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.
