@@ -487,11 +487,35 @@ object AnalyticsQueries {
           |AS t_stat""".stripMargin)
   }
 
+  /** A23: 2×2 chi-squared independence — does high value (>50) depend
+    * on event type (click vs purchase)? The categorical counterpart to
+    * a22's t-test, closing the basic-inference pair. The contingency
+    * cells are exact BIGINT counts from ONE aggregate scan; the
+    * statistic uses the closed 2×2 form N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    * in DOUBLE through an identical tree on both engines — bit-equal.
+    */
+  def a23ChiSquared(spark: SparkSession, d: String): DataFrame = {
+    def cell(t: String, hi: Boolean) = sum(
+      when(col("event_type") === t &&
+        (if (hi) col("value") > 50 else col("value") <= 50), 1L)
+        .otherwise(0L))
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(cell("click", hi = true).as("a"), cell("click", hi = false).as("b"),
+        cell("purchase", hi = true).as("c"),
+        cell("purchase", hi = false).as("d"))
+      .selectExpr("a", "b", "c", "d",
+        """CAST(a+b+c+d AS DOUBLE) * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+          |  * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+          |  / ((a+b) * CAST(c+d AS DOUBLE) * (a+c) * (b+d)) AS chi2""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o11_ewma" -> o11Ewma,
     "o12_interp" -> o12Interp,
     "o13_window_distinct" -> o13WindowDistinct,
     "a22_welch_t" -> a22WelchT,
+    "a23_chi_squared" -> a23ChiSquared,
     "a19_skyline" -> a19Skyline,
     "o7_gapfill" -> o7GapFill,
     "f1_funnel" -> f1Funnel,
@@ -525,6 +549,23 @@ object AnalyticsQueries {
         |  SELECT 1 FROM p q WHERE q.x >= g.x AND q.y >= g.y
         |    AND (q.x > g.x OR q.y > g.y))
         |ORDER BY x""".stripMargin,
+    "a23_chi_squared" ->
+      """WITH c AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type='click' AND value > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN event_type='click' AND value <= 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN event_type='purchase' AND value > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN event_type='purchase' AND value <= 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM events WHERE event_type IN ('click','purchase'))
+        |SELECT a, b, c, d,
+        |  CAST(a+b+c+d AS DOUBLE) * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+        |    * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+        |    / ((a+b) * CAST(c+d AS DOUBLE) * (a+c) * (b+d)) AS chi2
+        |FROM c""".stripMargin,
     "a22_welch_t" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,

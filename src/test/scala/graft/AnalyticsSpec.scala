@@ -293,6 +293,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"got ${r.getDouble(3)} want $t")
   }
 
+  test("a23 chi-squared matches the driver-side contingency recompute") {
+    val r = AnalyticsQueries.a23ChiSquared(spark, sf).collect().head
+    val cells = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect().map(x => (x.getString(0), x.getDouble(1) > 50))
+    def n(t: String, hi: Boolean) = cells.count(c => c._1 == t && c._2 == hi).toLong
+    val (a, b, c2, d2) =
+      (n("click", true), n("click", false), n("purchase", true), n("purchase", false))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((a, b, c2, d2)))
+    val det = a.toDouble * d2 - b.toDouble * c2
+    val want = (a + b + c2 + d2).toDouble * det * det /
+      ((a + b) * (c2 + d2).toDouble * (a + c2) * (b + d2))
+    assert(r.getDouble(4) == want, s"got ${r.getDouble(4)} want $want")
+  }
+
   test("skyline tie semantics: planted duplicates, same-x, equal-y-dominance") {
     import spark.implicits._
     // (3,9) twice: equal points never dominate each other -> n=2 survivor.
