@@ -403,6 +403,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
   }
 
+  /** D26: sorted-neighborhood dedup (the Hernández–Stolfo merge/purge
+    * method) — sort the corpus once by a blocking key and compare each
+    * record only to its `window` successors in that order. Candidate
+    * cost is O(n·w) pairs instead of the all-pairs O(n²), and unlike
+    * hash blocking (d1/d10) it tolerates key typos because near-equal
+    * keys still SORT adjacent.
+    *
+    * The scale-critical piece is the global ordering itself:
+    * [[graft.operators.GlobalRank.rowNumber]] (range exchange +
+    * per-partition offsets — never the single-task
+    * `Window.orderBy` cliff). Rank adjacency then becomes a plain
+    * equi-join: each left row explodes its `w` successor ranks (w-way
+    * fan-out of just (rank, id, word-set)) and joins on the dense rank
+    * value — hash-partitioned, AQE-splittable, no range condition left
+    * in the plan. Survivor pairs verify with exact word-set Jaccard
+    * (the d4 verifier) and are canonicalized to (min id, max id) so the
+    * output is engine-order-independent.
+    */
+  def sortedNeighborhood(docs: DataFrame, keyCol: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val ranked = graft.operators.GlobalRank.rowNumber(
+        docs.select(col(idCol), col(textCol), keyCol.as("__snm_key")),
+        Seq(col("__snm_key"), col(idCol)), "__rn")
+      .select(col(idCol), col("__rn"),
+        array_distinct(split(col(textCol), " ")).as("__ws"))
+    val left = ranked
+      .select(col("__rn"), col(idCol).as("doc_a"), col("__ws").as("__wa"))
+      .withColumn("__rn_b",
+        explode(sequence(col("__rn") + 1, col("__rn") + window)))
+    val right = ranked.select(col("__rn").as("__rn_b"),
+      col(idCol).as("doc_b"), col("__ws").as("__wb"))
+    left.join(right, "__rn_b")
+      .withColumn("inter", size(array_intersect(col("__wa"), col("__wb"))))
+      .withColumn("uni", size(array_union(col("__wa"), col("__wb"))))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("inter"), col("uni"))
+  }
+
   /** D6: connected components over a near-duplicate pair list — the
     * clustering stage that turns pairwise matches into keep/drop
     * decisions (each doc maps to its component's minimum id, the

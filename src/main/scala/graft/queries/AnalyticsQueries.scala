@@ -510,7 +510,67 @@ object AnalyticsQueries {
           |  / ((a+b) * CAST(c+d AS DOUBLE) * (a+c) * (b+d)) AS chi2""".stripMargin)
   }
 
+  /** A24: mutual information between event type (click/purchase) and the
+    * high-value indicator (>50) — the information-theoretic sibling of
+    * a23's chi-squared over the same 2×2 contingency table. Cells are
+    * exact BIGINT counts from ONE map-side-combined aggregate scan;
+    * MI = Σ (n/N)·ln(n·N/(r·c)) is then written as four literal terms
+    * in a fixed order, so the DOUBLE tree is identical on both engines
+    * (ln ulp differences are absorbed by the gate's 10-significant-digit
+    * normalization). Four scalars leave the executors; trivially
+    * scale-safe.
+    */
+  def a24MutualInfo(spark: SparkSession, d: String): DataFrame = {
+    def cell(t: String, hi: Boolean) = sum(
+      when(col("event_type") === t &&
+        (if (hi) col("value") > 50 else col("value") <= 50), 1L)
+        .otherwise(0L))
+    val term = (n: String, r: String, c: String) =>
+      s"""CASE WHEN $n = 0 THEN 0.0 ELSE
+         | (CAST($n AS DOUBLE) / nn)
+         |   * ln(CAST($n AS DOUBLE) * nn / (CAST($r AS DOUBLE) * ($c)))
+         | END""".stripMargin
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(cell("click", hi = true).as("a"), cell("click", hi = false).as("b"),
+        cell("purchase", hi = true).as("c"),
+        cell("purchase", hi = false).as("d"))
+      .selectExpr("a", "b", "c", "d", "CAST(a+b+c+d AS DOUBLE) AS nn")
+      .selectExpr("a", "b", "c", "d",
+        s"""${term("a", "a+b", "a+c")} + ${term("b", "a+b", "b+d")}
+           | + ${term("c", "c+d", "a+c")} + ${term("d", "c+d", "b+d")}
+           | AS mi""".stripMargin)
+  }
+
+  /** O14: event-transition matrix — for each user's time-ordered event
+    * stream, count (event_type → next event_type) transitions and the
+    * per-source transition probability: the first-order Markov summary
+    * behind session modeling and next-event prediction. ONE window
+    * exchange keyed on user_id (`lead` needs only sorted runs, no
+    * frame state), then an aggregation whose cardinality is
+    * |types|² — the shuffle after the window carries at most 25 keys'
+    * partial counts per task at any corpus size. Ties on ts break on
+    * the unique event_id so the successor choice is engine-independent;
+    * `p` is a single BIGINT/BIGINT division in DOUBLE — bit-equal.
+    */
+  def o14Transitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("event_type")))
+          .cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a24_mutual_info" -> a24MutualInfo,
+    "o14_transitions" -> o14Transitions,
     "o11_ewma" -> o11Ewma,
     "o12_interp" -> o12Interp,
     "o13_window_distinct" -> o13WindowDistinct,
@@ -531,6 +591,50 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "a24_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type='click' AND value > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN event_type='click' AND value <= 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN event_type='purchase' AND value > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN event_type='purchase' AND value <= 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT a, b, c, d, CAST(a+b+c+d AS DOUBLE) AS nn FROM cells)
+        |SELECT a, b, c, d,
+        |  (CASE WHEN a = 0 THEN 0.0 ELSE
+        |    (CAST(a AS DOUBLE) / nn)
+        |      * ln(CAST(a AS DOUBLE) * nn / (CAST(a+b AS DOUBLE) * (a+c)))
+        |   END)
+        |  + (CASE WHEN b = 0 THEN 0.0 ELSE
+        |    (CAST(b AS DOUBLE) / nn)
+        |      * ln(CAST(b AS DOUBLE) * nn / (CAST(a+b AS DOUBLE) * (b+d)))
+        |   END)
+        |  + (CASE WHEN c = 0 THEN 0.0 ELSE
+        |    (CAST(c AS DOUBLE) / nn)
+        |      * ln(CAST(c AS DOUBLE) * nn / (CAST(c+d AS DOUBLE) * (a+c)))
+        |   END)
+        |  + (CASE WHEN d = 0 THEN 0.0 ELSE
+        |    (CAST(d AS DOUBLE) / nn)
+        |      * ln(CAST(d AS DOUBLE) * nn / (CAST(c+d AS DOUBLE) * (b+d)))
+        |   END) AS mi
+        |FROM w""".stripMargin,
+    "o14_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, next_type, count(*)::BIGINT AS n
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM g ORDER BY event_type, next_type""".stripMargin,
     "o11_ewma" ->
       """WITH v AS (
         |  SELECT user_id, list(value ORDER BY ts, event_id) AS l

@@ -342,6 +342,39 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** G8: common-neighbor link prediction over the co-supplier graph —
+    * for every non-adjacent pair sharing ≥2 neighbors, the common-
+    * neighbor count and the neighborhood Jaccard cn/(deg_u+deg_v−cn):
+    * the classic "who should be connected next" scores. The wedge
+    * enumeration is ONE self-join of the undirected adjacency on the
+    * middle node followed by a (u,v) count — exactly the triangle
+    * kernel's join shape, so the per-wedge work is linear in Σdeg² and
+    * AQE's skew split covers hub middles; existing edges drop via a
+    * left-anti join on the canonical (u<v) key rather than a per-pair
+    * membership probe. Jaccard is one exact-integer division in
+    * DOUBLE — bit-equal cross-engine, no rounding band.
+    */
+  def g8CommonNeighbors(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.CacheRegistry.register(
+      coSupplierEdges(spark, d).localCheckpoint())
+    val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val x = adj.select(col("node").as("u"), col("nbr").as("w"))
+    val y = adj.select(col("node").as("v"), col("nbr").as("w"))
+    val cn = x.join(y, "w").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    cn.join(edges, cn("u") === edges("src") && cn("v") === edges("dst"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
+          .as("jaccard"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** G7: label-propagation communities over the co-supplier graph —
     * 5 fixed synchronous rounds, most-frequent neighbor label with
     * smallest-label tie-break ([[graft.graph.GraphAlgos.labelPropagation]]).
@@ -545,6 +578,7 @@ object GraphQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
+    "g8_common_neighbors" -> g8CommonNeighbors,
     "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g7_label_propagation" -> g7LabelPropagation,
     "g2_pagerank" -> g2Pagerank,
@@ -634,6 +668,26 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
+    "g8_common_neighbors" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |e AS (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |adj AS (SELECT s AS node, t AS nbr FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |d AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |cn AS (
+        |  SELECT x.node AS u, y.node AS v, count(*)::BIGINT AS cn
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, cn,
+        |  CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS jaccard
+        |FROM cn JOIN d du ON du.node = u JOIN d dv ON dv.node = v
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = u AND e.t = v)
+        |ORDER BY u, v""".stripMargin,
     "g6_clustering_coeff" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

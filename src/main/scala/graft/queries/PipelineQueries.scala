@@ -38,6 +38,18 @@ object PipelineQueries {
   /** D4: exact word-set Jaccard pairs within source blocks. Outputs the
     * integer intersection/union sizes (engine-stable, no float hashing).
     */
+  /** D26: sorted-neighborhood dedup ([[Dedup.sortedNeighborhood]]) —
+    * blocking key = the first 24 chars of the lowercased text, window 8,
+    * word-set Jaccard ≥ 0.8 verify. The oracle replays the identical
+    * definition with DuckDB's single-node `row_number()` — pinning that
+    * the distributed two-pass rank ([[graft.operators.GlobalRank]])
+    * produces exactly the order a single-node engine would.
+    */
+  def d26SnmDedup(spark: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhood(Tables.documents(spark, d),
+        substring(lower(col("text")), 1, 24), window = 8, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def d4NgramJaccard(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, d), blockCol = "source",
         threshold = 0.9)
@@ -648,6 +660,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d26_snm_dedup" -> d26SnmDedup,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
@@ -810,6 +823,22 @@ object PipelineQueries {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "d26_snm_dedup" ->
+      """WITH r AS (
+        |  SELECT doc_id, text, row_number() OVER (
+        |    ORDER BY substr(lower(text), 1, 24), doc_id) AS rn
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, rn, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM r),
+        |c AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    len(list_intersect(a.ws, b.ws))::INT AS inter,
+        |    len(list_distinct(list_concat(a.ws, b.ws)))::INT AS uni
+        |  FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 8)
+        |SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, inter, uni
+        |FROM c WHERE inter::DOUBLE / uni >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH sets AS (
         |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS ws

@@ -623,6 +623,43 @@ object RelQueries {
     * probe reads the driver-held sketch directly (5 boxed lookups, not
     * a data-path collect); seed fixed so the gate is deterministic.
     */
+  /** SK5: mergeable HLL sketch rollup — THE 100 TB distinct-count
+    * pattern. A per-(event_type, day) sketch table is built once
+    * (`hll_sketch_agg`, Datasketches binary blobs — what you would
+    * persist as a daily rollup at scale), then per-type totals come
+    * from `hll_union_agg` over the blobs WITHOUT touching the fact
+    * table again: re-aggregation cost is O(groups × sketch bytes),
+    * not O(rows). The gate proves the algebra is lossless where it
+    * must be (union of daily sketches == one-shot sketch over the
+    * raw rows, bit-identical estimates) and that the estimate lands
+    * within 5% of the exact per-type distinct — the sk1 derived-bound
+    * pattern extended from one-shot approximation to the mergeable
+    * rollup form.
+    */
+  def sk5HllMerge(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    // The daily rollup table: one row per (event_type, day), sketch blob.
+    val daily = e.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    // Re-aggregate from blobs only.
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    // One-shot sketch + exact, straight off the fact table.
+    val direct = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+          .as("est_direct"),
+        countDistinct(col("user_id")).as("exact"))
+    merged.join(direct, "event_type")
+      .agg(
+        max(when(col("est") =!= col("est_direct"), 1L).otherwise(0L))
+          .as("lossy"),
+        max(abs(col("est") - col("exact")) / col("exact").cast("double"))
+          .as("worst_err"))
+      .select((col("lossy") === 0L && col("worst_err") <= 0.05)
+        .as("within_bound"))
+  }
+
   def sk4CmsBound(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, d)
@@ -673,6 +710,7 @@ object RelQueries {
     "sk2_quantile_bound" -> sk2QuantileBound,
     "sk3_bloom_bound" -> sk3BloomBound,
     "sk4_cms_bound" -> sk4CmsBound,
+    "sk5_hll_merge" -> sk5HllMerge,
     "o4_pivot_counts" -> o4PivotCounts,
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
@@ -743,6 +781,7 @@ object RelQueries {
     "sk2_quantile_bound" -> "SELECT TRUE AS within_bound",
     "sk3_bloom_bound" -> "SELECT TRUE AS within_bound",
     "sk4_cms_bound" -> "SELECT TRUE AS within_bound",
+    "sk5_hll_merge" -> "SELECT TRUE AS within_bound",
     "o4_pivot_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -353,4 +353,38 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("mutual information is non-negative and bounded by min marginal entropy") {
+    val r = AnalyticsQueries.a24MutualInfo(spark, sf).collect().head
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val mi = r.getDouble(4)
+    assert(mi >= -1e-12, s"MI must be non-negative, got $mi")
+    val n = (a + b + c + d).toDouble
+    def h(p: Double) =
+      if (p <= 0 || p >= 1) 0.0 else -p * math.log(p) - (1 - p) * math.log(1 - p)
+    val bound = math.min(h((a + b) / n), h((a + c) / n))
+    assert(mi <= bound + 1e-12, s"MI $mi exceeds marginal entropy bound $bound")
+    // Independent reference: direct plug-in MI from the four cells.
+    def t(nij: Long, row: Long, colm: Long) =
+      if (nij == 0) 0.0 else (nij / n) * math.log(nij * n / (row.toDouble * colm))
+    val want = t(a, a + b, a + c) + t(b, a + b, b + d) +
+      t(c, c + d, a + c) + t(d, c + d, b + d)
+    assert(math.abs(mi - want) < 1e-12)
+  }
+
+  test("transition matrix conserves flow and rows sum to probability one") {
+    val rows = AnalyticsQueries.o14Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // Per-source probabilities sum to 1.
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val p = g.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$src transition probs sum to $p")
+    }
+    // Total transitions = total events - one per user with >=1 event
+    // (each user's last event has no successor).
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+  }
 }

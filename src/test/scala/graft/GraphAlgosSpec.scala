@@ -296,4 +296,37 @@ class GraphAlgosSpec extends AnyFunSuite {
       assert(c >= 0.0 && c <= 1.0, "coefficient must be a ratio")
     }
   }
+
+  test("common-neighbor link prediction: never an existing edge, exact on a known graph") {
+    import graft.queries.GraphQueries
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphQueries.g8CommonNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // Rebuild the co-supplier edge set driver-side.
+    val edges = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 49.5)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .values.flatMap { g =>
+        val s = g.map(_._2).distinct.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (u, v, cn, j) =>
+      assert(u < v, "pairs must be canonical")
+      assert(!edges.contains((u, v)), s"($u,$v) is already an edge")
+      val common = (adj(u) & adj(v)).size.toLong
+      assert(common == cn, s"cn mismatch for ($u,$v)")
+      val union = (adj(u) | adj(v)).size.toLong
+      assert(math.abs(j - cn.toDouble / union) < 1e-12)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // Completeness: every qualifying non-adjacent pair appears.
+    val want = adj.keySet.toSeq.sorted.combinations(2).count {
+      case Seq(u, v) => !edges.contains((u, v)) && (adj(u) & adj(v)).size >= 2
+    }
+    assert(rows.length == want)
+  }
 }
