@@ -660,6 +660,39 @@ object RelQueries {
         .as("within_bound"))
   }
 
+  /** Z1: Morton/Z-order clustering key over the lineitem (part, supplier)
+    * pair — [[graft.functions.ZOrder.zorder2]], the layout primitive for
+    * multi-dimensional scan pruning (see the `ScaleLayoutSpec` proof that
+    * a z-sorted layout bounds file overlap on the non-leading dimension
+    * where a linear sort reads everything). The oracle rebuilds the
+    * identical 16-bit interleave with DuckDB shift/mask arithmetic, so
+    * the gate pins every bit of the expression tree.
+    */
+  def z1ZorderKey(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zorder2(
+          pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536))).as("zkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def z1Oracle: String = {
+    // Joined on ONE line: a "\n    | " separator would be eaten by the
+    // enclosing stripMargin.
+    val terms = (0 until 16).map { j =>
+      s"(((px >> $j) & 1) << ${2 * j}) | (((sx >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_partkey % 65536 AS BIGINT) AS px,
+       |    CAST(l_suppkey % 65536 AS BIGINT) AS sx
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber,
+       |    $terms
+       |  AS zkey
+       |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   def sk4CmsBound(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, d)
@@ -711,6 +744,7 @@ object RelQueries {
     "sk3_bloom_bound" -> sk3BloomBound,
     "sk4_cms_bound" -> sk4CmsBound,
     "sk5_hll_merge" -> sk5HllMerge,
+    "z1_zorder_key" -> z1ZorderKey,
     "o4_pivot_counts" -> o4PivotCounts,
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
@@ -782,6 +816,7 @@ object RelQueries {
     "sk3_bloom_bound" -> "SELECT TRUE AS within_bound",
     "sk4_cms_bound" -> "SELECT TRUE AS within_bound",
     "sk5_hll_merge" -> "SELECT TRUE AS within_bound",
+    "z1_zorder_key" -> z1Oracle,
     "o4_pivot_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

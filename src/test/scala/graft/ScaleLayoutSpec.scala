@@ -150,4 +150,42 @@ class ScaleLayoutSpec extends AnyFunSuite {
         s"expected AQE to mark the skewed join:\n$plan")
     }
   }
+
+  test("z-ordered layout bounds file overlap on the non-leading dimension") {
+    // Uniform 2-D grid, 64 files. A y-box predicate under a linear
+    // x-sort overlaps EVERY file (y spans the full domain in each);
+    // under a z-order sort each file covers a compact 2-D tile, so
+    // min/max footer stats rule most files out. File-level min/max is
+    // exactly what parquet row-group pruning and Delta/Iceberg data
+    // skipping consume — measured here from the written files
+    // themselves, not asserted by narrative.
+    val n = 1 << 16
+    val pts = spark.range(n).select(
+      (col("id") % 256).as("x"),
+      ((col("id") * 2654435761L) % 256).as("y"))
+    def overlapCount(sortKey: org.apache.spark.sql.Column): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("zorder_layout").toString
+      pts.repartitionByRange(64, sortKey).write
+        .mode("overwrite").parquet(dir)
+      // Per-file min/max of y — the footer stats a pruning reader uses.
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+      val hit = stats
+        .filter(col("yhi") >= 96 && col("ylo") < 112) // y in [96,112)
+        .count()
+      val total = stats.count()
+      assert(total >= 48, s"expected ~64 files, got $total")
+      hit
+    }
+    val zHits = overlapCount(graft.functions.ZOrder.zorder2(
+      col("x"), col("y"), bits = 8))
+    val linHits = overlapCount(col("x"))
+    // Linear x-sort: every file spans the y domain -> all files overlap.
+    // Z-order: a 16/256 y-slice intersects only the tiles that cross it.
+    assert(linHits >= 48, s"x-sorted layout should overlap ~all files: $linHits")
+    assert(zHits * 2 <= linHits,
+      s"z-order must at least halve the candidate files: $zHits vs $linHits")
+  }
 }
