@@ -444,6 +444,36 @@ object Dedup {
         col("inter"), col("uni"))
   }
 
+  /** D27: edit-distance similarity self-join via deletion neighborhoods
+    * (the SymSpell/FastSS construction). Every string emits itself plus
+    * its single-character deletions; two strings are within edit
+    * distance 1 IFF their variant sets intersect (substitution → both
+    * delete the differing position; insert/delete → the shorter string
+    * IS a deletion of the longer). So the quadratic "compare all pairs"
+    * becomes: explode ≤ len+1 variants per string, ONE equi-join on the
+    * variant, distinct the candidate pairs, and verify with the exact
+    * `levenshtein` — candidates are complete by construction, the
+    * verify only removes hash-collision-free false positives (distinct
+    * strings sharing a variant at distance 2 cannot exist for d=1, but
+    * the verify keeps the operator honest if callers raise the radius).
+    * Shuffle cost O(n·len) variant rows; hot variants (mass-shared
+    * prefixes) are ordinary AQE skew-split territory.
+    */
+  def editJoin(strings: DataFrame, strCol: String): DataFrame = {
+    val v = strings.select(col(strCol).as("w")).distinct()
+      .select(col("w"), explode(expr(
+        """array_union(array(w), transform(sequence(1, length(w)),
+          |  i -> concat(substring(w, 1, i - 1),
+          |              substring(w, i + 1, 2147483647))))""".stripMargin))
+        .as("v"))
+    v.select(col("v"), col("w").as("name_a"))
+      .join(v.select(col("v"), col("w").as("name_b")), "v")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** D6: connected components over a near-duplicate pair list — the
     * clustering stage that turns pairwise matches into keep/drop
     * decisions (each doc maps to its component's minimum id, the

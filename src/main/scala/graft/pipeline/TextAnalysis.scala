@@ -205,4 +205,37 @@ object TextAnalysis {
         round(avg(log(col("cb").cast("double") / col("cu"))), 4)
           .as("avg_logp"))
   }
+
+  /** T16: per-group character-distribution KL divergence against the
+    * corpus — the distribution-drift detector a curation pipeline runs
+    * per source/language shard (a shard whose letter histogram diverges
+    * hard from the corpus is mis-tagged, mojibake, or boilerplate).
+    * Restricted to [a-z] after lowercasing so the support is a fixed
+    * 26-char alphabet: every count is an exact BIGINT from one
+    * explode+groupBy, the corpus marginal is a broadcast scalar join,
+    * and KL = Σ p·ln(p/q) sums ≤26 DOUBLE terms per group — inside the
+    * gate's 10-significant-digit normalization regardless of sum order.
+    * Groups with no [a-z] mass (fully non-Latin shards) drop out rather
+    * than emit 0/0.
+    */
+  def charKl(df: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val chars = df.select(col(groupCol).as("grp"),
+        explode(split(regexp_replace(lower(col(textCol)), "[^a-z]", ""), ""))
+          .as("c"))
+      .filter(col("c") =!= "")
+    val lc = chars.groupBy(col("grp"), col("c"))
+      .agg(count(lit(1)).as("n_lc"))
+    val perGrp = lc.groupBy(col("grp")).agg(sum(col("n_lc")).as("n_l"))
+    val perChar = lc.groupBy(col("c")).agg(sum(col("n_lc")).as("n_c"))
+    val total = perChar.agg(sum(col("n_c")).as("n"))
+    lc.join(perGrp, "grp").join(perChar, "c")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        (col("n_lc").cast("double") / col("n_l")) *
+          log((col("n_lc").cast("double") / col("n_l")) /
+            (col("n_c").cast("double") / col("n"))))
+      .groupBy(col("grp"))
+      .agg(max(col("n_l")).as("n_chars"), sum(col("term")).as("kl"))
+  }
 }

@@ -50,6 +50,25 @@ object PipelineQueries {
         substring(lower(col("text")), 1, 24), window = 8, threshold = 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** D27: ED≤1 similarity self-join over customer names via deletion
+    * neighborhoods ([[Dedup.editJoin]]) — candidates from ONE variant
+    * equi-join instead of the n² name-pair comparison; the oracle IS
+    * that n² comparison (DuckDB `levenshtein` over all ordered pairs),
+    * so hash equality proves the neighborhood construction is complete,
+    * not just plausible.
+    */
+  def d27EditJoin(spark: SparkSession, d: String): DataFrame =
+    Dedup.editJoin(Tables.customer(spark, d), "c_name")
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** T16: per-language char-distribution KL against the corpus
+    * ([[TextAnalysis.charKl]]).
+    */
+  def t16CharKl(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.charKl(Tables.documents(spark, d))
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"))
+
   def d4NgramJaccard(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, d), blockCol = "source",
         threshold = 0.9)
@@ -661,6 +680,8 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d26_snm_dedup" -> d26SnmDedup,
+    "d27_edit_join" -> d27EditJoin,
+    "t16_char_kl" -> t16CharKl,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
@@ -823,6 +844,29 @@ object PipelineQueries {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "d27_edit_join" ->
+      """WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+        |SELECT a.w AS name_a, b.w AS name_b,
+        |  levenshtein(a.w, b.w)::INT AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    "t16_char_kl" ->
+      """WITH chars AS (
+        |  SELECT lang, unnest(string_split_regex(
+        |    regexp_replace(lower(text), '[^a-z]', '', 'g'), '')) AS c
+        |  FROM documents),
+        |f AS (SELECT lang, c FROM chars WHERE c <> ''),
+        |lc AS (SELECT lang, c, count(*)::BIGINT AS n_lc FROM f GROUP BY 1, 2),
+        |pl AS (SELECT lang, sum(n_lc)::BIGINT AS n_l FROM lc GROUP BY 1),
+        |pc AS (SELECT c, sum(n_lc)::BIGINT AS n_c FROM lc GROUP BY 1),
+        |t AS (SELECT sum(n_c)::BIGINT AS n FROM pc)
+        |SELECT lang, max(n_l) AS n_chars,
+        |  sum((CAST(n_lc AS DOUBLE) / n_l)
+        |    * ln((CAST(n_lc AS DOUBLE) / n_l)
+        |        / (CAST(n_c AS DOUBLE) / n))) AS kl
+        |FROM lc JOIN pl USING (lang) JOIN pc USING (c) CROSS JOIN t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "d26_snm_dedup" ->
       """WITH r AS (
         |  SELECT doc_id, text, row_number() OVER (

@@ -275,4 +275,53 @@ class CurationOpsSpec extends AnyFunSuite {
         s"$term: posting membership must invert doc 0's term set")
     }
   }
+
+  test("edit join: deletion neighborhoods cover exactly the ED<=1 pairs") {
+    val names = Seq(
+      "alpha",   // vs alXpha (insert), alpa (delete+subst? no: ED2), allha (subst)
+      "alXpha",  // insert X into alpha -> ED 1
+      "allha",   // substitute p->l     -> ED 1
+      "alph",    // delete a            -> ED 1
+      "alpa",    // delete h            -> ED 1 vs alpha; ED 2 vs alph? ("alph"->"alpa" subst) = 1
+      "omega",   // unrelated
+      "omeg",    // delete a            -> ED 1 vs omega
+      "zzzzz")   // isolated
+      .toDF("c_name")
+    val got = graft.pipeline.Dedup.editJoin(names, "c_name")
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    // Driver truth: full quadratic Levenshtein.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = names.as[String].collect()
+    val want = (for {
+      a <- all; b <- all if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains(("alXpha", "alpha")) && want.contains(("allha", "alpha"))
+      && want.contains(("alph", "alpha")) &&
+      !want.exists(p => p._1 == "zzzzz" || p._2 == "zzzzz"))
+  }
+
+  test("char KL: self-distribution diverges by zero, disjoint groups by a lot") {
+    val docs = Seq(
+      ("u1", "aabb ccdd"), ("u2", "aabb ccdd"), // identical distributions
+      ("v", "zzzz zzzz")) // disjoint support
+      .toDF("lang", "text")
+    val kl = graft.pipeline.TextAnalysis.charKl(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // u1/u2 equal the pooled {a,b,c,d,z} corpus less than v does; v's
+    // mass sits entirely on z which is rare in the corpus -> largest KL.
+    assert(kl.keySet == Set("u1", "u2", "v"))
+    assert(math.abs(kl("u1") - kl("u2")) < 1e-12,
+      "identical distributions must get identical divergence")
+    assert(kl("v") > kl("u1"))
+    kl.values.foreach(v => assert(v >= 0.0, s"KL must be non-negative: $v"))
+  }
 }
