@@ -46,7 +46,9 @@ object Bench {
     "g3_sssp",            // bounded-hop Bellman-Ford (round-10 graph analytics)
     "g7_label_propagation", // fixed-round community voting (round-10 closing wave)
     "d25_containment",    // one-sided-prefix containment dedup (round-10 closing wave)
-    "o13_window_distinct") // sliding distinct count (round-10 closing wave)
+    "o13_window_distinct", // sliding distinct count (round-10 closing wave)
+    "d26_snm_dedup",      // sorted-neighborhood dedup over GlobalRank (round-10)
+    "g8_common_neighbors") // wedge-join link prediction (round-10)
 
   /** Generated third scale decade (scripts: [[graft.scale.ScaleGen]]) —
     * appended to the sweep whenever it exists on disk.
