@@ -568,7 +568,48 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** A25: frequent co-occurring part pairs across orders
+    * ([[graft.pipeline.Itemsets.frequentPairs]]) — the market-basket
+    * 2-itemset primitive with the apriori item prune applied BEFORE the
+    * basket self-join. The oracle computes the unpruned definition, so
+    * hash equality proves the prune is lossless, not just faster.
+    */
+  def a25FrequentPairs(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Itemsets.frequentPairs(Tables.lineitem(spark, d),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .withColumnRenamed("item_a", "part_a")
+      .withColumnRenamed("item_b", "part_b")
+      .orderBy(col("part_a"), col("part_b"))
+
+  /** D28: robust outlier detection — the modified z-score
+    * 0.6745·(x−median)/MAD per event type, flagging |score| > 3.5 (the
+    * Iglewicz–Hoaglin rule). Median and MAD come from the exact
+    * interpolated `percentile` (the a4-pinned cross-engine parity), so
+    * the cutoff comparison evaluates an identical DOUBLE tree on both
+    * engines. Mean/stddev z-scores (d21) move with the outliers they
+    * hunt; the median/MAD pair doesn't — this is the version a curation
+    * pipeline can safely automate. Two grouped aggregates + one
+    * broadcast-sized stats join back to the fact scan.
+    */
+  def d28MadOutliers(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val stats = e.join(med, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("score",
+        lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .filter(abs(col("score")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("score"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a25_frequent_pairs" -> a25FrequentPairs,
+    "d28_mad_outliers" -> d28MadOutliers,
     "a24_mutual_info" -> a24MutualInfo,
     "o14_transitions" -> o14Transitions,
     "o11_ewma" -> o11Ewma,
@@ -591,6 +632,26 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "a25_frequent_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+        |SELECT a.i AS part_a, b.i AS part_b, count(*)::BIGINT AS support
+        |FROM op a JOIN op b ON a.b = b.b AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY part_a, part_b""".stripMargin,
+    "d28_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT e.event_type, max(m.med) AS med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  0.6745 * (value - med) / mad AS score
+        |FROM events JOIN st USING (event_type)
+        |WHERE abs(0.6745 * (value - med) / mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
     "a24_mutual_info" ->
       """WITH cells AS (
         |  SELECT

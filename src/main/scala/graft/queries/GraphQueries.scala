@@ -342,6 +342,31 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** R6: per-node subtree rollup — how many leaf lineitems sit under
+    * EVERY node of the R→N→C→O→L hierarchy, in one query. The closure
+    * artifact ([[graft.graph.Closure.closureAuto]]: driver BFS under
+    * 10k edges, the log2(d)-round distributed prefix-decomposition
+    * past it — at sf0.01's 76k edges the distributed tier) turns
+    * "aggregate over every subtree" into ONE filter + groupBy over
+    * (ancestor, descendant) pairs: no per-root traversal, no
+    * re-walking the tree once per level. The oracle is DuckDB's
+    * recursive CTE over the identical derived edge table. On a tree
+    * n_paths is 1 per pair, so `sum(n_paths)` equals the leaf count —
+    * and stays correct (path-weighted) if the hierarchy ever becomes
+    * a DAG.
+    */
+  def r6SubtreeRollup(spark: SparkSession, d: String): DataFrame = {
+    val edges = GraphData.hierarchyEdges(spark, d)
+    val closure = graft.graph.Closure.closureAuto(edges, maxDepth = 4)
+      .getOrElse(sys.error(
+        "hierarchy exceeds the distributed closure cap — frontier walk " +
+          "not implemented for the all-roots rollup"))
+    closure.filter(col("dst").startsWith("L"))
+      .groupBy(col("src"))
+      .agg(sum(col("n_paths")).cast("long").as("n_lines"))
+      .orderBy(col("src"))
+  }
+
   /** G8: common-neighbor link prediction over the co-supplier graph —
     * for every non-adjacent pair sharing ≥2 neighbors, the common-
     * neighbor count and the neighborhood Jaccard cn/(deg_u+deg_v−cn):
@@ -579,6 +604,7 @@ object GraphQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
     "g8_common_neighbors" -> g8CommonNeighbors,
+    "r6_subtree_rollup" -> r6SubtreeRollup,
     "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g7_label_propagation" -> g7LabelPropagation,
     "g2_pagerank" -> g2Pagerank,
@@ -668,6 +694,16 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
+    "r6_subtree_rollup" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |anc AS (
+        |  SELECT parent AS src, child AS dst, child_type FROM edges
+        |  UNION ALL
+        |  SELECT a.src, e.child, e.child_type
+        |  FROM anc a JOIN edges e ON e.parent = a.dst)
+        |SELECT src, count(*)::BIGINT AS n_lines
+        |FROM anc WHERE child_type = 'Line'
+        |GROUP BY src ORDER BY src""".stripMargin,
     "g8_common_neighbors" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

@@ -693,6 +693,36 @@ object RelQueries {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** SK6: sketch-algebra set intersection — |clickers ∩ purchasers|
+    * estimated by inclusion–exclusion over three HLL estimates
+    * (est_A + est_B − est_union), never materializing either user set:
+    * the audience-overlap question answered from the same persisted
+    * per-segment sketches sk5 rolls up, at O(sketch bytes) instead of a
+    * distinct-join. Inclusion–exclusion AMPLIFIES relative error (three
+    * ±0.8% estimates differencing into a smaller quantity), which is
+    * why the gate's bound is 10% where sk1's one-sketch bound is 5% —
+    * the honest cost of sketch-side set algebra, stated rather than
+    * hidden. Exact twin: one user-keyed distinct aggregate.
+    */
+  def sk6HllIntersect(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+    val per = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("est"))
+      .agg(max(when(col("event_type") === "click", col("est"))).as("ea"),
+        max(when(col("event_type") === "purchase", col("est"))).as("eb"))
+    val both = e.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("eu"))
+    val exact = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("exact"))
+    per.crossJoin(broadcast(both)).crossJoin(broadcast(exact))
+      .select((abs(col("ea") + col("eb") - col("eu") - col("exact")) /
+        col("exact").cast("double") <= 0.10).as("within_bound"))
+  }
+
   def sk4CmsBound(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, d)
@@ -745,6 +775,7 @@ object RelQueries {
     "sk4_cms_bound" -> sk4CmsBound,
     "sk5_hll_merge" -> sk5HllMerge,
     "z1_zorder_key" -> z1ZorderKey,
+    "sk6_hll_intersect" -> sk6HllIntersect,
     "o4_pivot_counts" -> o4PivotCounts,
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
@@ -817,6 +848,7 @@ object RelQueries {
     "sk4_cms_bound" -> "SELECT TRUE AS within_bound",
     "sk5_hll_merge" -> "SELECT TRUE AS within_bound",
     "z1_zorder_key" -> z1Oracle,
+    "sk6_hll_intersect" -> "SELECT TRUE AS within_bound",
     "o4_pivot_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -354,6 +354,65 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("frequent pairs: apriori prune is lossless and support counts baskets once") {
+    import graft.pipeline.Itemsets
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"), // duplicate item in one basket
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"),
+      (4L, "c"), (4L, "d")) // d is infrequent -> pruned
+      .toDF("basket", "item")
+    val got = Itemsets.frequentPairs(baskets, "basket", "item", 2L)
+      .as[(String, String, Long)].collect().toSet
+    // (a,b) in baskets 1,2,3 -> 3; (a,c)/(b,c) once; (c,d) once.
+    assert(got == Set(("a", "b", 3L)))
+    // minSupport 1 keeps everything, still deduped per basket.
+    val all = Itemsets.frequentPairs(baskets, "basket", "item", 1L)
+      .as[(String, String, Long)].collect().toSet
+    assert(all == Set(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "d", 1L)))
+  }
+
+  test("MAD outliers: planted spike flagged, scores exceed the cutoff, robust to the spike") {
+    val rows = AnalyticsQueries.d28MadOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 3.5))
+    // Robustness: the flagged rows' values sit far from their type median.
+    val med = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - med(r.getString(1))) > 10.0,
+        "a flagged outlier must be far from the median")
+    }
+  }
+
+  test("subtree rollup: root totals and per-order leaf counts are exact") {
+    val got = graft.queries.GraphQueries.r6SubtreeRollup(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+    val totalLines = li.count()
+    // Regions partition the forest: their subtree counts sum to all lines.
+    assert(got.filter(_._1.startsWith("R")).values.sum == totalLines)
+    // Every order's subtree count is exactly its lineitem count.
+    val perOrder = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"O${r.getLong(0)}" -> r.getLong(1)).toMap
+    perOrder.foreach { case (o, n) =>
+      assert(got(o) == n, s"$o subtree count")
+    }
+    // Tree invariant: a nation's count is the sum of its customers'.
+    val custByNation = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_custkey"))
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        r.getAs[Number](1).longValue)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    custByNation.foreach { case (nk, custs) =>
+      val want = custs.map(c => got.getOrElse(s"C$c", 0L)).sum
+      assert(got.getOrElse(s"N$nk", 0L) == want, s"N$nk != sum of customers")
+    }
+  }
+
   test("mutual information is non-negative and bounded by min marginal entropy") {
     val r = AnalyticsQueries.a24MutualInfo(spark, sf).collect().head
     val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
