@@ -607,7 +607,33 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** O15: cumulative distinct users per event type — the first-seen-flag
+    * decomposition o13's scaladoc promises as the 100 TB form of an
+    * unbounded distinct window. `count(DISTINCT)` over an unbounded
+    * frame holds O(frame) state per ROW; this rewrite is two
+    * incremental windows instead: a (type, user)-keyed `row_number`
+    * marks each user's first event (O(1) per row), then a type-keyed
+    * running SUM of the flag — a subtractable aggregate the runtime
+    * streams in O(1). The oracle runs the definitional distinct window
+    * in DuckDB, so hash equality proves the decomposition, not just
+    * resemblance. Ties order on the unique event_id in both engines.
+    */
+  def o15CumDistinct(spark: SparkSession, d: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("first_seen",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .select(col("event_id"),
+        sum(col("first_seen")).over(running).as("n_dist"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o15_cum_distinct" -> o15CumDistinct,
     "a25_frequent_pairs" -> a25FrequentPairs,
     "d28_mad_outliers" -> d28MadOutliers,
     "a24_mutual_info" -> a24MutualInfo,
@@ -632,6 +658,12 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "o15_cum_distinct" ->
+      """SELECT event_id,
+        |  count(DISTINCT user_id) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_dist
+        |FROM events ORDER BY event_id""".stripMargin,
     "a25_frequent_pairs" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)

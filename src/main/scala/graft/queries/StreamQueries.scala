@@ -193,7 +193,19 @@ object StreamQueries {
       .orderBy(col("id"), col("ts_ms"))
   }
 
+  /** W8: stream-static enrichment twin
+    * ([[graft.streaming.StreamJoins.enrichedWindowCounts]]) — the exact
+    * broadcast-join + windowed-count plan the streaming runtime executes
+    * (watermark a batch no-op); StreamJoinsSpec drives the same function
+    * through MemoryStream and pins streaming ≡ batch.
+    */
+  def w8StreamStaticTwin(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamJoins.enrichedWindowCounts(
+        Tables.events(spark, d), Tables.customer(spark, d))
+      .orderBy(col("w_start_ms"), col("nation"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_stream_static_twin" -> w8StreamStaticTwin,
     "w7_stateful_dedup_twin" -> w7StatefulDedupTwin,
     "s5_cdc_parse" -> s5CdcParse,
     "s4_replay_stats" -> s4ReplayStats,
@@ -206,6 +218,13 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    "w8_stream_static_twin" ->
+      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |    AS w_start_ms,
+        |  c_nationkey AS nation, count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY w_start_ms, nation""".stripMargin,
     "w7_stateful_dedup_twin" ->
       """WITH log AS (
         |  SELECT user_id AS id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,

@@ -67,4 +67,26 @@ object StreamJoins {
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"))
   }
+
+  /** Stream-static enrichment + windowed rollup — the most common
+    * production streaming topology: an unbounded fact stream joined to
+    * a bounded dimension, then aggregated per event-time window. The
+    * static side carries NO join state (unlike stream-stream, nothing
+    * must be buffered for it — the dimension is simply available every
+    * micro-batch) and broadcasts, so the only stateful operator in the
+    * plan is the window aggregate bounded by the watermark. Events
+    * whose key misses the dimension drop (inner enrichment), the same
+    * referential filter j6 checks relationally.
+    */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val e = events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    e.join(broadcast(dim.select(col("c_custkey"), col("c_nationkey"))),
+        e("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("c_nationkey").as("nation"), col("n"))
+  }
 }

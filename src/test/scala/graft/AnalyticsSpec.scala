@@ -413,6 +413,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative distinct: monotone per type, final value equals the exact distinct") {
+    val e = Tables.events(spark, sf)
+    val meta = e.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val rows = AnalyticsQueries.o15CumDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val grouped = rows.groupBy { case (id, _) => meta(id)._1 }
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    grouped.foreach { case (t, g) =>
+      // Monotone in EVENT-TIME order (the window's order), not id order.
+      val seq = g.sortBy { case (id, _) => (meta(id)._2, id) }.map(_._2)
+      assert(seq.zip(seq.tail).forall { case (a, b) => b >= a },
+        s"$t cumulative distinct must be monotone")
+      assert(seq.max == exact(t), s"$t final value must be the exact distinct")
+    }
+  }
+
   test("mutual information is non-negative and bounded by min marginal entropy") {
     val r = AnalyticsQueries.a24MutualInfo(spark, sf).collect().head
     val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -123,4 +123,39 @@ class StreamJoinsSpec extends AnyFunSuite {
         "stream-stream join must hold join state")
     } finally q.stop()
   }
+
+  test("stream-static enrichment matches batch and keeps no join state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, 10), (2L, 20)) // user 3 misses the dimension
+      .toDF("c_custkey", "c_nationkey")
+    val events = Seq(
+      (1L, ts(5)), (1L, ts(20)), (1L, ts(65)), // two in hour 12, one in 13
+      (2L, ts(10)),
+      (3L, ts(15))) // dropped: no dim row
+    val eSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamJoins.enrichedWindowCounts(
+      eSrc.toDF().toDF("user_id", "ts"), dim)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("w8_enrich").start()
+    try {
+      eSrc.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w8_enrich")
+        .as[(Long, Int, Long)].collect().toSet
+      val batch = StreamJoins.enrichedWindowCounts(
+        events.toDF("user_id", "ts"), dim)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(streamed == batch, "streaming and batch twins diverged")
+      val h12 = base.getTime
+      val h13 = base.getTime + 3600000L
+      assert(streamed == Set((h12, 10, 2L), (h13, 10, 1L), (h12, 20, 1L)))
+      // The ONLY stateful operator is the window aggregate — the static
+      // side buffers nothing (one state op; a stream-stream join would
+      // add its own).
+      assert(q.lastProgress.stateOperators.length == 1,
+        "static side must not hold join state")
+      assert(q.lastProgress.sources.length == 1,
+        "exactly one streaming source")
+    } finally q.stop()
+  }
 }
