@@ -632,7 +632,53 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** A26: Benford first-digit screening over order totals — the
+    * data-quality test auditors run against fabricated numeric columns.
+    * Per leading digit d: the exact BIGINT count, the observed share,
+    * and Benford's expected log10(1+1/d) — one scan + one 9-key
+    * aggregate; every DOUBLE derives per-row from exact integers
+    * through an identical tree (no cross-row float accumulation at
+    * all), so the gate compares full precision.
+    */
+  def a26Benford(spark: SparkSession, d: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+    val counted = Tables.orders(spark, d)
+      .filter(col("o_totalprice") >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("tot"))
+    counted.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"),
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          .as("benford_p"))
+      .orderBy(col("digit"))
+  }
+
+  /** A27: Gini concentration of customer spend — the inequality summary
+    * over any "how concentrated is X across Y" question. Needs every
+    * value's GLOBAL rank, which is exactly the operator d26 introduced
+    * ([[graft.operators.GlobalRank.rowNumber]] — range exchange +
+    * offsets, never a single-task window). Spend per customer sums in
+    * exact cents (round(·100) BIGINT — the a22 discipline), ranks are
+    * exact longs, and G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) evaluates in
+    * DOUBLE from three exact BIGINTs through one identical tree.
+    */
+  def a27Gini(spark: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      spend, Seq(col("cents"), col("o_custkey")), "rk")
+    ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("rk") * col("cents")).as("rs"))
+      .selectExpr("n", "s AS total_cents",
+        """(2.0 * rs - (CAST(n AS DOUBLE) + 1) * s)
+          | / (CAST(n AS DOUBLE) * s) AS gini""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_benford" -> a26Benford,
+    "a27_gini" -> a27Gini,
     "o15_cum_distinct" -> o15CumDistinct,
     "a25_frequent_pairs" -> a25FrequentPairs,
     "d28_mad_outliers" -> d28MadOutliers,
@@ -658,6 +704,29 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "a26_benford" ->
+      """WITH c AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+        |SELECT digit, n, CAST(n AS DOUBLE) / tot AS p,
+        |  log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_p
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    "a27_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        |  FROM spend)
+        |SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS total_cents,
+        |  (2.0 * sum(rk * cents) - (CAST(count(*) AS DOUBLE) + 1)
+        |      * sum(cents))
+        |    / (CAST(count(*) AS DOUBLE) * sum(cents)) AS gini
+        |FROM r""".stripMargin,
     "o15_cum_distinct" ->
       """SELECT event_id,
         |  count(DISTINCT user_id) OVER (
