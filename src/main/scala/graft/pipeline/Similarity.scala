@@ -358,4 +358,61 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** V1: per-label centroid quality — element-wise mean embedding per
+    * label plus each vector's cosine to its own centroid, averaged: the
+    * cluster-cohesion summary a semantic-dedup or classifier-probe
+    * pipeline reads per class. Pure relational decomposition — ONE
+    * `posexplode` (rows × dims), a (label, pos) mean, and a re-join
+    * that computes v·c, v·v, c·c as grouped sums — so the vector math
+    * stays in codegen'd aggregates with no array UDF anywhere, and the
+    * shuffle carries (labels × dims) centroid cells, never the vectors
+    * twice. Cosines round at 6 decimals: float32 inputs are exact in
+    * DOUBLE, sum-order drift is ~1e-14 relative, so both engines land
+    * on the same rounded value.
+    */
+  def labelCentroidCohesion(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = vectors.select(col("label"), col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val centroid = cells.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    val joined = cells.join(centroid, Seq("label", "pos"))
+    val perVec = joined.groupBy(col("label"), col(idCol))
+      .agg(sum(col("v") * col("c")).as("vc"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("c") * col("c")).as("cc"))
+      .select(col("label"),
+        (col("vc") / (sqrt(col("vv")) * sqrt(col("cc")))).as("cos"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("avg_cos"))
+  }
+
+  /** V2: k-NN JOIN within label blocks — EVERY vector's top-k nearest
+    * same-label neighbors, not one query's ([[bruteForceTopK]]). The
+    * self-join keys on the label, so the pair explosion is bounded by
+    * the largest block, never n²; the per-query top-k is the rank
+    * filter Catalyst rewrites to WindowGroupLimit (each map task keeps
+    * its local top-k per query BEFORE the window exchange). For
+    * unblocked corpora the scale path is LSH/IVF candidates feeding
+    * the same window — this operator pins the exact blocked form.
+    */
+  def knnJoinByLabel(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col("label"), col(idCol), col(vecCol))
+    val a = v.select(col("label"), col(idCol).as("qid"),
+      col(vecCol).as("qvec"))
+    val b = v.select(col("label"), col(idCol).as("nid"),
+      col(vecCol).as("nvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    a.join(b, "label")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

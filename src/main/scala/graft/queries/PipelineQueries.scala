@@ -69,6 +69,16 @@ object PipelineQueries {
       .withColumnRenamed("grp", "lang")
       .orderBy(col("lang"))
 
+  /** V1: per-label centroid cohesion ([[Similarity.labelCentroidCohesion]]). */
+  def v1Centroids(spark: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroidCohesion(Tables.embeddings(spark, d))
+      .orderBy(col("label"))
+
+  /** V2: blocked k-NN join ([[Similarity.knnJoinByLabel]], k=3). */
+  def v2KnnJoin(spark: SparkSession, d: String): DataFrame =
+    Similarity.knnJoinByLabel(Tables.embeddings(spark, d), k = 3)
+      .orderBy(col("qid"), col("rk"))
+
   def d4NgramJaccard(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, d), blockCol = "source",
         threshold = 0.9)
@@ -682,6 +692,8 @@ object PipelineQueries {
     "d26_snm_dedup" -> d26SnmDedup,
     "d27_edit_join" -> d27EditJoin,
     "t16_char_kl" -> t16CharKl,
+    "v1_centroids" -> v1Centroids,
+    "v2_knn_join" -> v2KnnJoin,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
@@ -844,6 +856,36 @@ object PipelineQueries {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "v1_centroids" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM cells GROUP BY 1, 2),
+        |per AS (
+        |  SELECT c1.label, c1.vec_id,
+        |    sum(c1.v * ct.c)
+        |      / (sqrt(sum(c1.v * c1.v)) * sqrt(sum(ct.c * ct.c))) AS cosv
+        |  FROM cells c1 JOIN cent ct
+        |    ON c1.label = ct.label AND c1.pos = ct.pos
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(cosv), 6) AS avg_cos
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    "v2_knn_join" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.e, b.e), 4) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM p)
+        |SELECT label, qid, nid, sim, rk::INT AS rk
+        |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     "d27_edit_join" ->
       """WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
         |SELECT a.w AS name_a, b.w AS name_b,

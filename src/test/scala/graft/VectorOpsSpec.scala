@@ -1,0 +1,64 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector aggregate operators (v1/v2) — the DuckDB gates pin full
+  * results; these pin closed-form geometry and the scale-critical plan
+  * shape.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("centroid cohesion: closed form on a hand-computable cluster") {
+    // Label 0: (1,0) and (0,1) -> centroid (.5,.5); each cos = 1/sqrt(2).
+    // Label 1: identical vectors -> centroid = the vector, cos = 1.
+    val vecs = Seq(
+      (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(0f, 1f)),
+      (1, 3L, Seq(3f, 4f)), (1, 4L, Seq(3f, 4f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Similarity.labelCentroidCohesion(vecs)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(0)._1 == 2L && got(1)._1 == 2L)
+    assert(math.abs(got(0)._2 - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(got(1)._2 - 1.0) < 1e-6)
+  }
+
+  test("knn join: every vector gets min(k, block-1) neighbors, ranked and symmetric-sane") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = Similarity.knnJoinByLabel(emb, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val byQ = rows.groupBy(_._2)
+    byQ.foreach { case (_, g) =>
+      val lbl = g.head._1
+      assert(g.length == math.min(3L, sizes(lbl) - 1),
+        "each query must get min(k, block size - 1) neighbors")
+      // Ranks are 1..m and sims descend along them.
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to g.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4
+        case _ => true
+      })
+      // No self-pairs, neighbors share the label.
+      g.foreach { case (l, q, n, _, _) =>
+        assert(q != n && l == lbl)
+      }
+    }
+    assert(byQ.size == emb.count())
+  }
+
+  test("knn join plan keeps the group-limit before the window exchange") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.knnJoinByLabel(emb, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must rewrite to WindowGroupLimit:\n$plan")
+  }
+}
