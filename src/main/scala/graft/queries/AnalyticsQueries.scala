@@ -676,7 +676,69 @@ object AnalyticsQueries {
           | / (CAST(n AS DOUBLE) * s) AS gini""".stripMargin)
   }
 
+  /** O16: event-sequence pattern detection (MATCH_RECOGNIZE-lite / CEP
+    * in batch form) — every occurrence of the consecutive pattern
+    * click → click → purchase inside one user's time-ordered stream,
+    * with the span it took. ONE user-keyed window exchange; the
+    * pattern test is two `lead`s over the sorted run (O(1) per row, no
+    * frame state), so the cost is the sort the sessionized stream
+    * needs anyway. Ties order on event_id — engine-exact matches.
+    */
+  def o16SeqPattern(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"),
+        lead(col("event_id"), 2).over(w).as("e3"),
+        lead(col("ts"), 2).over(w).as("ts3"))
+      .filter(col("event_type") === "click" && col("t2") === "click" &&
+        col("t3") === "purchase")
+      .select(col("user_id"), col("event_id").as("e1"), col("e3"),
+        (unix_micros(col("ts3")) - unix_micros(col("ts"))).as("span_us"))
+      .orderBy(col("user_id"), col("e1"))
+  }
+
+  /** A28: jackknife standard error of the mean — delete-one-block over
+    * 10 deterministic key blocks (l_orderkey % 10): per-block exact
+    * integer sums, each leave-one-out mean derives as
+    * (S − s_b)/(N − n_b), and the jackknife variance
+    * (B−1)/B · Σ(m_b − m̄)² evaluates over the 10-row block table. The
+    * uncertainty-quantification primitive that needs NO resampling
+    * passes — one aggregate scan, then arithmetic on 10 rows; the only
+    * cross-engine surface is a 10-term DOUBLE sum under the gate's
+    * 10-significant-digit normalization.
+    */
+  def a28Jackknife(spark: SparkSession, d: String): DataFrame = {
+    val q100 = round(col("l_quantity") * 100).cast("long")
+    val blocks = Tables.lineitem(spark, d)
+      .groupBy((col("l_orderkey") % 10).as("b"))
+      .agg(count(lit(1)).as("n_b"), sum(q100).as("s_b"))
+    val tot = blocks.agg(sum(col("n_b")).as("n"), sum(col("s_b")).as("s"))
+    // Deviations are taken EXPLICITLY against a precomputed m̄ — the
+    // one-pass Σm² − B·m̄² form cancels ~10 significant digits here
+    // (block means all sit within ~1e-3 of each other) and would break
+    // the cross-engine hash; squared small deviations do not cancel.
+    val withM = blocks.crossJoin(broadcast(tot))
+      .withColumn("m_b", (col("s") - col("s_b")).cast("double") /
+        (col("n") - col("n_b")) / 100.0)
+    val mbar = withM.agg(avg(col("m_b")).as("mbar"))
+    withM.crossJoin(broadcast(mbar))
+      .agg(max(col("n")).as("n"),
+        (max(col("s")).cast("double") / max(col("n")) / 100.0).as("mean"),
+        count(lit(1)).as("nblocks"),
+        sum((col("m_b") - col("mbar")) * (col("m_b") - col("mbar")))
+          .as("ss"))
+      .selectExpr("n", "mean",
+        """sqrt((CAST(nblocks AS DOUBLE) - 1) / nblocks * ss)
+          | AS jk_se""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o16_seq_pattern" -> o16SeqPattern,
+    "a28_jackknife" -> a28Jackknife,
     "a26_benford" -> a26Benford,
     "a27_gini" -> a27Gini,
     "o15_cum_distinct" -> o15CumDistinct,
@@ -704,6 +766,38 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile)
 
   val oracles: Map[String, String] = Map(
+    "o16_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(event_id, 2) OVER w AS e3,
+        |    lead(ts, 2) OVER w AS ts3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS e1, e3,
+        |  epoch_us(CAST(ts3 AS TIMESTAMP))
+        |   - epoch_us(CAST(ts AS TIMESTAMP)) AS span_us
+        |FROM s
+        |WHERE event_type = 'click' AND t2 = 'click' AND t3 = 'purchase'
+        |ORDER BY user_id, e1""".stripMargin,
+    "a28_jackknife" ->
+      """WITH blocks AS (
+        |  SELECT l_orderkey % 10 AS b, count(*)::BIGINT AS n_b,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s_b
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_b)::BIGINT AS n, sum(s_b)::BIGINT AS s FROM blocks),
+        |m AS (
+        |  SELECT b, CAST(s - s_b AS DOUBLE) / (n - n_b) / 100.0 AS m_b,
+        |    n, s
+        |  FROM blocks CROSS JOIN tot),
+        |mb AS (SELECT avg(m_b) AS mbar FROM m)
+        |SELECT max(n) AS n,
+        |  CAST(max(s) AS DOUBLE) / max(n) / 100.0 AS mean,
+        |  sqrt((CAST(count(*) AS DOUBLE) - 1) / count(*)
+        |    * sum((m_b - mbar) * (m_b - mbar))) AS jk_se
+        |FROM m CROSS JOIN mb""".stripMargin,
     "a26_benford" ->
       """WITH c AS (
         |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

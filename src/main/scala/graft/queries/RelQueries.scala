@@ -723,6 +723,24 @@ object RelQueries {
         col("exact").cast("double") <= 0.10).as("within_bound"))
   }
 
+  /** J20: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * semantics class regular equi-joins silently get wrong on nullable
+    * dimension keys: NULL must match the dimension's NULL row instead
+    * of dropping. The 100 TB point is the PLAN: Spark's EqualNullSafe
+    * is still a hashable join key (spec-asserted: no nested loop),
+    * where the naive `a = b OR (a IS NULL AND b IS NULL)` rewrite
+    * degenerates to BroadcastNestedLoopJoin. Keys derive as
+    * nullif(l_returnflag, 'N'), so a third of the fact rows carry NULL.
+    */
+  def j20NullSafeJoin(spark: SparkSession, d: String): DataFrame = {
+    val facts = Tables.lineitem(spark, d)
+      .select(nullif(col("l_returnflag"), lit("N")).as("k"))
+    val dim = facts.distinct().withColumnRenamed("k", "dk")
+    facts.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
   def sk4CmsBound(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, d)
@@ -776,6 +794,7 @@ object RelQueries {
     "sk5_hll_merge" -> sk5HllMerge,
     "z1_zorder_key" -> z1ZorderKey,
     "sk6_hll_intersect" -> sk6HllIntersect,
+    "j20_null_safe_join" -> j20NullSafeJoin,
     "o4_pivot_counts" -> o4PivotCounts,
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
@@ -849,6 +868,12 @@ object RelQueries {
     "sk5_hll_merge" -> "SELECT TRUE AS within_bound",
     "z1_zorder_key" -> z1Oracle,
     "sk6_hll_intersect" -> "SELECT TRUE AS within_bound",
+    "j20_null_safe_join" ->
+      """WITH f AS (SELECT nullif(l_returnflag, 'N') AS k FROM lineitem),
+        |d AS (SELECT DISTINCT k AS dk FROM f)
+        |SELECT k, count(*)::BIGINT AS n
+        |FROM f JOIN d ON k IS NOT DISTINCT FROM dk
+        |GROUP BY k ORDER BY k""".stripMargin,
     "o4_pivot_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -433,6 +433,42 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence pattern: every match is a true consecutive click-click-purchase run") {
+    val rows = AnalyticsQueries.o16SeqPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // Driver truth: rebuild each user's ordered stream and scan triples.
+    val streams = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).toIndexedSeq).toMap
+    val want = streams.flatMap { case (u, es) =>
+      es.sliding(3).collect {
+        case Seq(a, b, c)
+          if a._3 == "click" && b._3 == "click" && c._3 == "purchase" =>
+          (u, a._2, c._2, c._4 - a._4)
+      }
+    }.toSet
+    assert(rows.toSet == want)
+  }
+
+  test("jackknife SE: positive, and tracks the classical SE on homogeneous blocks") {
+    val r = AnalyticsQueries.a28Jackknife(spark, sf).collect().head
+    val (n, mean, se) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 0 && se > 0)
+    val li = Tables.lineitem(spark, sf)
+    val stats = li.agg(avg(col("l_quantity")).as("m"),
+      stddev(col("l_quantity")).as("sd")).collect().head
+    assert(math.abs(mean - stats.getDouble(0)) < 1e-9)
+    val classical = stats.getDouble(1) / math.sqrt(n.toDouble)
+    // Hash blocks of an i.i.d.-ish column: jackknife lands near s/sqrt(n).
+    assert(se > classical * 0.5 && se < classical * 2.0,
+      s"jk_se $se vs classical $classical")
+  }
+
   test("mutual information is non-negative and bounded by min marginal entropy") {
     val r = AnalyticsQueries.a24MutualInfo(spark, sf).collect().head
     val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -170,4 +170,21 @@ class RelOpsSpec extends AnyFunSuite {
     val r = RelQueries.sk4CmsBound(spark, sf).collect()
     assert(r.length == 1 && r.head.getBoolean(0))
   }
+
+  test("null-safe join keeps NULL keys, covers every row, and stays a hash join") {
+    val df = RelQueries.j20NullSafeJoin(spark, sf)
+    val rows = df.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getString(0))) -> r.getLong(1))
+      .toMap
+    // NULL matched the dimension's NULL row instead of dropping.
+    assert(rows.contains(None) && rows(None) > 0)
+    // Inner null-safe join against the complete key set loses nothing.
+    assert(rows.values.sum == Tables.lineitem(spark, sf).count())
+    // The 100 TB property: EqualNullSafe must plan as a HASH join, not
+    // the nested loop the OR-rewrite would produce.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
