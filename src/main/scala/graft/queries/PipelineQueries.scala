@@ -79,6 +79,24 @@ object PipelineQueries {
     Similarity.knnJoinByLabel(Tables.embeddings(spark, d), k = 3)
       .orderBy(col("qid"), col("rk"))
 
+  /** D30: canonical selection by source priority — exact-dup groups
+    * resolved to the copy from the PREFERRED source (lexicographic
+    * source, then doc_id), not d1's bare min-id: the real curation rule
+    * when the same text arrives from sources of different trust. One
+    * hash groupBy with `min(struct(priority, id))` — the argmax-as-
+    * aggregate trick (a13), so no window exchange and the map side
+    * combines; one join back assigns every doc its survivor.
+    */
+  def d30CanonicalPick(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    val pick = docs.groupBy(col("h"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("m"))
+    docs.join(pick, "h")
+      .select(col("doc_id"), col("m.doc_id").as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def d4NgramJaccard(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, d), blockCol = "source",
         threshold = 0.9)
@@ -694,6 +712,7 @@ object PipelineQueries {
     "t16_char_kl" -> t16CharKl,
     "v1_centroids" -> v1Centroids,
     "v2_knn_join" -> v2KnnJoin,
+    "d30_canonical_pick" -> d30CanonicalPick,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d7_hash_sample" -> d7HashSample,
@@ -856,6 +875,14 @@ object PipelineQueries {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "d30_canonical_pick" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, sha256(text) AS hh FROM documents),
+        |r AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY hh ORDER BY source, doc_id) AS keep_id
+        |  FROM h)
+        |SELECT doc_id, keep_id FROM r ORDER BY doc_id""".stripMargin,
     "v1_centroids" ->
       """WITH cells AS (
         |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
