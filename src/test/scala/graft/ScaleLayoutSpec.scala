@@ -176,6 +176,27 @@ class ScaleLayoutSpec extends AnyFunSuite {
       "no stale rows in the rewritten partition")
   }
 
+  test("schema evolution: mergeSchema unions columns, old files read as null") {
+    // The lake-reader semantics a year-long table accumulates: files
+    // written before a column existed must stay readable, surfacing
+    // NULL for the added column, and the union schema must come from
+    // footers, not from luck in file listing order.
+    val dir = java.nio.file.Files
+      .createTempDirectory("schema_evo").toString
+    spark.range(0, 100).select(col("id"))
+      .write.mode("append").parquet(dir)
+    spark.range(100, 150)
+      .select(col("id"), (col("id") * 2).as("score"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "score"))
+    assert(merged.count() == 150)
+    assert(merged.filter(col("score").isNull).count() == 100,
+      "pre-evolution rows surface NULL for the added column")
+    assert(merged.filter(col("score") === col("id") * 2).count() == 50,
+      "post-evolution rows keep their values")
+  }
+
   test("z-ordered layout bounds file overlap on the non-leading dimension") {
     // Uniform 2-D grid, 64 files. A y-box predicate under a linear
     // x-sort overlaps EVERY file (y spans the full domain in each);
