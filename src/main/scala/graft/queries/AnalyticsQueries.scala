@@ -322,6 +322,82 @@ object AnalyticsQueries {
           |AS (col_name, n, n_null, ndv, min_s, max_s)""".stripMargin)
       .orderBy(col("col_name"))
 
+  /** H3: declarative constraint audit (the Deequ/Great-Expectations
+    * shape) — one row per data-quality rule with exact checked/violation
+    * counts: range, null, domain-membership, consistency, and key-
+    * uniqueness rules over `events`/`documents`, plus a referential-
+    * integrity probe (events.user_id → customer). Per table the rules
+    * collapse into ONE map-side-combined aggregate scan (conditional
+    * BIGINT sums — Spark never shuffles the rows, only the handful of
+    * counters); uniqueness adds the unavoidable exact-distinct shuffle;
+    * the FK probe is a broadcast left-join null-count, never a
+    * per-row IN. All outputs are exact integers — no cross-engine float
+    * risk — and the `value` range rule is deliberately non-vacuous
+    * (~13% of events fall outside [0,100]) so the gate pins real
+    * violation arithmetic, not a column of zeros.
+    */
+  def h3Constraints(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val doc = Tables.documents(spark, d)
+    val ev = e.agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0 || col("value") > 100, 1L)
+          .otherwise(0L)).as("v_range"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts"),
+        countDistinct(col("event_id")).as("ndv_id"))
+      .selectExpr(
+        """stack(3,
+          |  'ev_value_in_0_100', n, v_range,
+          |  'ev_ts_not_null', n, v_ts,
+          |  'ev_event_id_unique', n, n - ndv_id)
+          |AS (rule, checked, violations)""".stripMargin)
+    val dc = doc.agg(count(lit(1)).as("n"),
+        sum(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1L)
+          .otherwise(0L)).as("v_lang"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("v_len"),
+        countDistinct(col("doc_id")).as("ndv_id"))
+      .selectExpr(
+        """stack(3,
+          |  'doc_lang_known', n, v_lang,
+          |  'doc_nchars_consistent', n, v_len,
+          |  'doc_id_unique', n, n - ndv_id)
+          |AS (rule, checked, violations)""".stripMargin)
+    val fk = e.join(
+        broadcast(Tables.customer(spark, d)
+          .select(col("c_custkey").as("user_id"), lit(1L).as("__hit"))),
+        Seq("user_id"), "left")
+      .agg(count(lit(1)).as("checked"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit("ev_user_fk_customer").as("rule"), col("checked"),
+        col("violations"))
+    ev.unionByName(dc).unionByName(fk).orderBy(col("rule"))
+  }
+
+  /** O17: exact rolling median — per-user median of `value` over the
+    * trailing 10 events (ties broken by event_id so the frame is total).
+    * Spark has no exact `median` window function, so the bounded frame is
+    * materialized per row (`collect_list` over ROWS BETWEEN 9 PRECEDING)
+    * and the median taken positionally on the sorted array — avg of the
+    * two middles on even counts, exactly DuckDB's `quantile_cont(0.5)`
+    * interpolation at the midpoint. Cost is O(w) state per row with
+    * w = 10 FIXED by the frame — the work is frame-proportional, not
+    * corpus-proportional, so the shape survives scale; `round(·, 4)`
+    * absorbs the one legal fp divergence (DuckDB interpolates as
+    * a + (b−a)·0.5, we average — ≤1 ulp apart on 2-decimal inputs).
+    */
+  def o17RollingMedian(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    Tables.events(spark, d)
+      .select(col("event_id"),
+        sort_array(collect_list(col("value")).over(w)).as("vals"))
+      .select(col("event_id"),
+        round(expr("""(element_at(vals, int((size(vals) + 1) div 2))
+          + element_at(vals, int(size(vals) div 2) + 1)) / 2"""), 4)
+          .as("med"))
+      .orderBy(col("event_id"))
+  }
+
   /** O11: per-user exponential moving average (alpha 0.3) over the event
     * stream — the classic time-series smoothing feature. EWMA is a
     * left fold (s_i = a·x_i + (1−a)·s_{i−1}, seeded s_1 = x_1), which no
@@ -763,7 +839,9 @@ object AnalyticsQueries {
     "j17_full_outer" -> j17FullOuter,
     "m11_scd2" -> m11Scd2,
     "o10_frame_bounds" -> o10FrameBounds,
-    "h2_profile" -> h2Profile)
+    "h2_profile" -> h2Profile,
+    "h3_constraints" -> h3Constraints,
+    "o17_rolling_median" -> o17RollingMedian)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1182,5 +1260,38 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT 'o_orderdate', n, n - nn_date, ndv_date,
         |  min_date, max_date FROM s
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin,
+    "h3_constraints" ->
+      """WITH e AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE value < 0 OR value > 100) AS v_range,
+        |    count(*) FILTER (WHERE ts IS NULL) AS v_ts,
+        |    count(DISTINCT event_id) AS ndv_id
+        |  FROM events),
+        |d AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (
+        |      WHERE lang NOT IN ('de','en','es','fr','zh')) AS v_lang,
+        |    count(*) FILTER (WHERE n_chars <> length(text)) AS v_len,
+        |    count(DISTINCT doc_id) AS ndv_id
+        |  FROM documents),
+        |fk AS (
+        |  SELECT count(*) AS checked,
+        |    count(*) FILTER (WHERE c.c_custkey IS NULL) AS violations
+        |  FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey)
+        |SELECT 'ev_value_in_0_100' AS rule, n AS checked,
+        |  v_range AS violations FROM e
+        |UNION ALL SELECT 'ev_ts_not_null', n, v_ts FROM e
+        |UNION ALL SELECT 'ev_event_id_unique', n, n - ndv_id FROM e
+        |UNION ALL SELECT 'doc_lang_known', n, v_lang FROM d
+        |UNION ALL SELECT 'doc_nchars_consistent', n, v_len FROM d
+        |UNION ALL SELECT 'doc_id_unique', n, n - ndv_id FROM d
+        |UNION ALL SELECT 'ev_user_fk_customer', checked, violations FROM fk
+        |ORDER BY rule""".stripMargin,
+    "o17_rolling_median" ->
+      """SELECT event_id,
+        |  round(median(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -42,6 +42,24 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** P10: UNWIND — the Cypher list-to-rows operator the reference leans on
+    * to create edges from an id list (`UNWIND list AS id`,
+    * 02_topology_dynamic/benchmark_scenario_c.py:52-57; SURVEY §2.11 maps
+    * it to `explode`). `posexplode` additionally carries the 1-based list
+    * ordinal — the property Cypher guarantees (UNWIND preserves list
+    * order) that a bare `explode` would lose. The generator runs inside
+    * the scan stage (whole-stage codegen'd, zero shuffle); fan-out is
+    * list-length-proportional and map-side, so the shape is
+    * scale-independent.
+    */
+  def p10Unwind(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos0", "word")))
+      .select(col("p_partkey"), col("word"),
+        (col("pos0") + 1).cast("long").as("pos"))
+      .orderBy(col("p_partkey"), col("pos"))
+
   /** A1: global COUNT(*). */
   def a1Count(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d).agg(count(lit(1)).as("n"))
@@ -799,6 +817,7 @@ object RelQueries {
     "a2_rollup" -> a2Rollup,
     "p6_distinct" -> p6Distinct,
     "p7_set_membership" -> p7SetMembership,
+    "p10_unwind" -> p10Unwind,
     "a1_count" -> a1Count,
     "q1_agg" -> q1Agg,
     "j3_join_filter_count" -> j3JoinFilterCount,
@@ -910,6 +929,11 @@ object RelQueries {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
         |ORDER BY c_custkey""".stripMargin,
+    "p10_unwind" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT)
+        |    AS pos
+        |FROM part ORDER BY p_partkey, pos""".stripMargin,
     "a1_count" -> "SELECT count(*) AS n FROM lineitem",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

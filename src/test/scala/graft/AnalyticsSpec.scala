@@ -502,4 +502,52 @@ class AnalyticsSpec extends AnyFunSuite {
     val nUsers = ev.select("user_id").distinct().count()
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
+
+  test("constraint audit: counters match independent recomputation") {
+    val rows = AnalyticsQueries.h3Constraints(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 7, "one row per rule")
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)),
+      "rules emitted in sorted order")
+    assert(rows.forall { case (_, checked, v) => checked > 0 && v >= 0 &&
+      v <= checked })
+    val byRule = rows.map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, sf)
+    assert(byRule("ev_value_in_0_100")._3 ==
+      ev.filter(col("value") < 0 || col("value") > 100).count(),
+      "range-rule violations must match a direct filter count")
+    assert(byRule("ev_value_in_0_100")._3 > 0,
+      "fixture must make the range rule non-vacuous")
+    val orphans = ev.join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("user_id")), Seq("user_id"),
+        "left_anti").count()
+    assert(byRule("ev_user_fk_customer")._3 == orphans,
+      "FK violations must equal the anti-join count")
+    assert(byRule("ev_event_id_unique")._3 ==
+      ev.count() - ev.select("event_id").distinct().count())
+  }
+
+  test("rolling median matches a brute-force trailing-frame recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long").as("tss"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(t => (t._2, t._3))
+      s.indices.map { i =>
+        val frame = s.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = (frame((n + 1) / 2 - 1) + frame(n / 2)) / 2
+        s(i)._3 -> BigDecimal(med).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = AnalyticsQueries.o17RollingMedian(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == expect.size)
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - expect(id)) < 1e-9,
+        s"event $id: rolling median $m != ${expect(id)}")
+    }
+  }
 }

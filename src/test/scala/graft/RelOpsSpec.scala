@@ -187,4 +187,33 @@ class RelOpsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("p10 unwind: ordinals reconstruct every source list; no shuffle") {
+    val got = RelQueries.p10Unwind(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rebuilt = got.groupBy(_._1).map { case (k, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(1L to sorted.length),
+        s"part $k: ordinals must be 1..n contiguous")
+      k -> sorted.map(_._2).mkString(" ")
+    }
+    val names = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt.size == names.size, "every part must unwind")
+    rebuilt.foreach { case (k, joined) =>
+      assert(joined == names(k), s"part $k: join(words) must equal p_name")
+    }
+    // UNWIND is a generator, not a join: the plan must hold a single
+    // Generate over the scan and no exchange before the final sort.
+    val plan = RelQueries.p10Unwind(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("Generate"), plan.take(400))
+    // Everything at or below the Generate (scan side) must be local; the
+    // only exchange allowed is the final orderBy's range partitioning
+    // ABOVE it.
+    val fromGenerate = plan.substring(plan.indexOf("Generate"))
+    assert(!fromGenerate.contains("Exchange"),
+      "generator must run in the scan stage, shuffle-free")
+  }
 }
