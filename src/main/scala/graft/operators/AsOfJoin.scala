@@ -68,7 +68,30 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String = "asof_",
       tiebreak: Option[String] = None,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None): DataFrame =
+    sweep(left, right, keys, leftTs, rightTs, rightPrefix, tiebreak,
+      toleranceMs, fwd = false)
+
+  /** Forward as-of: for every left row, the single right row with the
+    * SMALLEST right timestamp ≥ the left timestamp (inclusive) in the
+    * same key group — pandas `merge_asof(direction='forward')`. Same
+    * one-shuffle sweep as [[backward]], mirrored: left rows sort before
+    * right rows on timestamp ties and the match is `first(ignoreNulls)`
+    * over the FOLLOWING frame. Right duplicates on (key, ts) resolve to
+    * the row FIRST in ascending `tiebreak` order. `toleranceMs` bounds
+    * the lookahead.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
+      tiebreak: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame =
+    sweep(left, right, keys, leftTs, rightTs, rightPrefix, tiebreak,
+      toleranceMs, fwd = true)
+
+  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPrefix: String,
+      tiebreak: Option[String],
+      toleranceMs: Option[Long], fwd: Boolean): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
     require(!keys.contains(rightTs),
       s"asof: $rightTs cannot be both a key and the ordering timestamp")
@@ -100,27 +123,35 @@ object AsOfJoin {
     // onto null-keyed left rows. Left rows keep LEFT-OUTER survival: a
     // null-keyed left partition then contains no right rows, so its
     // running `last` is null and the row emits with null right columns.
+    // Side ordering on timestamp ties makes both directions inclusive:
+    // backward sorts the right row FIRST (the running `last` over the
+    // preceding frame has absorbed it when the left row is evaluated);
+    // forward sorts the left row first (the `first` over the following
+    // frame still sees the equal-ts right row).
+    val (rightSide, leftSide) = if (fwd) (1, 0) else (0, 1)
     val matchableRight = right.filter(
       keys.map(k => qcol(k).isNotNull).reduce(_ && _))
     val taggedRight = matchableRight.select(
       keys.map(qcol) ++
-        Seq(qcol(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
+        Seq(qcol(rightTs).as("__asof_ts"), lit(rightSide).as("__asof_side"),
           tiebreak.map(qcol).getOrElse(qcol(rightTs)).as("__asof_tie"),
           struct(rightPayload.map(qcol): _*).as("__asof_payload")) ++
         leftPayload.map(c => typed(left, c).as(c)): _*)
     val taggedLeft = left.select(
       keys.map(qcol) ++
-        Seq(qcol(leftTs).as("__asof_ts"), lit(1).as("__asof_side"),
+        Seq(qcol(leftTs).as("__asof_ts"), lit(leftSide).as("__asof_side"),
           lit(null).cast(taggedRight.schema("__asof_tie").dataType)
             .as("__asof_tie"),
           lit(null).cast(taggedRight.schema("__asof_payload").dataType)
             .as("__asof_payload")) ++
         leftPayload.map(qcol): _*)
 
-    val w = Window.partitionBy(keys.map(qcol): _*)
+    val base = Window.partitionBy(keys.map(qcol): _*)
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc,
         col("__asof_tie").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     toleranceMs.foreach { _ =>
       import org.apache.spark.sql.types.TimestampType
@@ -128,21 +159,27 @@ object AsOfJoin {
         right.schema(rightTs).dataType == TimestampType,
         "toleranceMs requires TimestampType timestamps on both sides")
     }
+    val sweepFn =
+      if (fwd) first(col("__asof_payload"), ignoreNulls = true)
+      else last(col("__asof_payload"), ignoreNulls = true)
     val swept = taggedRight.unionByName(taggedLeft)
-      .withColumn("__asof_match",
-        last(col("__asof_payload"), ignoreNulls = true).over(w))
+      .withColumn("__asof_match", sweepFn.over(w))
     val bounded = toleranceMs match {
       // µs precision (the parquet timestamp resolution): an ms-truncated
       // difference would admit matches up to 999 µs older than the stated
       // tolerance on sub-millisecond data.
-      case Some(tol) => swept.withColumn("__asof_match",
-        when(unix_micros(col("__asof_ts")) -
-          unix_micros(col("__asof_match").getField(rightTs)) <= tol * 1000L,
-          col("__asof_match")))
+      case Some(tol) =>
+        val gapUs =
+          if (fwd) unix_micros(col("__asof_match").getField(rightTs)) -
+            unix_micros(col("__asof_ts"))
+          else unix_micros(col("__asof_ts")) -
+            unix_micros(col("__asof_match").getField(rightTs))
+        swept.withColumn("__asof_match",
+          when(gapUs <= tol * 1000L, col("__asof_match")))
       case None => swept
     }
     bounded
-      .filter(col("__asof_side") === 1)
+      .filter(col("__asof_side") === lit(leftSide))
       .select(keys.map(qcol) ++ leftPayload.map(qcol) ++
         rightPayload.zip(outRight).map { case (c, o) =>
           col("__asof_match").getField(c).as(o)

@@ -279,6 +279,30 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** J21: forward as-of — time-to-conversion: for every click, the NEXT
+    * purchase by the same user within 24 h ([[graft.operators.AsOfJoin]]
+    * `forward` — the mirrored one-shuffle sweep, `first(ignoreNulls)`
+    * over the following frame; clicks past the tolerance or with no
+    * later purchase survive with nulls). The right side is
+    * pre-aggregated on (user, ts) so duplicate resolution is
+    * engine-independent, same discipline as j12.
+    */
+  def j21AsofForward(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.operators.AsOfJoin
+      .forward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", toleranceMs = Some(86400000L))
+      .select(col("event_id"), col("user_id"),
+        col("p_purchase_id").as("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("ts"))).as("wait_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** J13: range-join context count — for every purchase, how many clicks
     * the same user made in the preceding two hours
     * ([[graft.operators.RangeJoin]]: interval bucketing turns the
@@ -803,6 +827,7 @@ object RelQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_filter" -> s1ScanFilter,
     "j12_asof_attribution" -> j12AsofAttribution,
+    "j21_asof_forward" -> j21AsofForward,
     "j13_range_count" -> j13RangeCount,
     "j18_scd2_lookup" -> j18Scd2Lookup,
     "sk1_hll_bound" -> sk1HllBound,
@@ -860,6 +885,26 @@ object RelQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "j21_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), j AS (
+        |  SELECT c.event_id, c.user_id, p.purchase_id,
+        |    epoch_us(CAST(p.ts AS TIMESTAMP))
+        |      - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us,
+        |    epoch_ms(CAST(p.ts AS TIMESTAMP))
+        |      - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS gap_ms
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap_us <= 86400000000 THEN purchase_id END
+        |    AS purchase_id,
+        |  CASE WHEN gap_us <= 86400000000 THEN gap_ms END AS wait_ms
+        |FROM j ORDER BY event_id""".stripMargin,
     "j18_scd2_lookup" ->
       """WITH versions AS (
         |  SELECT user_id, ts AS valid_from, event_id AS version_id,

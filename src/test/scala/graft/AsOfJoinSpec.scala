@@ -132,6 +132,63 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.isEmpty, "match 500µs past tolerance must be dropped")
   }
 
+  test("forward join picks earliest right row at-or-after, inclusive") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"),
+      (2L, 9L, "d")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 6L, "r6"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts")
+      .select("k", "ts", "lv", "asof_rv")
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some("r10")),  // exact tie matches (inclusive)
+      (1L, 20L, "b", None),         // nothing later -> unmatched survives
+      (2L, 5L, "c", Some("r6")),    // earliest following
+      (2L, 9L, "d", None)))
+  }
+
+  test("forward duplicates resolve by tiebreak, FIRST wins; tol is lookahead") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("k", "ts", "id")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts",
+      tiebreak = Some("id")).select("asof_id").as[Long].head()
+    assert(got == 7L, "forward direction takes the tiebreak-smallest")
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(t0.getTime + plusMs)
+    val l2 = Seq((1L, ts(0L), "a"), (1L, ts(90000L), "b"))
+      .toDF("k", "ts", "lv")
+    val r2 = Seq((1L, ts(100000L), "r")).toDF("k", "ts", "rv")
+    val got2 = AsOfJoin.forward(l2, r2, Seq("k"), "ts", "ts",
+      toleranceMs = Some(30000L))
+      .select("lv", "asof_rv").as[(String, Option[String])].collect().toMap
+    // "a" is 100s before r (outside 30s lookahead); "b" is 10s before.
+    assert(got2 == Map("a" -> None, "b" -> Some("r")))
+  }
+
+  test("forward fuzz: parity with brute-force min-following definition") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 5) {
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val right = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 1000L + i) }
+      val got = AsOfJoin.forward(left.toDF("k", "ts", "lid"),
+          right.toDF("k", "ts", "rid"), Seq("k"), "ts", "ts")
+        .select("lid", "asof_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      val want = left.map { case (k, ts, lid) =>
+        val cands = right.filter(r => r._1 == k && r._2 >= ts)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == want, "forward asof diverged from brute force")
+    }
+  }
+
   test("plan: one exchange on the key, no join node, no cartesian") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 5L, "r")).toDF("k", "ts", "rv")
