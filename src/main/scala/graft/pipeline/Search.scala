@@ -91,4 +91,37 @@ object Search {
       .filter(terms.map(t => col(s"tf_${terms.indexOf(t)}")).reduce(_ + _) > 0)
       .select(col(idCol), round(termScore, 4).as("bm25"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * tf·idf (idf = ln(N/df); df > 0 by construction since df is counted
+    * from the same corpus). The per-doc tf aggregate is ONE shuffle of
+    * (doc, term) pairs with map-side combine; the df table is a second
+    * aggregate over the tf frame (never the raw tokens) whose size is
+    * the VOCABULARY, so it broadcast-joins back; ranking is
+    * row_number ≤ k over (doc) which Catalyst rewrites to
+    * WindowGroupLimit — each task keeps only its local top-k per doc
+    * before the window exchange. Scores are rounded to 4 decimals
+    * BEFORE ranking so the emitted rank is engine-exact (same
+    * round-then-rank contract as v2_knn_join).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = docs
+      .select(col(idCol), explode(ws(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("score"))
+  }
 }

@@ -618,6 +618,44 @@ object AnalyticsQueries {
            | AS mi""".stripMargin)
   }
 
+  /** A29: entropy decomposition over the SAME 2×2 table as a24 — H(X),
+    * H(X|Y), and the identity MI = H(X) − H(X|Y), so the gate pins not
+    * one number but the information-theoretic algebra connecting it to
+    * `a24_mutual_info` (both engines must land the identity on the same
+    * exact integer cells). One conditional-sum scan; four BIGINTs leave
+    * the executors; the DOUBLE tree is identical on both engines and
+    * every log sits behind a zero-cell CASE guard.
+    */
+  def a29Entropy(spark: SparkSession, d: String): DataFrame = {
+    def cell(t: String, hi: Boolean) = sum(
+      when(col("event_type") === t &&
+        (if (hi) col("value") > 50 else col("value") <= 50), 1L)
+        .otherwise(0L))
+    def plogp(n: String) =
+      s"CASE WHEN $n = 0 THEN 0.0 ELSE (CAST($n AS DOUBLE) / nn)" +
+        s" * ln(CAST($n AS DOUBLE) / nn) END"
+    // H(X|Y=y) contribution of cell n within condition total t:
+    // -(n/nn) * ln(n/t)  (weights fold in the p(y) factor exactly).
+    def cond(n: String, t: String) =
+      s"CASE WHEN $n = 0 THEN 0.0 ELSE (CAST($n AS DOUBLE) / nn)" +
+        s" * ln(CAST($n AS DOUBLE) / ($t)) END"
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(cell("click", hi = true).as("a"), cell("click", hi = false).as("b"),
+        cell("purchase", hi = true).as("c"),
+        cell("purchase", hi = false).as("d"))
+      .selectExpr("a", "b", "c", "d", "CAST(a+b+c+d AS DOUBLE) AS nn")
+      .selectExpr("a", "b", "c", "d",
+        s"-(${plogp("a+b")} + ${plogp("c+d")}) AS hx",
+        s"""-(${cond("a", "CAST(a+c AS DOUBLE)")}
+           | + ${cond("c", "CAST(a+c AS DOUBLE)")}
+           | + ${cond("b", "CAST(b+d AS DOUBLE)")}
+           | + ${cond("d", "CAST(b+d AS DOUBLE)")}) AS hx_given_y"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("a", "b", "c", "d", "hx", "hx_given_y",
+        "hx - hx_given_y AS mi")
+  }
+
   /** O14: event-transition matrix — for each user's time-ordered event
     * stream, count (event_type → next event_type) transitions and the
     * per-source transition probability: the first-order Markov summary
@@ -841,7 +879,8 @@ object AnalyticsQueries {
     "o10_frame_bounds" -> o10FrameBounds,
     "h2_profile" -> h2Profile,
     "h3_constraints" -> h3Constraints,
-    "o17_rolling_median" -> o17RollingMedian)
+    "o17_rolling_median" -> o17RollingMedian,
+    "a29_entropy" -> a29Entropy)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1293,5 +1332,36 @@ object AnalyticsQueries {
         |  round(median(value) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a29_entropy" ->
+      """WITH cells AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE event_type = 'click' AND value > 50)
+        |      AS a,
+        |    count(*) FILTER (WHERE event_type = 'click' AND value <= 50)
+        |      AS b,
+        |    count(*) FILTER (WHERE event_type = 'purchase' AND value > 50)
+        |      AS c,
+        |    count(*) FILTER (WHERE event_type = 'purchase' AND value <= 50)
+        |      AS d
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |t AS (SELECT a, b, c, d, CAST(a+b+c+d AS DOUBLE) AS nn FROM cells),
+        |h AS (
+        |  SELECT a, b, c, d,
+        |    -(CASE WHEN a+b = 0 THEN 0.0 ELSE (CAST(a+b AS DOUBLE) / nn)
+        |        * ln(CAST(a+b AS DOUBLE) / nn) END
+        |      + CASE WHEN c+d = 0 THEN 0.0 ELSE (CAST(c+d AS DOUBLE) / nn)
+        |        * ln(CAST(c+d AS DOUBLE) / nn) END) AS hx,
+        |    -(CASE WHEN a = 0 THEN 0.0 ELSE (CAST(a AS DOUBLE) / nn)
+        |        * ln(CAST(a AS DOUBLE) / (CAST(a+c AS DOUBLE))) END
+        |      + CASE WHEN c = 0 THEN 0.0 ELSE (CAST(c AS DOUBLE) / nn)
+        |        * ln(CAST(c AS DOUBLE) / (CAST(a+c AS DOUBLE))) END
+        |      + CASE WHEN b = 0 THEN 0.0 ELSE (CAST(b AS DOUBLE) / nn)
+        |        * ln(CAST(b AS DOUBLE) / (CAST(b+d AS DOUBLE))) END
+        |      + CASE WHEN d = 0 THEN 0.0 ELSE (CAST(d AS DOUBLE) / nn)
+        |        * ln(CAST(d AS DOUBLE) / (CAST(b+d AS DOUBLE))) END)
+        |      AS hx_given_y
+        |  FROM t)
+        |SELECT a, b, c, d, hx, hx_given_y, hx - hx_given_y AS mi FROM h"""
+        .stripMargin)
 }

@@ -378,6 +378,15 @@ object PipelineQueries {
   def t9TopkNgrams(spark: SparkSession, d: String): DataFrame =
     Search.topNgrams(Tables.documents(spark, d), n = 3, k = 20)
 
+  /** T17: TF-IDF keyword extraction — each document's top-3 terms
+    * ([[graft.pipeline.Search.tfidfTopK]]: one (doc, term) shuffle,
+    * vocabulary-sized df broadcast back, WindowGroupLimit rank;
+    * round-then-rank keeps the emitted rank engine-exact).
+    */
+  def t17Tfidf(spark: SparkSession, d: String): DataFrame =
+    Search.tfidfTopK(Tables.documents(spark, d), k = 3)
+      .orderBy(col("doc_id"), col("rk"))
+
   /** T11: edit distance between adjacent documents' 40-char prefixes —
     * the exact-verification kernel a near-dup pipeline runs on candidate
     * pairs after LSH banding (d2) proposes them; here over a
@@ -740,6 +749,7 @@ object PipelineQueries {
     "t7_repetition" -> t7Repetition,
     "t8_bm25" -> t8Bm25,
     "t9_topk_ngrams" -> t9TopkNgrams,
+    "t17_tfidf" -> t17Tfidf,
     "t14_inverted_index" -> t14InvertedIndex,
     "d22_bloom_novelty" -> d22BloomNovelty,
     "d23_weighted_sample" -> d23WeightedSample,
@@ -1275,6 +1285,28 @@ object PipelineQueries {
         |UNION ALL SELECT '2_min_words', count(*) FROM s2
         |UNION ALL SELECT '3_sample10', count(*) FROM s3
         |ORDER BY stage""".stripMargin,
+    "t17_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+        |      AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term ASC)
+        |      AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT doc_id, rk, term, tf, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "t8_bm25" ->
       """WITH per AS (
         |  SELECT doc_id,

@@ -527,6 +527,20 @@ class AnalyticsSpec extends AnyFunSuite {
       ev.count() - ev.select("event_id").distinct().count())
   }
 
+  test("entropy decomposition: identity with a24 MI and the chain bounds") {
+    val r = AnalyticsQueries.a29Entropy(spark, sf).head()
+    val (hx, hxy, mi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(hx >= 0 && hx <= math.log(2.0) + 1e-12,
+      "binary-X entropy bounded by ln 2")
+    assert(hxy >= -1e-12 && hxy <= hx + 1e-12,
+      "conditioning cannot increase entropy")
+    assert(math.abs(mi - (hx - hxy)) < 1e-12)
+    val miA24 = AnalyticsQueries.a24MutualInfo(spark, sf)
+      .select(col("mi")).head().getDouble(0)
+    assert(math.abs(mi - miA24) < 1e-9,
+      s"H(X)-H(X|Y)=$mi must equal a24's direct MI $miA24")
+  }
+
   test("rolling median matches a brute-force trailing-frame recomputation") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts").cast("long").as("tss"),

@@ -71,4 +71,39 @@ class SearchSpec extends AnyFunSuite {
     assert(got(4L) < idfHash * (k1 + 1))
     assert(got(1L) > got(4L))
   }
+
+  test("tfidf: planted corpus scores and ranks; WindowGroupLimit plan") {
+    // 4 docs; "rare" appears only in doc 1 (idf = ln 4), "common" in all
+    // four (idf = 0 -> never a top term when an alternative exists).
+    val docs = Seq(
+      (1L, "rare common common alpha"),
+      (2L, "alpha alpha common beta"),
+      (3L, "beta common beta beta"),
+      (4L, "common gamma gamma gamma")).toDF("doc_id", "text")
+    val got = Search.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+    byDoc.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to sorted.length),
+        "ranks contiguous from 1")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a._5 >= b._5 },
+        "scores non-increasing in rank")
+    }
+    // doc 1's top term must be the exclusive word at tf=1·ln(4).
+    val d1 = byDoc(1L).minBy(_._2)
+    assert(d1._3 == "rare" &&
+      math.abs(d1._5 - BigDecimal(math.log(4.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // "common" scores 0 everywhere (df = N) and must lose to any
+    // positive-idf term; doc 3's winner is "beta" (tf 3, df 2).
+    val d3 = byDoc(3L).minBy(_._2)
+    assert(d3._3 == "beta" && d3._4 == 3L)
+    val plan = Search.tfidfTopK(docs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must rewrite to WindowGroupLimit:\n${plan.take(600)}")
+  }
 }
