@@ -415,4 +415,51 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Int8 scalar quantization (the SQ8 companion to the IVF path — the
+    * standard 4× memory cut for billion-vector ANN): per-dimension
+    * min/max over the corpus, codes = floor(255·(x−min)/(max−min)+0.5),
+    * and the per-dimension worst-case reconstruction error, which the
+    * quantization theorem bounds by half a quantization step
+    * ((max−min)/510). Emitted per dimension: (pos, dmin, dmax,
+    * max_abs_err, bound, ok) — a derived-bound gate in the sk1/sk2
+    * style, every value an exact double (min/max/abs are
+    * order-independent; no float accumulation anywhere, so no rounding
+    * band is needed).
+    *
+    * Shape: ONE posexplode → (pos) aggregate for the 64-row stats
+    * table, broadcast back, then a second scan-stage pass computes
+    * codes and errors and re-aggregates per pos — two narrow shuffles
+    * of |dims| keys each, never a vector collect. `floor(x+0.5)` is
+    * used instead of round() so both engines share exact halfway
+    * semantics.
+    */
+  def sq8Quantization(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val x = vectors.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        col("xf").cast("double").as("x"))
+    val stats = x.groupBy(col("pos"))
+      .agg(min(col("x")).as("dmin"), max(col("x")).as("dmax"))
+    val coded = x.join(broadcast(stats), "pos")
+      .withColumn("code",
+        when(col("dmax") === col("dmin"), lit(0L)).otherwise(
+          floor((col("x") - col("dmin")) * 255.0 /
+            (col("dmax") - col("dmin")) + 0.5).cast("long")))
+      .withColumn("recon",
+        col("dmin") + col("code").cast("double") *
+          (col("dmax") - col("dmin")) / 255.0)
+    coded.groupBy(col("pos"))
+      .agg(min(col("dmin")).as("dmin"), max(col("dmax")).as("dmax"),
+        max(abs(col("x") - col("recon"))).as("max_abs_err"),
+        min(col("code")).as("min_code"), max(col("code")).as("max_code"))
+      .withColumn("bound", (col("dmax") - col("dmin")) / 510.0)
+      .withColumn("ok",
+        col("max_abs_err") <= col("bound") * 1.0000001 &&
+          col("min_code") >= 0L && col("max_code") <= 255L)
+      .select(col("pos"), col("dmin"), col("dmax"), col("max_abs_err"),
+        col("bound"), col("ok"))
+      .orderBy(col("pos"))
+  }
 }

@@ -79,6 +79,14 @@ object PipelineQueries {
     Similarity.knnJoinByLabel(Tables.embeddings(spark, d), k = 3)
       .orderBy(col("qid"), col("rk"))
 
+  /** V3: int8 scalar quantization with a reconstruction-error bound
+    * ([[Similarity.sq8Quantization]] — the SQ8 memory-cut companion to
+    * the IVF ANN path; per-dimension max |x − x̂| must sit under half a
+    * quantization step, derived-bound gating in the sk1 style).
+    */
+  def v3Sq8Quant(spark: SparkSession, d: String): DataFrame =
+    Similarity.sq8Quantization(Tables.embeddings(spark, d))
+
   /** D30: canonical selection by source priority — exact-dup groups
     * resolved to the copy from the PREFERRED source (lexicographic
     * source, then doc_id), not d1's bare min-id: the real curation rule
@@ -721,6 +729,7 @@ object PipelineQueries {
     "t16_char_kl" -> t16CharKl,
     "v1_centroids" -> v1Centroids,
     "v2_knn_join" -> v2KnnJoin,
+    "v3_sq8_quant" -> v3Sq8Quant,
     "d30_canonical_pick" -> d30CanonicalPick,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
@@ -893,6 +902,30 @@ object PipelineQueries {
         |    PARTITION BY hh ORDER BY source, doc_id) AS keep_id
         |  FROM h)
         |SELECT doc_id, keep_id FROM r ORDER BY doc_id""".stripMargin,
+    "v3_sq8_quant" ->
+      """WITH x AS (
+        |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+        |  FROM embeddings),
+        |s AS (SELECT pos, min(x) AS dmin, max(x) AS dmax FROM x
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT x.pos, x.x, s.dmin, s.dmax,
+        |    CASE WHEN s.dmax = s.dmin THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((x.x - s.dmin) * 255.0
+        |        / (s.dmax - s.dmin) + 0.5) AS BIGINT) END AS code
+        |  FROM x JOIN s USING (pos)),
+        |r AS (
+        |  SELECT pos, dmin, dmax, code, x,
+        |    dmin + CAST(code AS DOUBLE) * (dmax - dmin) / 255.0 AS recon
+        |  FROM c)
+        |SELECT pos, min(dmin) AS dmin, max(dmax) AS dmax,
+        |  max(abs(x - recon)) AS max_abs_err,
+        |  (max(dmax) - min(dmin)) / 510.0 AS bound,
+        |  (max(abs(x - recon)) <= (max(dmax) - min(dmin)) / 510.0
+        |      * 1.0000001
+        |    AND min(code) >= 0 AND max(code) <= 255) AS ok
+        |FROM r GROUP BY pos ORDER BY pos""".stripMargin,
     "v1_centroids" ->
       """WITH cells AS (
         |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -61,4 +61,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank filter must rewrite to WindowGroupLimit:\n$plan")
   }
+
+  test("sq8: closed-form codes, half-step error bound, constant dim") {
+    // dim 1 spans [0,1]: x=0 -> code 0, x=1 -> code 255, x=0.5 -> 128
+    //   (floor(127.5+0.5)); recon(128) = 128/255, |err| = 0.5/255·(1/... )
+    // dim 2 is CONSTANT: dmax == dmin -> code 0, recon = dmin, err 0.
+    val vecs = Seq(
+      (1L, Seq(0f, 7f)), (2L, Seq(1f, 7f)), (3L, Seq(0.5f, 7f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.sq8Quantization(vecs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length == 2)
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._2 == 0.0 && d1._3 == 1.0)
+    // worst reconstruction: x=0.5f -> code 128, recon 128/255 ≈ 0.50196
+    val xMid = 0.5f.toDouble
+    val expectedErr = math.abs(xMid - 128.0 / 255.0)
+    assert(math.abs(d1._4 - expectedErr) < 1e-12)
+    assert(d1._5 == 1.0 / 510.0 && d1._6, "bound = half step; ok holds")
+    val d2 = rows.find(_._1 == 2L).get
+    assert(d2._4 == 0.0 && d2._6,
+      "constant dimension must quantize exactly with ok=true")
+    // Endpoints must reconstruct exactly (codes 0 and 255).
+    assert(d1._4 < d1._5 * 1.0000001)
+  }
 }
