@@ -126,6 +126,64 @@ object GraphAlgos {
     graft.CacheRegistry.register(ranks)
   }
 
+  /** Personalized PageRank: random walk with restart — teleport mass
+    * returns to the SEED set only, so ranks measure proximity to the
+    * seeds rather than global centrality (the "related items from these
+    * examples" primitive behind seed-expansion curation: grow a
+    * training-data domain from a few hand-labeled documents).
+    *
+    * rank_{i+1}(v) = d·Σ_{u→v} rank_i(u)/deg(u) + (1−d)/|S|·1_{v∈S},
+    * seeded rank_0 = 1/|S| on S. Nodes never touched by walk mass are
+    * simply absent (rank exactly 0) — the vector stays sparse, which is
+    * the point at scale: iteration cost is proportional to the REACHED
+    * subgraph, not |V|.
+    *
+    * Same two-shuffle-per-round shape as [[pageRank]] (contributions
+    * join + keyed sum, full-outer with the tiny seed base), same
+    * localCheckpoint cadence. Callers gate on rounded ranks, as g2 does.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 15, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val out = graft.CacheRegistry.register(
+      dir.join(deg, "src").localCheckpoint())
+    val s = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val nSeeds = s.count()
+    require(nSeeds > 0, "personalized pagerank requires a non-empty seed set")
+    // (1.0 - damping) / nSeeds as engine-identical IEEE ops — the oracle
+    // must spell the same (1.0 - d) / |S| tree, NOT a folded literal
+    // (0.15 parsed as a literal is a different double than 1.0 - 0.85).
+    val seedBase = graft.CacheRegistry.register(s.select(col("node"),
+      lit((1.0 - damping) / nSeeds).as("b")).localCheckpoint())
+    var ranks = s.select(col("node"), lit(1.0 / nSeeds).as("rank"))
+      .localCheckpoint()
+    var lastCp = ranks
+    for (i <- 1 to iterations) {
+      val contribs = out
+        .join(ranks, out("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("node"))
+        .agg(sum(col("c")).as("sc"))
+        .join(seedBase, Seq("node"), "outer")
+        .select(col("node"),
+          (lit(damping) * coalesce(col("sc"), lit(0.0)) +
+            coalesce(col("b"), lit(0.0))).as("rank"))
+      if (i % 4 == 0 || i == iterations) {
+        ranks = ranks.localCheckpoint()
+        lastCp.unpersist()
+        lastCp = ranks
+      }
+    }
+    graft.CacheRegistry.register(ranks)
+  }
+
   /** Bounded-hop weighted shortest path (Bellman-Ford): cheapest cost to
     * reach each node from the `source` frame using at most `maxHops`
     * edges. `edges` must carry integer weights in `wCol` (BIGINT min is

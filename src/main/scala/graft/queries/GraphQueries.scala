@@ -429,6 +429,28 @@ object GraphQueries {
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
 
+  /** G9: personalized PageRank from the 5 smallest co-supplier nodes —
+    * random walk with restart
+    * ([[graft.graph.GraphAlgos.personalizedPageRank]], 15 iterations at
+    * damping 0.85): ranks measure proximity to the seed set, the
+    * seed-expansion primitive (grow a curation domain from a few
+    * labeled examples). The oracle unrolls the same 15 rounds as
+    * MATERIALIZED CTEs with the teleport spelled as the SAME
+    * (1.0 − 0.85)/|S| IEEE tree (a folded 0.03 literal is a different
+    * double); both sides round to 6 decimals — same contract as g2.
+    */
+  def g9Ppr(spark: SparkSession, d: String): DataFrame = {
+    val e = coSupplierEdges(spark, d)
+    val seeds = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().orderBy(col("node")).limit(5)
+    graft.graph.GraphAlgos.personalizedPageRank(e, seeds,
+        iterations = 15, damping = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .filter(col("rank") > 0)
+      .orderBy(col("node"))
+  }
+
   /** G3: bounded-hop weighted shortest path over the co-supplier graph
     * ([[graft.graph.GraphAlgos.sssp]], 8 Bellman-Ford rounds from the
     * minimum-id node). Edge weight `1 + (src+dst) % 7` is a deterministic
@@ -541,6 +563,48 @@ object GraphQueries {
     * (recursive CTEs disallow the per-step aggregate; generation is the
     * d3SimhashOracle pattern).
     */
+  /** DuckDB oracle for `g9_ppr`: the same 15 restart rounds unrolled as
+    * MATERIALIZED CTEs (the g5/g7 exponential-inline lesson); the
+    * teleport is spelled (1.0 − 0.85)/|S| so both engines execute the
+    * identical IEEE tree.
+    */
+  private def g9Oracle(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT COALESCE(c.node, sb.node) AS node,
+         |    0.85 * COALESCE(c.sc, 0.0) + COALESCE(sb.b, 0.0) AS rank
+         |  FROM (
+         |    SELECT e.dst AS node, sum(r${i - 1}.rank / deg.deg) AS sc
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c
+         |  FULL JOIN sb ON sb.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |  WHERE l_quantity >= 49.5),
+       |eu AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM ps a JOIN ps b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+       |e AS MATERIALIZED (
+       |  SELECT s AS src, t AS dst FROM eu
+       |  UNION ALL SELECT t, s FROM eu),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e
+       |  GROUP BY src),
+       |sb0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 5),
+       |sb AS MATERIALIZED (
+       |  SELECT node, (1.0 - 0.85) / (SELECT count(*) FROM sb0) AS b
+       |  FROM sb0),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / (SELECT count(*) FROM sb0) AS rank FROM sb0),
+       |$chain
+       |SELECT node, round(rank, 6) AS rank FROM r$iters
+       |WHERE round(rank, 6) > 0
+       |ORDER BY node""".stripMargin
+  }
+
   private def g2Oracle(iters: Int): String = {
     val chain = (1 to iters).map { i =>
       s"""r$i AS (
@@ -608,6 +672,7 @@ object GraphQueries {
     "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g7_label_propagation" -> g7LabelPropagation,
     "g2_pagerank" -> g2Pagerank,
+    "g9_ppr" -> g9Ppr,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
     "g5_kcore" -> g5Kcore,
@@ -656,6 +721,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
+    "g9_ppr" -> g9Oracle(15),
     "g3_sssp" -> g3Oracle(8),
     "g5_kcore" -> g5Oracle(5, 12),
     "g4_wcc" ->

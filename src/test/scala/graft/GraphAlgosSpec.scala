@@ -329,4 +329,26 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
     assert(rows.length == want)
   }
+
+  test("personalized pagerank: closed form on a star; walk mass conserved") {
+    // Star 1-2, 1-3, seed {1}, d=0.85, 2 iterations by hand:
+    //   r1: 1 -> 0.15, 2 -> 0.425, 3 -> 0.425
+    //   r2: 1 -> 0.85·0.85 + 0.15 = 0.8725, 2/3 -> 0.85·0.075 = 0.06375
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.graph.GraphAlgos
+      .personalizedPageRank(edges, seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.8725) < 1e-12)
+    assert(math.abs(got(2L) - 0.06375) < 1e-12)
+    assert(math.abs(got(3L) - 0.06375) < 1e-12)
+    // Undirected graph => no dangling mass: Σ rank == 1 at any iteration.
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // Unreached components stay EXACTLY absent: add an isolated edge.
+    val withIsland = edges.unionByName(Seq((8L, 9L)).toDF("src", "dst"))
+    val got2 = graft.graph.GraphAlgos
+      .personalizedPageRank(withIsland, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L, 3L), "walk must not invent island mass")
+  }
 }
