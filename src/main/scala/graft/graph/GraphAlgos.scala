@@ -126,6 +126,37 @@ object GraphAlgos {
     graft.CacheRegistry.register(ranks)
   }
 
+  /** Degree assortativity (Newman): Pearson correlation of endpoint
+    * degrees over the directed edge list (each undirected edge counted
+    * in both directions). One degree aggregate, two equi-joins to
+    * decorate endpoints, then ONE aggregate of exact BIGINT power sums —
+    * degrees are integers, so no float accumulates anywhere and the
+    * closed Pearson form is a single identical DOUBLE tree on any
+    * engine (the a15/a17 exact-sums lesson applied at design time).
+    * Returns (m, r); r is NaN on regular graphs (zero degree variance),
+    * matching SQL's 0/0 semantics.
+    */
+  def assortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(
+        edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dx = deg.select(col("src").as("u"), col("deg").as("x"))
+    val dy = deg.select(col("src").as("v"), col("deg").as("y"))
+    dir.join(dx, col("src") === col("u"))
+      .join(dy, col("dst") === col("v"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("m",
+        """(CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          | / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          | AS r""".stripMargin.replace("\n", " "))
+  }
+
   /** Personalized PageRank: random walk with restart — teleport mass
     * returns to the SEED set only, so ranks measure proximity to the
     * seeds rather than global centrality (the "related items from these

@@ -656,6 +656,35 @@ object AnalyticsQueries {
         "hx - hx_given_y AS mi")
   }
 
+  /** A30: two-sample Kolmogorov–Smirnov statistic — the distributional
+    * counterpart to a22's mean test: D = max_v |F̂_click(v) − F̂_purchase(v)|
+    * over the click vs purchase `value` distributions. The event log
+    * first collapses to the per-distinct-value HISTOGRAM (exact BIGINT
+    * conditional counts, one keyed shuffle with map-side combine) —
+    * bounded by the value DOMAIN, not the corpus — then the two ECDFs
+    * are built with [[graft.operators.PrefixSum]] (range exchange +
+    * per-partition offsets: the distributed prefix sum; a bare
+    * Window.orderBy cumsum would be the single-task cliff). D is a max
+    * over identical exact-integer ratios — order-independent, so the
+    * gate needs no rounding band.
+    */
+  def a30Ks(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+    val cum = graft.operators.PrefixSum.running(
+      g, Seq(col("v").asc), Seq("c1", "c2"))
+    val t = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(t))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1_cum").cast("double") / col("n1") -
+          col("c2_cum").cast("double") / col("n2"))).as("d"))
+  }
+
   /** O14: event-transition matrix — for each user's time-ordered event
     * stream, count (event_type → next event_type) transitions and the
     * per-source transition probability: the first-order Markov summary
@@ -880,7 +909,8 @@ object AnalyticsQueries {
     "h2_profile" -> h2Profile,
     "h3_constraints" -> h3Constraints,
     "o17_rolling_median" -> o17RollingMedian,
-    "a29_entropy" -> a29Entropy)
+    "a29_entropy" -> a29Entropy,
+    "a30_ks" -> a30Ks)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1333,6 +1363,23 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
         |FROM events ORDER BY event_id""".stripMargin,
+    "a30_ks" ->
+      """WITH g AS (
+        |  SELECT value AS v,
+        |    count(*) FILTER (WHERE event_type = 'click') AS c1,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        |c AS (
+        |  SELECT v, sum(c1) OVER (ORDER BY v) AS k1,
+        |    sum(c2) OVER (ORDER BY v) AS k2
+        |  FROM g)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(n2) AS BIGINT) AS n2,
+        |  max(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2))
+        |    AS d
+        |FROM c CROSS JOIN t""".stripMargin,
     "a29_entropy" ->
       """WITH cells AS (
         |  SELECT

@@ -563,6 +563,18 @@ object GraphQueries {
     * (recursive CTEs disallow the per-step aggregate; generation is the
     * d3SimhashOracle pattern).
     */
+  /** G10: degree assortativity — Pearson correlation of endpoint degrees
+    * over the directed edge list (both directions, the standard Newman
+    * form): do hubs attach to hubs? One degree aggregate, two equi-joins
+    * to decorate endpoints, then a single aggregate of exact BIGINT
+    * power sums (degrees are integers — no float accumulates anywhere,
+    * the a15/a17 lesson) with the closed Pearson form in ONE identical
+    * DOUBLE tree. No rounding band needed: both engines derive the same
+    * doubles from the same integers.
+    */
+  def g10Assortativity(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.assortativity(coSupplierEdges(spark, d))
+
   /** DuckDB oracle for `g9_ppr`: the same 15 restart rounds unrolled as
     * MATERIALIZED CTEs (the g5/g7 exponential-inline lesson); the
     * teleport is spelled (1.0 − 0.85)/|S| so both engines execute the
@@ -673,6 +685,7 @@ object GraphQueries {
     "g7_label_propagation" -> g7LabelPropagation,
     "g2_pagerank" -> g2Pagerank,
     "g9_ppr" -> g9Ppr,
+    "g10_assortativity" -> g10Assortativity,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
     "g5_kcore" -> g5Kcore,
@@ -722,6 +735,33 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
     "g9_ppr" -> g9Oracle(15),
+    "g10_assortativity" ->
+      """WITH ps AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |eu AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |e AS MATERIALIZED (
+        |  SELECT s AS src, t AS dst FROM eu
+        |  UNION ALL SELECT t, s FROM eu),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e
+        |  GROUP BY src),
+        |j AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM e JOIN deg dx ON e.src = dx.src
+        |  JOIN deg dy ON e.dst = dy.src),
+        |s AS (
+        |  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |  / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |  AS r
+        |FROM s""".stripMargin,
     "g3_sssp" -> g3Oracle(8),
     "g5_kcore" -> g5Oracle(5, 12),
     "g4_wcc" ->

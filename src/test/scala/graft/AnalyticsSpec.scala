@@ -541,6 +541,24 @@ class AnalyticsSpec extends AnyFunSuite {
       s"H(X)-H(X|Y)=$mi must equal a24's direct MI $miA24")
   }
 
+  test("KS statistic matches a driver-side ECDF sweep") {
+    val r = AnalyticsQueries.a30Ks(spark, sf).head()
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(d >= 0 && d <= 1)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(row => (row.getString(0), row.getDouble(1)))
+    val s1 = ev.filter(_._1 == "click").map(_._2).sorted
+    val s2 = ev.filter(_._1 == "purchase").map(_._2).sorted
+    assert(n1 == s1.length && n2 == s2.length)
+    val want = (s1 ++ s2).distinct.map { v =>
+      math.abs(s1.count(_ <= v).toDouble / s1.length -
+        s2.count(_ <= v).toDouble / s2.length)
+    }.max
+    assert(math.abs(d - want) < 1e-12, s"KS D $d != brute-force $want")
+  }
+
   test("rolling median matches a brute-force trailing-frame recomputation") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts").cast("long").as("tss"),

@@ -330,6 +330,31 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(rows.length == want)
   }
 
+  test("assortativity: star is perfectly disassortative; parity with Pearson") {
+    // K1,3: every edge pairs a degree-3 hub with a degree-1 leaf -> r = -1.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rStar = graft.graph.GraphAlgos.assortativity(star).head()
+    assert(rStar.getLong(0) == 6L)
+    assert(math.abs(rStar.getDouble(1) - (-1.0)) < 1e-12)
+    // Mixed graph: compare against driver-side Pearson over (deg, deg)
+    // endpoint pairs in both directions.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val pairs = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum,
+      pairs.map(p => p._2 * p._2).sum)
+    val want = (m * sxy - sx * sy) /
+      (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    val got = graft.graph.GraphAlgos
+      .assortativity(edges.toDF("src", "dst")).head().getDouble(1)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
   test("personalized pagerank: closed form on a star; walk mass conserved") {
     // Star 1-2, 1-3, seed {1}, d=0.85, 2 iterations by hand:
     //   r1: 1 -> 0.15, 2 -> 0.425, 3 -> 0.425
