@@ -195,7 +195,28 @@ object MutQueries {
       .orderBy(col("drone_id"))
   }
 
+  /** M14: snapshot reconciliation — [[graft.state.Snapshot.diff]] between
+    * orders and a deterministically mutated v2 (delete keys %17, bump
+    * price on keys %5, re-insert keys %23 under shifted ids), counted
+    * per diff status: the change-data-feed/replication-audit shape. The
+    * full-outer join is the operator's shuffle optimum (m13's argument);
+    * the status comes from ONE null-safe struct equality.
+    */
+  def m14SnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val v2 = o.filter(col("o_orderkey") % 17 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 23 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    graft.state.Snapshot.diff(o, v2, Seq("o_orderkey"))
+      .groupBy(col("diff_status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("diff_status"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_snapshot_diff" -> m14SnapshotDiff,
     "m13_merge_full" -> m13MergeFull,
     "m10_agg_merge" -> m10AggMerge,
     "m12_join_delta" -> m12JoinDelta,
@@ -209,6 +230,31 @@ object MutQueries {
     "p9_json_field" -> p9JsonField)
 
   val oracles: Map[String, String] = Map(
+    "m14_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |d AS (
+        |  SELECT CASE
+        |      WHEN b.o_orderkey IS NULL THEN 'added'
+        |      WHEN a.o_orderkey IS NULL THEN 'removed'
+        |      WHEN b.o_custkey = a.o_custkey
+        |        AND b.o_orderstatus = a.o_orderstatus
+        |        AND b.o_totalprice = a.o_totalprice
+        |        AND b.o_orderdate = a.o_orderdate
+        |        AND b.o_orderpriority = a.o_orderpriority
+        |        THEN 'unchanged'
+        |      ELSE 'changed' END AS diff_status
+        |  FROM orders b FULL JOIN v2 a ON b.o_orderkey = a.o_orderkey)
+        |SELECT diff_status, count(*) AS n FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m13_merge_full" ->
       """WITH delegation AS (
         |  SELECT c_custkey AS drone_id, 'N' || c_nationkey AS hq_id FROM customer

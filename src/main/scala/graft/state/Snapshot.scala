@@ -112,4 +112,38 @@ object Snapshot {
       .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
       .drop("__rn")
   }
+
+  /** Snapshot reconciliation: classify every key across two snapshot
+    * versions as added / removed / changed / unchanged — the table-diff
+    * behind change-data-feed reconstruction, replication audits, and
+    * "what did this batch actually do" debugging. One full-outer hash
+    * join on the key (the operator's shuffle optimum, same argument as
+    * [[merge]]); payload comparison is a single null-safe struct
+    * equality (`<=>`), so genuinely-NULL fields compare equal instead of
+    * poisoning the diff. Emits the old snapshot's columns plus
+    * `diff_status`; callers aggregate or filter from there.
+    *
+    * Both inputs must share the schema; key columns must be non-null on
+    * the side they exist (standard snapshot contract, enforced by the
+    * full-outer join itself: a null key never matches, surfacing as
+    * added+removed — the honest answer).
+    */
+  def diff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      "diff requires identical schemas: " +
+        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(keys.contains).toIndexedSeq
+    val b = before.select(keys.map(col) ++
+      Seq(struct(payload.map(col): _*).as("__b_pay"), lit(true).as("__b")): _*)
+    val a = after.select(keys.map(col) ++
+      Seq(struct(payload.map(col): _*).as("__a_pay"), lit(true).as("__a")): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("diff_status",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(col("__b_pay") <=> col("__a_pay"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keys.map(col) :+ col("diff_status"): _*)
+  }
 }

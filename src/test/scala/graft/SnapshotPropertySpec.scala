@@ -121,4 +121,30 @@ class SnapshotPropertySpec extends AnyFunSuite {
       assert(got == model, s"case $i diverged")
     }
   }
+
+  test("diff classifies all four statuses; nulls compare null-safely") {
+    val before = Seq(
+      (1L, Option("a"), Option(10L)),   // unchanged
+      (2L, None: Option[String], Option(20L)), // unchanged incl. NULL field
+      (3L, Option("c"), Option(30L)),   // changed (value)
+      (4L, Option("d"), None: Option[Long]), // changed (null -> value)
+      (5L, Option("e"), Option(50L)))   // removed
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(10L)),
+      (2L, None: Option[String], Option(20L)),
+      (3L, Option("c"), Option(31L)),
+      (4L, Option("d"), Option(40L)),
+      (6L, Option("f"), Option(60L)))   // added
+      .toDF("k", "s", "v")
+    val got = Snapshot.diff(before, after, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "changed", 5L -> "removed", 6L -> "added"))
+    // A NULL payload field must not poison the comparison: row 2 has
+    // s = NULL on BOTH sides and classifies unchanged, not changed.
+    intercept[IllegalArgumentException] {
+      Snapshot.diff(before, after.select("k", "v", "s"), Seq("k"))
+    }
+  }
 }
