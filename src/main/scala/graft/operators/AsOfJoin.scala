@@ -88,10 +88,38 @@ object AsOfJoin {
     sweep(left, right, keys, leftTs, rightTs, rightPrefix, tiebreak,
       toleranceMs, fwd = true)
 
+  /** Nearest as-of: for every left row, whichever of the backward and
+    * forward candidates has the smaller absolute timestamp gap —
+    * pandas `merge_asof(direction='nearest')`; equidistant candidates
+    * resolve to the BACKWARD row (documented pandas-compatible choice).
+    *
+    * Still ONE exchange + sort: both candidates come from the same
+    * sorted partition via two window frames over the same
+    * (partition, order) spec — `last` over the preceding frame and
+    * `first` over the following frame — which Spark evaluates in a
+    * single WindowExec pass. Equal-ts right rows sort before the left
+    * row (backward tie convention), so the following frame never sees
+    * them — harmless: the backward candidate then has gap 0 and always
+    * wins. Requires TimestampType on both timestamps (the gap
+    * comparison is µs arithmetic); `toleranceMs` bounds BOTH directions.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
+      tiebreak: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    require(left.schema(leftTs).dataType == TimestampType &&
+      right.schema(rightTs).dataType == TimestampType,
+      "nearest asof requires TimestampType timestamps on both sides")
+    sweep(left, right, keys, leftTs, rightTs, rightPrefix, tiebreak,
+      toleranceMs, fwd = false, near = true)
+  }
+
   private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String,
       tiebreak: Option[String],
-      toleranceMs: Option[Long], fwd: Boolean): DataFrame = {
+      toleranceMs: Option[Long], fwd: Boolean,
+      near: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
     require(!keys.contains(rightTs),
       s"asof: $rightTs cannot be both a key and the ordering timestamp")
@@ -149,9 +177,9 @@ object AsOfJoin {
     val base = Window.partitionBy(keys.map(qcol): _*)
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc,
         col("__asof_tie").asc_nulls_first)
-    val w =
-      if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrec = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFoll = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = if (fwd) wFoll else wPrec
 
     toleranceMs.foreach { _ =>
       import org.apache.spark.sql.types.TimestampType
@@ -159,10 +187,39 @@ object AsOfJoin {
         right.schema(rightTs).dataType == TimestampType,
         "toleranceMs requires TimestampType timestamps on both sides")
     }
+    val union = taggedRight.unionByName(taggedLeft)
+    if (near) {
+      // Both candidates from one WindowExec pass (same partition/order
+      // spec, two frames); per-direction tolerance, then min-|gap| with
+      // backward winning ties. A closer-but-out-of-tolerance candidate
+      // cannot exist (closer gap ≤ tol whenever the farther one is).
+      val bGap = unix_micros(col("__asof_ts")) -
+        unix_micros(col("__asof_b").getField(rightTs))
+      val fGap = unix_micros(col("__asof_f").getField(rightTs)) -
+        unix_micros(col("__asof_ts"))
+      val tolUs = toleranceMs.map(_ * 1000L)
+      val bOk = tolUs.map(t => when(bGap <= t, col("__asof_b")))
+        .getOrElse(col("__asof_b"))
+      val fOk = tolUs.map(t => when(fGap <= t, col("__asof_f")))
+        .getOrElse(col("__asof_f"))
+      return union
+        .withColumn("__asof_b",
+          last(col("__asof_payload"), ignoreNulls = true).over(wPrec))
+        .withColumn("__asof_f",
+          first(col("__asof_payload"), ignoreNulls = true).over(wFoll))
+        .withColumn("__asof_match",
+          when(bOk.isNotNull && (fOk.isNull || bGap <= fGap), bOk)
+            .otherwise(fOk))
+        .filter(col("__asof_side") === lit(leftSide))
+        .select(keys.map(qcol) ++ leftPayload.map(qcol) ++
+          rightPayload.zip(outRight).map { case (c, o) =>
+            col("__asof_match").getField(c).as(o)
+          }: _*)
+    }
     val sweepFn =
       if (fwd) first(col("__asof_payload"), ignoreNulls = true)
       else last(col("__asof_payload"), ignoreNulls = true)
-    val swept = taggedRight.unionByName(taggedLeft)
+    val swept = union
       .withColumn("__asof_match", sweepFn.over(w))
     val bounded = toleranceMs match {
       // µs precision (the parquet timestamp resolution): an ms-truncated

@@ -303,6 +303,30 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** J22: nearest as-of — for every click, the closest purchase by the
+    * same user in EITHER direction within 12 h
+    * ([[graft.operators.AsOfJoin]] `nearest`: both candidates from one
+    * WindowExec pass, min |gap| with backward winning ties). `gap_us`
+    * is signed (negative = purchase before the click), so the gate also
+    * pins which direction won every row. Oracle: two DuckDB ASOF joins
+    * + the same tolerance/tie CASE.
+    */
+  def j22AsofNearest(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.operators.AsOfJoin
+      .nearest(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", toleranceMs = Some(43200000L))
+      .select(col("event_id"), col("user_id"),
+        col("p_purchase_id").as("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** J13: range-join context count — for every purchase, how many clicks
     * the same user made in the preceding two hours
     * ([[graft.operators.RangeJoin]]: interval bucketing turns the
@@ -828,6 +852,7 @@ object RelQueries {
     "s1_scan_filter" -> s1ScanFilter,
     "j12_asof_attribution" -> j12AsofAttribution,
     "j21_asof_forward" -> j21AsofForward,
+    "j22_asof_nearest" -> j22AsofNearest,
     "j13_range_count" -> j13RangeCount,
     "j18_scd2_lookup" -> j18Scd2Lookup,
     "sk1_hll_bound" -> sk1HllBound,
@@ -885,6 +910,40 @@ object RelQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "j22_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), b AS (
+        |  SELECT c.event_id, p.purchase_id AS bid,
+        |    epoch_us(CAST(c.ts AS TIMESTAMP))
+        |      - epoch_us(CAST(p.ts AS TIMESTAMP)) AS bgap
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts
+        |), f AS (
+        |  SELECT c.event_id, p.purchase_id AS fid,
+        |    epoch_us(CAST(p.ts AS TIMESTAMP))
+        |      - epoch_us(CAST(c.ts AS TIMESTAMP)) AS fgap
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |), j AS (
+        |  SELECT c.event_id, c.user_id, b.bid, b.bgap, f.fid, f.fgap
+        |  FROM c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN bid IS NOT NULL AND bgap <= 43200000000
+        |        AND (fid IS NULL OR fgap > 43200000000 OR bgap <= fgap)
+        |      THEN bid
+        |    WHEN fid IS NOT NULL AND fgap <= 43200000000 THEN fid
+        |  END AS purchase_id,
+        |  CASE WHEN bid IS NOT NULL AND bgap <= 43200000000
+        |        AND (fid IS NULL OR fgap > 43200000000 OR bgap <= fgap)
+        |      THEN -bgap
+        |    WHEN fid IS NOT NULL AND fgap <= 43200000000 THEN fgap
+        |  END AS gap_us
+        |FROM j ORDER BY event_id""".stripMargin,
     "j21_asof_forward" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events

@@ -189,6 +189,62 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest: min |gap| wins, backward breaks ties, tolerance both ways") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(t0.getTime + plusMs)
+    val left = Seq(
+      (1L, ts(100L), "a"),   // back at 90 (gap 10), fwd at 130 (gap 30) -> back
+      (1L, ts(125L), "b"),   // back at 90 (35), fwd at 130 (5) -> fwd
+      (1L, ts(110L), "c"),   // equidistant 90/130 (20/20) -> BACKWARD wins
+      (2L, ts(500L), "d"))   // no candidates -> null
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(90L), "r90"), (1L, ts(130L), "r130"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts")
+      .select("lv", "asof_rv").as[(String, Option[String])].collect().toMap
+    assert(got == Map("a" -> Some("r90"), "b" -> Some("r130"),
+      "c" -> Some("r90"), "d" -> None))
+    // Tolerance prunes both directions independently.
+    val gotTol = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts",
+      toleranceMs = Some(7L))
+      .select("lv", "asof_rv").as[(String, Option[String])].collect().toMap
+    assert(gotTol == Map("a" -> None, "b" -> Some("r130"),
+      "c" -> None, "d" -> None))
+    // Exact tie on the timestamp is gap 0 through the backward frame.
+    val tie = AsOfJoin.nearest(Seq((1L, ts(90L), "x")).toDF("k", "ts", "lv"),
+      right, Seq("k"), "ts", "ts")
+      .select("asof_rv").as[Option[String]].head()
+    assert(tie.contains("r90"))
+  }
+
+  test("nearest fuzz: parity with brute-force min-abs-gap definition") {
+    val t0 = 1704067200000L
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 3) {
+      val left = Seq.fill(50)((rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+        .distinct.zipWithIndex.map { case ((k, s), i) => (k, s, i.toLong) }
+      val right = Seq.fill(30)((rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+        .distinct.zipWithIndex.map { case ((k, s), i) => (k, s, 1000L + i) }
+      def toTs(s: Long) = new java.sql.Timestamp(t0 + s * 1000L)
+      val lDf = left.map(t => (t._1, toTs(t._2), t._3)).toDF("k", "ts", "lid")
+      val rDf = right.map(t => (t._1, toTs(t._2), t._3)).toDF("k", "ts", "rid")
+      val got = AsOfJoin.nearest(lDf, rDf, Seq("k"), "ts", "ts")
+        .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      val want = left.map { case (k, s, lid) =>
+        val cands = right.filter(_._1 == k)
+        lid -> (if (cands.isEmpty) None else {
+          val best = cands.map { r =>
+            val gap = math.abs(r._2 - s)
+            // backward (r.ts <= s) wins ties over forward
+            (gap, if (r._2 <= s) 0 else 1, r)
+          }.minBy(t => (t._1, t._2, if (t._2 == 0) -t._3._2 else t._3._2))
+          Some(best._3._3)
+        })
+      }.toMap
+      assert(got == want, "nearest diverged from brute force")
+    }
+  }
+
   test("plan: one exchange on the key, no join node, no cartesian") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 5L, "r")).toDF("k", "ts", "rv")
