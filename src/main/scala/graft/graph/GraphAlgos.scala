@@ -126,6 +126,54 @@ object GraphAlgos {
     graft.CacheRegistry.register(ranks)
   }
 
+  /** HITS (hubs & authorities) on a DIRECTED graph — the link-analysis
+    * companion to [[pageRank]]: authority(d) = Σ hub(s) over in-edges,
+    * hub(s) = Σ authority(d) over out-edges, iterated. Normalization is
+    * by the MAX score, not the usual L2 norm — max is order-independent
+    * where a distributed Σx² encodes partition order into low bits;
+    * the ranking fixed point is identical and the cross-engine contract
+    * (round-6 after k rounds, the g2 discipline) stays clean.
+    *
+    * Per iteration: two equi-joins + two keyed sums (the edge set is
+    * the partitioned big side, only the score vectors move) + two
+    * 1-row max aggregates broadcast back — the allowed scalar
+    * crossJoin shape. localCheckpoint on the pageRank cadence keeps
+    * lineage shallow. Returns (node, hub, auth) with 0.0 for sides a
+    * node does not participate in.
+    */
+  def hits(edges: DataFrame, iterations: Int = 8, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = graft.CacheRegistry.register(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().localCheckpoint())
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    var auth: DataFrame = null
+    var lastCp = hub
+    for (i <- 1 to iterations) {
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("anode").as("node"), (col("ar") / col("am")).as("a"))
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("hnode").as("node"), (col("hr") / col("hm")).as("h"))
+      if (i % 4 == 0 || i == iterations) {
+        hub = hub.localCheckpoint()
+        auth = auth.localCheckpoint()
+        lastCp.unpersist()
+        lastCp = hub
+      }
+    }
+    hub.select(col("node"), col("h"))
+      .join(auth.select(col("node"), col("a")), Seq("node"), "outer")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
+  }
+
   /** Degree assortativity (Newman): Pearson correlation of endpoint
     * degrees over the directed edge list (each undirected edge counted
     * in both directions). One degree aggregate, two equi-joins to

@@ -575,6 +575,58 @@ object GraphQueries {
   def g10Assortativity(spark: SparkSession, d: String): DataFrame =
     graft.graph.GraphAlgos.assortativity(coSupplierEdges(spark, d))
 
+  /** G11: HITS hubs & authorities over the DIRECTED customer→part
+    * purchase bipartite graph ([[graft.graph.GraphAlgos.hits]], 8
+    * rounds, max-normalized — order-independent where an L2 norm would
+    * encode partition order into low bits): big buyers are hubs,
+    * popular parts authorities. Round-6 contract, same as g2/g9.
+    */
+  def g11Hits(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val l = Tables.lineitem(spark, d)
+    val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("C"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+    graft.graph.GraphAlgos.hits(e, iterations = 8)
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for `g11_hits`: the same 8 rounds unrolled — every
+    * CTE MATERIALIZED (the g5/g7 lesson), max-normalization per round
+    * via a scalar subquery over the round's raw scores.
+    */
+  private def g11Oracle(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h${i - 1}.h) AS ar
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node
+         |  GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, ar / (SELECT max(ar) FROM a${i}r) AS a
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a$i.a) AS hr
+         |  FROM e JOIN a$i ON e.dst = a$i.node
+         |  GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, hr / (SELECT max(hr) FROM h${i}r) AS h
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'C' || o_custkey AS src, 'P' || l_partkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, 1.0 AS h FROM e),
+       |$chain
+       |SELECT COALESCE(h.node, a.node) AS node,
+       |  round(COALESCE(h.h, 0.0), 6) AS hub,
+       |  round(COALESCE(a.a, 0.0), 6) AS auth
+       |FROM h$iters h FULL JOIN a$iters a ON h.node = a.node
+       |ORDER BY node""".stripMargin
+  }
+
   /** DuckDB oracle for `g9_ppr`: the same 15 restart rounds unrolled as
     * MATERIALIZED CTEs (the g5/g7 exponential-inline lesson); the
     * teleport is spelled (1.0 − 0.85)/|S| so both engines execute the
@@ -686,6 +738,7 @@ object GraphQueries {
     "g2_pagerank" -> g2Pagerank,
     "g9_ppr" -> g9Ppr,
     "g10_assortativity" -> g10Assortativity,
+    "g11_hits" -> g11Hits,
     "g3_sssp" -> g3Sssp,
     "g4_wcc" -> g4Wcc,
     "g5_kcore" -> g5Kcore,
@@ -735,6 +788,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Oracle(20),
     "g9_ppr" -> g9Oracle(15),
+    "g11_hits" -> g11Oracle(8),
     "g10_assortativity" ->
       """WITH ps AS MATERIALIZED (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

@@ -355,6 +355,24 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("hits: closed form on a bipartite triple; max-normalized") {
+    // edges 1->10, 1->11, 2->10; two rounds by hand:
+    //   a1: 10 -> 2/2 = 1, 11 -> 1/2      h1: 1 -> 1, 2 -> (1)/(1.5) = 2/3
+    //   a2 raw: 10 -> 1 + 2/3, 11 -> 1    a2: 10 -> 1, 11 -> 1/(5/3) = 0.6
+    //   h2 raw: 1 -> 1.6, 2 -> 1          h2: 1 -> 1, 2 -> 0.625
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = graft.graph.GraphAlgos.hits(e, iterations = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1L)._1 - 1.0) < 1e-12)
+    assert(math.abs(got(2L)._1 - 0.625) < 1e-12)
+    assert(math.abs(got(10L)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(11L)._2 - 0.6) < 1e-9)
+    // Bipartite: hubs carry no authority and vice versa (exact zeros).
+    assert(got(1L)._2 == 0.0 && got(10L)._1 == 0.0)
+    // Max normalization: the top score on each side is exactly 1.
+    assert(got.values.map(_._1).max == 1.0 && got.values.map(_._2).max == 1.0)
+  }
+
   test("personalized pagerank: closed form on a star; walk mass conserved") {
     // Star 1-2, 1-3, seed {1}, d=0.85, 2 iterations by hand:
     //   r1: 1 -> 0.15, 2 -> 0.425, 3 -> 0.425
