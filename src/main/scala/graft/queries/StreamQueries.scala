@@ -204,7 +204,33 @@ object StreamQueries {
         Tables.events(spark, d), Tables.customer(spark, d))
       .orderBy(col("w_start_ms"), col("nation"))
 
+  /** O18: token-bucket rate limiting through the REAL stateful operator
+    * ([[graft.streaming.RateLimiter.admit]] in batch mode, the w7
+    * discipline): per user, how many of their events a 1-per-6-hours /
+    * burst-2 policy admits (~11% of the log is dropped at sf0.01 —
+    * non-vacuous). The oracle folds the identical IEEE
+    * expression chain with `list_reduce` (seed = the first event's
+    * post-admission state via `list_transform`), so the double
+    * arithmetic is bit-reproducible — no rounding band.
+    */
+  def o18RateLimit(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"))
+    val admitted = graft.streaming.RateLimiter
+      .admit(e, ratePerSec = 1.0 / 21600.0, burst = 2.0)
+      .toDF("user_id", "event_id")
+    val n = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val a = admitted.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_admitted"))
+    n.join(a, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o18_rate_limit" -> o18RateLimit,
     "w8_stream_static_twin" -> w8StreamStaticTwin,
     "w7_stateful_dedup_twin" -> w7StatefulDedupTwin,
     "s5_cdc_parse" -> s5CdcParse,
@@ -218,6 +244,49 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    // Two DuckDB traps found building this oracle, both worth recording:
+    // (1) `1.0/21600.0` is DECIMAL division — a DIFFERENT value than
+    // the IEEE double 1/21600; the rate stays in e-notation
+    // (1e0/21600e0) to force DOUBLE. (2) `list_reduce` with a STRUCT
+    // accumulator mis-evaluates under vectorized execution: the same
+    // group returns different results depending on what other rows
+    // share the batch (verified: isolated-user runs matched the engine
+    // everywhere, full-table runs differed on 27/150 users). The fold
+    // is therefore expressed as a recursive CTE — one scalar state row
+    // per (user, step), the same per-level iteration the r-family
+    // oracles use — which is deterministic and engine-faithful.
+    "o18_rate_limit" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, t AS lastt, 1e0 AS tok,
+        |    CAST(1 AS BIGINT) AS adm
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.t,
+        |    CASE WHEN least(2e0, r.tok
+        |          + CAST(e.t - r.lastt AS DOUBLE) / 1000000e0
+        |            * (1e0 / 21600e0)) >= 1e0
+        |      THEN least(2e0, r.tok
+        |          + CAST(e.t - r.lastt AS DOUBLE) / 1000000e0
+        |            * (1e0 / 21600e0)) - 1e0
+        |      ELSE least(2e0, r.tok
+        |          + CAST(e.t - r.lastt AS DOUBLE) / 1000000e0
+        |            * (1e0 / 21600e0)) END,
+        |    r.adm + CASE WHEN least(2e0, r.tok
+        |          + CAST(e.t - r.lastt AS DOUBLE) / 1000000e0
+        |            * (1e0 / 21600e0)) >= 1e0 THEN 1 ELSE 0 END
+        |  FROM r JOIN ev e
+        |    ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id, c.n_events, r.adm AS n_admitted
+        |FROM r JOIN (SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY 1) c USING (user_id)
+        |WHERE r.rn = c.n_events
+        |ORDER BY user_id""".stripMargin,
     "w8_stream_static_twin" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
         |    AS w_start_ms,

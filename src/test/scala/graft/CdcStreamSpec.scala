@@ -139,4 +139,38 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(r.getLong(1) >= 0)
     assert(r.getLong(2) >= r.getLong(0))
   }
+
+  test("rate limiter: streaming micro-batches == batch fold; state carries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Per-key events at 0,30,61,150,600s; rate 1 token/60s, burst 2.
+    // Expected per key: t0 admit (tok 2->1), t30 admit (1.5->0.5),
+    // t61 reject (~1.0167... wait: 0.5+31/60=1.0167 -> admit!), so
+    // compute via the operator's own batch mode and just assert
+    // streaming equivalence + a hand-checked prefix.
+    def ev(k: Long, s: Long, id: Long) = (k, s * 1000000L, id)
+    val all = Seq(ev(1, 0, 1), ev(1, 30, 2), ev(1, 61, 3), ev(1, 150, 4),
+      ev(1, 600, 5), ev(2, 0, 6), ev(2, 1, 7), ev(2, 2, 8), ev(2, 3, 9))
+    val batch = graft.streaming.RateLimiter
+      .admit(all.toDF("k", "t", "i"), ratePerSec = 1.0 / 60.0, burst = 2.0)
+      .collect().toSet
+    // Hand check key 2: burst 2 admits ids 6,7 (refill negligible),
+    // then 8,9 rejected.
+    assert(batch.filter(_._1 == 2L).map(_._2) == Set(6L, 7L))
+
+    val source = MemoryStream[(Long, Long, Long)]
+    val admitted = graft.streaming.RateLimiter
+      .admit(source.toDF(), ratePerSec = 1.0 / 60.0, burst = 2.0)
+    val q = admitted.writeStream.format("memory")
+      .queryName("rl_out").outputMode("append").start()
+    // ts-ordered micro-batches split MID-KEY so state must carry.
+    source.addData(all.filter(_._2 <= 30000000L): _*)
+    q.processAllAvailable()
+    source.addData(all.filter(_._2 > 30000000L): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("rl_out").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streaming $streamed must equal batch $batch across batch splits")
+  }
 }
