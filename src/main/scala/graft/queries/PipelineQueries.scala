@@ -79,6 +79,33 @@ object PipelineQueries {
     Similarity.knnJoinByLabel(Tables.embeddings(spark, d), k = 3)
       .orderBy(col("qid"), col("rk"))
 
+  /** T18: Zipf fit — the slope of ln(freq) on ln(rank) over the corpus
+    * unigram distribution, the standard token-distribution health check
+    * (natural corpora sit near −1; synthetic/boilerplate-heavy ones
+    * deviate). The frequency table is corpus-aggregated (one token
+    * shuffle with map-side combine); ranking runs on the VOCABULARY
+    * frame (31 rows here — domain-bounded, the a19 argument, so the
+    * global window is not a data-path cliff), and the OLS closed form
+    * is one tiny aggregate. ln sums are ~vocab-term double sums —
+    * round(·,6) absorbs summation-order ulps.
+    */
+  def t18Zipf(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("w"))
+    Tables.documents(spark, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .selectExpr("ln(CAST(rk AS DOUBLE)) AS x", "ln(CAST(n AS DOUBLE)) AS y")
+      .agg(count(lit(1)).cast("double").as("v"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .selectExpr("CAST(v AS BIGINT) AS vocab",
+        "round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS zipf_slope",
+        """round((sy - (v * sxy - sx * sy) / (v * sxx - sx * sx) * sx) / v,
+          | 6) AS intercept""".stripMargin.replace("\n", " "))
+  }
+
   /** V3: int8 scalar quantization with a reconstruction-error bound
     * ([[Similarity.sq8Quantization]] — the SQ8 memory-cut companion to
     * the IVF ANN path; per-dimension max |x − x̂| must sit under half a
@@ -730,6 +757,7 @@ object PipelineQueries {
     "v1_centroids" -> v1Centroids,
     "v2_knn_join" -> v2KnnJoin,
     "v3_sq8_quant" -> v3Sq8Quant,
+    "t18_zipf" -> t18Zipf,
     "d30_canonical_pick" -> d30CanonicalPick,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
@@ -902,6 +930,26 @@ object PipelineQueries {
         |    PARTITION BY hh ORDER BY source, doc_id) AS keep_id
         |  FROM h)
         |SELECT doc_id, keep_id FROM r ORDER BY doc_id""".stripMargin,
+    "t18_zipf" ->
+      """WITH f AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |g AS (SELECT w, count(*) AS n FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(n AS DOUBLE)) AS y
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM r)
+        |SELECT CAST(v AS BIGINT) AS vocab,
+        |  round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6)
+        |    AS zipf_slope,
+        |  round((sy - (v * sxy - sx * sy) / (v * sxx - sx * sx) * sx) / v,
+        |    6) AS intercept
+        |FROM s""".stripMargin,
     "v3_sq8_quant" ->
       """WITH x AS (
         |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,

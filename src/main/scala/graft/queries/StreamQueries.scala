@@ -229,7 +229,30 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** W9: windowed heavy hitters — top-2 event types per epoch-aligned
+    * 6-hour tumbling window: the trending-topics shape (same `window()`
+    * expr the streaming runtime executes; rank filter rewrites to
+    * WindowGroupLimit, so each task truncates to its local top-k per
+    * window before the exchange). Count ties break on event_type —
+    * total order, engine-exact.
+    */
+  def w9WindowTopk(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start_ms"))
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("w_start_ms"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("rk"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_window_topk" -> w9WindowTopk,
     "o18_rate_limit" -> o18RateLimit,
     "w8_stream_static_twin" -> w8StreamStaticTwin,
     "w7_stateful_dedup_twin" -> w7StatefulDedupTwin,
@@ -244,6 +267,19 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    "w9_window_topk" ->
+      """WITH w AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000)
+        |      * 21600000 AS w_start_ms,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w_start_ms, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY w_start_ms
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rk
+        |  FROM w)
+        |SELECT w_start_ms, rk, event_type, n FROM r WHERE rk <= 2
+        |ORDER BY w_start_ms, rk""".stripMargin,
     // Two DuckDB traps found building this oracle, both worth recording:
     // (1) `1.0/21600.0` is DECIMAL division — a DIFFERENT value than
     // the IEEE double 1/21600; the rate stays in e-notation
