@@ -149,25 +149,38 @@ object GraphAlgos {
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
     var auth: DataFrame = null
-    var lastCp = hub
+    var lastHub = hub
+    var lastAuth: DataFrame = null
     for (i <- 1 to iterations) {
+      // The RAW aggregates are checkpointed, not the normalized vectors:
+      // the scalar-max branch reads each raw frame a second time, so an
+      // uncheckpointed chain both doubles per round (2^k plan copies by
+      // round k — measured 80 s for 8 rounds at sf0.1) and recomputes
+      // every join-aggregate twice. Materializing raw makes max +
+      // normalize two cheap reads of one cached 15-20k-row frame, and
+      // keeps hub/auth lineage depth constant.
       val aRaw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("anode").as("node"), (col("ar") / col("am")).as("a"))
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
       val hMax = hRaw.agg(max(col("hr")).as("hm"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("hnode").as("node"), (col("hr") / col("hm")).as("h"))
-      if (i % 4 == 0 || i == iterations) {
-        hub = hub.localCheckpoint()
-        auth = auth.localCheckpoint()
-        lastCp.unpersist()
-        lastCp = hub
-      }
+      lastHub.unpersist()
+      if (lastAuth != null) lastAuth.unpersist()
+      lastHub = aRaw
+      lastAuth = hRaw
     }
+    // Final round's raw checkpoints outlive this call (the caller's
+    // action reads hub/auth views over them) — registered so the
+    // session-hygiene hook releases them.
+    graft.CacheRegistry.register(lastHub)
+    graft.CacheRegistry.register(lastAuth)
     hub.select(col("node"), col("h"))
       .join(auth.select(col("node"), col("a")), Seq("node"), "outer")
       .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
