@@ -106,6 +106,32 @@ object PipelineQueries {
           | 6) AS intercept""".stripMargin.replace("\n", " "))
   }
 
+  /** T19: nearest-name lookup via the native Jaro-Winkler expression
+    * ([[graft.functions.JaroWinklerExpr]] — the record-linkage kernel
+    * Spark lacks; codegen'd, pinned char-exact against DuckDB's
+    * `jaro_winkler_similarity` incl. its floor-halved transposition
+    * convention). Blocked on p_brand (the d26/d27 blocking discipline —
+    * never all-pairs), round-then-rank with name+key tiebreaks so the
+    * emitted best match is engine-exact.
+    */
+  def t19JaroTopk(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.JaroWinklerExpr.register(spark)
+    val p = Tables.part(spark, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("q_key"),
+      col("p_name").as("q_name"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_partkey"))
+      .orderBy(col("sim").desc, col("q_name"), col("q_key"))
+    p.join(b, "p_brand").filter(col("p_partkey") =!= col("q_key"))
+      .withColumn("sim", round(
+        call_function("jaro_winkler", col("p_name"), col("q_name")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_partkey"), col("q_key").as("match_key"), col("sim"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** V3: int8 scalar quantization with a reconstruction-error bound
     * ([[Similarity.sq8Quantization]] — the SQ8 memory-cut companion to
     * the IVF ANN path; per-dimension max |x − x̂| must sit under half a
@@ -758,6 +784,7 @@ object PipelineQueries {
     "v2_knn_join" -> v2KnnJoin,
     "v3_sq8_quant" -> v3Sq8Quant,
     "t18_zipf" -> t18Zipf,
+    "t19_jaro_topk" -> t19JaroTopk,
     "d30_canonical_pick" -> d30CanonicalPick,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
@@ -930,6 +957,21 @@ object PipelineQueries {
         |    PARTITION BY hh ORDER BY source, doc_id) AS keep_id
         |  FROM h)
         |SELECT doc_id, keep_id FROM r ORDER BY doc_id""".stripMargin,
+    "t19_jaro_topk" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+        |j AS (
+        |  SELECT a.p_partkey, b.p_partkey AS match_key,
+        |    b.p_name AS q_name,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey),
+        |r AS (
+        |  SELECT p_partkey, match_key, sim,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY sim DESC, q_name, match_key) AS rk
+        |  FROM j)
+        |SELECT p_partkey, match_key, sim FROM r WHERE rk = 1
+        |ORDER BY p_partkey""".stripMargin,
     "t18_zipf" ->
       """WITH f AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w

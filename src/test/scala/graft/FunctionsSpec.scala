@@ -239,4 +239,40 @@ class CryptoSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(k1, k2),
       "cache served a boundary-shifted pair the wrong derived key")
   }
+
+  test("jaro_winkler: textbook values, DuckDB conventions, codegen path") {
+    import graft.functions.JaroWinkler.similarity
+    assert(math.abs(similarity("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(similarity("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15)
+    // Boost threshold is EXCLUSIVE at 0.7: jaro('ax','az') = 2/3 with a
+    // 1-char prefix — a boosted value would be 0.7.
+    assert(similarity("ax", "az") == 2.0 / 3.0)
+    // DuckDB conventions: empty strings score 0 (not 1); odd
+    // matched-but-different counts FLOOR on halving (dacebcca/aecda has
+    // 3 mismatched matches -> t=1, not 1.5).
+    assert(similarity("", "") == 0.0 && similarity("", "abc") == 0.0)
+    assert(math.abs(similarity("dacebcca", "aecda") - 0.8083333333333333) < 1e-12)
+    assert(similarity("abc", "abc") == 1.0)
+    // Symmetry on random strings.
+    val rnd = new scala.util.Random(11)
+    def rs() = (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 200).foreach { _ =>
+      val (a, b) = (rs(), rs())
+      assert(similarity(a, b) == similarity(b, a), s"asymmetric on $a/$b")
+    }
+    // Expression path: registered function evaluates inside codegen and
+    // honors null-in -> null-out.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    graft.functions.JaroWinklerExpr.register(spark)
+    val df = Seq(("martha", Option("marhta")), ("x", None))
+      .toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS s")
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).exists(v => math.abs(v - 0.9611111111111111) < 1e-15))
+    assert(got(1).isEmpty, "null input must yield null")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEval") && !plan.contains("ScalaUDF"),
+      "jaro_winkler must plan as a native expression, not a UDF")
+  }
 }
