@@ -685,6 +685,53 @@ object AnalyticsQueries {
           col("c2_cum").cast("double") / col("n2"))).as("d"))
   }
 
+  /** C2: RFM segmentation — the classic customer-value composite:
+    * recency (days since last order vs corpus max), frequency (order
+    * count), monetary (exact cents), each quartile-banded, then counted
+    * per (R,F,M) segment. The three global ranks run through
+    * [[graft.operators.GlobalRank]] (range exchange + zipWithIndex —
+    * never a single-task Window.orderBy over all customers), and the
+    * band is derived from the rank with the ntile SIZE formula (first
+    * n%k buckets take one extra row) written identically in both
+    * engines — quartile semantics by shared arithmetic, not by trusting
+    * two ntile() implementations to agree. All outputs exact BIGINTs.
+    */
+  def c2Rfm(spark: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val corpus = per.agg(max(col("last_day")).as("corpus_day"),
+      count(lit(1)).as("n"))
+    // Only plain longs cross the GlobalRank RDD hop (a DATE column would
+    // round-trip through java.sql.Date — wider rows and a JDK-module
+    // access trap under manual JVM launches).
+    val base = per.crossJoin(broadcast(corpus))
+      .select(col("o_custkey"),
+        datediff(col("corpus_day"), col("last_day")).cast("long")
+          .as("recency"),
+        col("freq"), col("cents"), col("n"))
+    import graft.operators.GlobalRank
+    val ranked = GlobalRank.rowNumber(
+      GlobalRank.rowNumber(
+        GlobalRank.rowNumber(base,
+          Seq(col("recency").asc, col("o_custkey").asc), "rn_r"),
+        Seq(col("freq").desc, col("o_custkey").asc), "rn_f"),
+      Seq(col("cents").desc, col("o_custkey").asc), "rn_m")
+    def band(rn: String) =
+      s"""CASE WHEN $rn <= (n % 4) * ((n div 4) + 1)
+         | THEN ($rn - 1) div ((n div 4) + 1) + 1
+         | ELSE (n % 4) + ($rn - (n % 4) * ((n div 4) + 1) - 1) div (n div 4)
+         |   + 1 END""".stripMargin.replace("\n", " ")
+    ranked
+      .selectExpr(s"${band("rn_r")} AS r_band", s"${band("rn_f")} AS f_band",
+        s"${band("rn_m")} AS m_band", "cents")
+      .groupBy(col("r_band"), col("f_band"), col("m_band"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("r_band"), col("f_band"), col("m_band"))
+  }
+
   /** O14: event-transition matrix — for each user's time-ordered event
     * stream, count (event_type → next event_type) transitions and the
     * per-source transition probability: the first-order Markov summary
@@ -910,7 +957,8 @@ object AnalyticsQueries {
     "h3_constraints" -> h3Constraints,
     "o17_rolling_median" -> o17RollingMedian,
     "a29_entropy" -> a29Entropy,
-    "a30_ks" -> a30Ks)
+    "a30_ks" -> a30Ks,
+    "c2_rfm" -> c2Rfm)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1363,6 +1411,42 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
         |FROM events ORDER BY event_id""".stripMargin,
+    "c2_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |y AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', last_day,
+        |      (SELECT max(last_day) FROM per)) AS BIGINT) AS recency,
+        |    freq, cents, (SELECT count(*) FROM per) AS n
+        |  FROM per),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency, o_custkey) AS rn_r,
+        |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS rn_f,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn_m
+        |  FROM y),
+        |b AS (
+        |  SELECT cents,
+        |    CASE WHEN rn_r <= (n % 4) * ((n // 4) + 1)
+        |      THEN (rn_r - 1) // ((n // 4) + 1) + 1
+        |      ELSE (n % 4) + (rn_r - (n % 4) * ((n // 4) + 1) - 1)
+        |        // (n // 4) + 1 END AS r_band,
+        |    CASE WHEN rn_f <= (n % 4) * ((n // 4) + 1)
+        |      THEN (rn_f - 1) // ((n // 4) + 1) + 1
+        |      ELSE (n % 4) + (rn_f - (n % 4) * ((n // 4) + 1) - 1)
+        |        // (n // 4) + 1 END AS f_band,
+        |    CASE WHEN rn_m <= (n % 4) * ((n // 4) + 1)
+        |      THEN (rn_m - 1) // ((n // 4) + 1) + 1
+        |      ELSE (n % 4) + (rn_m - (n % 4) * ((n // 4) + 1) - 1)
+        |        // (n // 4) + 1 END AS m_band
+        |  FROM rk)
+        |SELECT r_band, f_band, m_band, count(*) AS n_customers,
+        |  sum(cents) AS total_cents
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "a30_ks" ->
       """WITH g AS (
         |  SELECT value AS v,
