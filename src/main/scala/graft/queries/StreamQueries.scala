@@ -251,7 +251,28 @@ object StreamQueries {
       .orderBy(col("w_start_ms"), col("rk"))
   }
 
+  /** W10: batch twin of the FULL OUTER stream-stream interval join
+    * ([[graft.streaming.StreamJoins.clickContextFull]]) — unmatched
+    * rows from BOTH sides survive with nulls; completes the
+    * inner/left/full join-mode family the streaming state manager
+    * supports. StreamJoinsSpec drives the same function through
+    * MemoryStream and pins streaming ≡ batch.
+    */
+  def w10StreamFullOuterTwin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.streaming.StreamJoins.clickContextFull(purchases, clicks)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("p_ms"),
+        unix_millis(col("c_ts")).as("c_ms"))
+      .orderBy(col("user_id"), col("event_id"), col("c_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
     "w9_window_topk" -> w9WindowTopk,
     "o18_rate_limit" -> o18RateLimit,
     "w8_stream_static_twin" -> w8StreamStaticTwin,
@@ -340,6 +361,18 @@ object StreamQueries {
         |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) % 7 = 0)
         |SELECT DISTINCT id, ts_ms, name FROM log
         |ORDER BY id, ts_ms""".stripMargin,
+    "w10_stream_full_outer_twin" ->
+      """SELECT p.event_id,
+        |  COALESCE(p.user_id, c.user_id) AS user_id,
+        |  epoch_ms(CAST(p.ts AS TIMESTAMP)) AS p_ms,
+        |  epoch_ms(CAST(c.ts AS TIMESTAMP)) AS c_ms
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+        |ORDER BY user_id, event_id, c_ms""".stripMargin,
     "w6_stream_left_outer_twin" ->
       """SELECT p.event_id, epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ms
         |FROM (SELECT event_id, user_id, ts FROM events

@@ -68,6 +68,34 @@ object StreamJoins {
         col("p_ts"), col("c_ts"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the join-mode
+    * family (inner [[clickContext]] / left [[clickContextOuter]] /
+    * full): unmatched PURCHASES surface with null click time AND
+    * unmatched CLICKS surface with null purchase id, each emitted by
+    * the streaming runtime at its side's state eviction (watermark-
+    * proven no-more-matches). Both sides need a watermark AND the time
+    * bound references both event times — the conditions Spark requires
+    * before it will run a full-outer stream-stream join at all.
+    * Batch mode plans the identical join; `StreamJoinsSpec` pins
+    * streaming ≡ batch through MemoryStream.
+    */
+  def clickContextFull(purchases: DataFrame, clicks: DataFrame,
+      beforeMs: Long = 7200000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
+        "SECONDS AND c_ts <= p_ts"), "full_outer")
+      .select(col("event_id"), coalesce(col("p_user"), col("c_user"))
+          .as("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Stream-static enrichment + windowed rollup — the most common
     * production streaming topology: an unbounded fact stream joined to
     * a bounded dimension, then aggregated per event-time window. The

@@ -105,6 +105,44 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream join: unmatched rows from BOTH sides emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoins.clickContextFull(
+      pSrc.toDF().toDF("event_id", "user_id", "ts"),
+      cSrc.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("w10_join").start()
+    try {
+      pSrc.addData(purchases: _*)
+      cSrc.addData(clicks: _*)
+      q.processAllAvailable()
+      // Watermark flush from both sides (same protocol as the w6 test).
+      pSrc.addData((999L, 999L, ts(10000)))
+      cSrc.addData((999L, ts(10000)))
+      q.processAllAvailable()
+      pSrc.addData((998L, 998L, ts(20000)))
+      cSrc.addData((998L, ts(20000)))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+          Option(r.getTimestamp(2)).map(_.getTime),
+          Option(r.getTimestamp(3)).map(_.getTime))
+      val streamed = spark.table("w10_join")
+        .filter(col("user_id") < 900).collect().map(key).toSet
+      val batch = StreamJoins.clickContextFull(
+        purchases.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("user_id", "ts")).collect().map(key).toSet
+      assert(streamed == batch,
+        "streaming full-outer and its batch twin diverged")
+      // Both unmatched directions present: purchase 102 with null click,
+      // and user-3's click (matching no purchase) with null event_id.
+      assert(streamed.exists(t => t._1 == 102L && t._4.isEmpty))
+      assert(streamed.exists(t => t._1 == -1L && t._2 == 3L))
+    } finally q.stop()
+  }
+
   test("the streaming plan is a stream-stream join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
