@@ -732,6 +732,32 @@ object AnalyticsQueries {
       .orderBy(col("r_band"), col("f_band"), col("m_band"))
   }
 
+  /** A31: lag-1 autocorrelation of the global hourly event-count series
+    * — the time-series memory check (traffic persistence) beside o11's
+    * smoothing and o14's transition matrix. The series is the hourly
+    * histogram (domain-bounded, ~720 rows), the lag pairing is an
+    * equi-join on hour+1 (no window), and the Pearson form runs on
+    * exact BIGINT sums — counts are integers, so the only doubles are
+    * the final closed-form divisions, identical on both engines.
+    */
+  def a31Autocorr(spark: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .groupBy((unix_millis(date_trunc("hour", col("ts"))) / 3600000L)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val nxt = hourly.select((col("h") - 1).as("h"), col("n").as("n1"))
+    hourly.join(nxt, "h")
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("sx"),
+        sum(col("n1")).as("sy"), sum(col("n") * col("n1")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("n1") * col("n1")).as("syy"))
+      .selectExpr("m",
+        """(CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          | / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          | AS autocorr""".stripMargin.replace("\n", " "))
+  }
+
   /** O14: event-transition matrix — for each user's time-ordered event
     * stream, count (event_type → next event_type) transitions and the
     * per-source transition probability: the first-order Markov summary
@@ -958,7 +984,8 @@ object AnalyticsQueries {
     "o17_rolling_median" -> o17RollingMedian,
     "a29_entropy" -> a29Entropy,
     "a30_ks" -> a30Ks,
-    "c2_rfm" -> c2Rfm)
+    "c2_rfm" -> c2Rfm,
+    "a31_autocorr" -> a31Autocorr)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1411,6 +1438,25 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
         |FROM events ORDER BY event_id""".stripMargin,
+    "a31_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      / 3600000 AS BIGINT) AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT a.n AS x, b.n AS y
+        |  FROM hourly a JOIN hourly b ON b.h = a.h + 1),
+        |s AS (
+        |  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |  / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |  AS autocorr
+        |FROM s""".stripMargin,
     "c2_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
