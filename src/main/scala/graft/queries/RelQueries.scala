@@ -78,6 +78,67 @@ object RelQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Q3 (TPC-H shipping-priority shape): top-10 open orders of one
+    * segment by in-flight revenue — segment filter pushed into the
+    * customer scan, date filters into orders/lineitem scans, broadcast
+    * dimension join, exact DECIMAL revenue (q1 discipline), and the
+    * final top-k is a TakeOrderedAndProject over (revenue desc,
+    * orderkey) — only 10 rows survive the ordering at any scale.
+    */
+  def q3ShippingPriority(spark: SparkSession, d: String): DataFrame = {
+    val cut = lit("1996-07-01").cast("timestamp")
+    val c = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, d).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, d).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("string").as("order_date"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5 (TPC-H local-supplier-volume shape): revenue per nation where
+    * the customer and the supplier sit in the SAME nation — the classic
+    * 6-table join (region→nation→customer→orders→lineitem→supplier).
+    * Every dimension side broadcasts; the only big-side work is the
+    * orders⋈lineitem fact join; revenue stays exact DECIMAL until one
+    * final cast. The co-location predicate (c_nationkey = s_nationkey)
+    * lands as a post-join filter on broadcast columns — no extra
+    * exchange.
+    */
+  def q5NationVolume(spark: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    val nat = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "AMERICA" || col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** J3: join + filter + count (reference: mission count under hierarchy). */
   def j3JoinFilterCount(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
@@ -870,6 +931,8 @@ object RelQueries {
     "p10_unwind" -> p10Unwind,
     "a1_count" -> a1Count,
     "q1_agg" -> q1Agg,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_nation_volume" -> q5NationVolume,
     "j3_join_filter_count" -> j3JoinFilterCount,
     "j5_three_way_join" -> j5ThreeWayJoin,
     "a4_percentiles" -> a4Percentiles,
@@ -1048,6 +1111,37 @@ object RelQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY o_orderkey, order_date
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_nation_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name IN ('AMERICA', 'ASIA')
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "j3_join_filter_count" ->
       """SELECT count(*) AS n FROM orders
         |JOIN customer ON o_custkey = c_custkey

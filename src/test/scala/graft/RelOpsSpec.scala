@@ -188,6 +188,31 @@ class RelOpsSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q3/q5 plans: pushed date filters, broadcast dims, top-k operator") {
+    val q3 = RelQueries.q3ShippingPriority(spark, sf)
+    val p3 = q3.queryExecution.executedPlan.toString
+    assert(p3.contains("TakeOrderedAndProject"),
+      "top-10 must plan as TakeOrderedAndProject, not sort+limit stages")
+    assert(p3.contains("BroadcastHashJoin"), "dimension join must broadcast")
+    assert(p3.contains("PushedFilters") &&
+      (p3.contains("l_shipdate") || p3.contains("GreaterThan")),
+      "ship-date filter must reach the parquet scan")
+    assert(q3.collect().length == 10)
+
+    val q5 = RelQueries.q5NationVolume(spark, sf)
+    val p5 = q5.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p5).length
+    assert(nBroadcast >= 3,
+      s"customer/supplier/nation sides must broadcast, saw $nBroadcast")
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"), p5.take(400))
+    // Revenue is exact-DECIMAL summed: both engines hash-match (gate);
+    // here pin that all revenues are positive and ordered descending.
+    val rows = q5.collect().map(_.getDouble(1))
+    assert(rows.forall(_ > 0) &&
+      rows.zip(rows.tail).forall { case (a, b) => a >= b })
+  }
+
   test("p10 unwind: ordinals reconstruct every source list; no shuffle") {
     val got = RelQueries.p10Unwind(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
