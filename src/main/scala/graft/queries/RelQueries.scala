@@ -884,6 +884,40 @@ object RelQueries {
     Seq(ok).toDF("within_bound")
   }
 
+  /** SK7: sampling-based join-cardinality estimation — the optimizer
+    * statistic behind join planning: |clicks ⋈ purchases on user| is
+    * estimated from the 25% KEY-correlated sample (keep a user iff its
+    * content hash lands under the threshold — both sides keep the SAME
+    * keys, so per-key contributions survive intact and the estimator is
+    * unbiased with a single 1/p scale-up; row-independent Bernoulli
+    * sampling would need 1/p² and explode the variance). At 100 TB only
+    * the sampled branch runs — a pushed hash filter then small aggs;
+    * the exact branch here exists for the gate. Deterministic sha2
+    * bucketing (the d7 sampler), so both engines compute the identical
+    * estimate — a hash pin, not a tolerance gate; the spec asserts the
+    * estimate lands within 2× of exact on this corpus.
+    */
+  def sk7JoinSizeSample(spark: SparkSession, d: String): DataFrame = {
+    def sizeOf(events: DataFrame) = {
+      val cc = events.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nc"))
+      val pp = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      cc.join(pp, "user_id")
+        .agg(coalesce(sum(col("nc") * col("np")), lit(0L)))
+    }
+    val e = Tables.events(spark, d)
+    val exact = sizeOf(e).toDF("exact")
+    val sampled = sizeOf(e.filter(
+      graft.pipeline.Sampling.hashBucket(col("user_id").cast("string"))
+        % 10000 < 2500)).toDF("sampled")
+    exact.crossJoin(broadcast(sampled))
+      .select(col("exact"), col("sampled"),
+        (col("sampled") * 4).as("estimate"),
+        round(col("sampled").cast("double") * 4 / col("exact"), 4)
+          .as("ratio"))
+  }
+
   /** O4: pivot — day × event-type count matrix via `groupBy().pivot()`
     * with an explicit value list (no extra distinct-values job; the plan
     * is one hash aggregate over (day), each cell a conditional count —
@@ -921,6 +955,7 @@ object RelQueries {
     "sk3_bloom_bound" -> sk3BloomBound,
     "sk4_cms_bound" -> sk4CmsBound,
     "sk5_hll_merge" -> sk5HllMerge,
+    "sk7_join_size_sample" -> sk7JoinSizeSample,
     "z1_zorder_key" -> z1ZorderKey,
     "sk6_hll_intersect" -> sk6HllIntersect,
     "j20_null_safe_join" -> j20NullSafeJoin,
@@ -1111,6 +1146,36 @@ object RelQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sk7_join_size_sample" ->
+      """WITH cc AS (
+        |  SELECT user_id, count(*) AS nc FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |pp AS (
+        |  SELECT user_id, count(*) AS np FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ex AS (
+        |  SELECT COALESCE(sum(nc * np), 0) AS exact
+        |  FROM cc JOIN pp USING (user_id)),
+        |sc AS (
+        |  SELECT user_id, count(*) AS nc FROM events
+        |  WHERE event_type = 'click'
+        |    AND ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 10000 < 2500
+        |  GROUP BY 1),
+        |sp AS (
+        |  SELECT user_id, count(*) AS np FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 10000 < 2500
+        |  GROUP BY 1),
+        |sm AS (
+        |  SELECT COALESCE(sum(nc * np), 0) AS sampled
+        |  FROM sc JOIN sp USING (user_id))
+        |SELECT CAST(exact AS BIGINT) AS exact,
+        |  CAST(sampled AS BIGINT) AS sampled,
+        |  CAST(sampled * 4 AS BIGINT) AS estimate,
+        |  round(CAST(sampled AS DOUBLE) * 4 / exact, 4) AS ratio
+        |FROM ex CROSS JOIN sm""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,

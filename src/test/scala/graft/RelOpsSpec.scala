@@ -213,6 +213,17 @@ class RelOpsSpec extends AnyFunSuite {
       rows.zip(rows.tail).forall { case (a, b) => a >= b })
   }
 
+  test("join-size sample: subset sum, unbiased scale-up, sane ratio") {
+    val r = RelQueries.sk7JoinSizeSample(spark, sf).head()
+    val (exact, sampled, estimate, ratio) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(sampled <= exact, "a key-subset sum can never exceed the total")
+    assert(estimate == sampled * 4)
+    assert(ratio > 0.3 && ratio < 3.0,
+      s"25% key sample should estimate within a small factor, got $ratio")
+    assert(exact > 0, "fixture must have a non-empty join")
+  }
+
   test("p10 unwind: ordinals reconstruct every source list; no shuffle") {
     val got = RelQueries.p10Unwind(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
