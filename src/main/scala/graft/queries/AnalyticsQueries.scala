@@ -758,6 +758,37 @@ object AnalyticsQueries {
           | AS autocorr""".stripMargin.replace("\n", " "))
   }
 
+  /** O20: CUSUM change-point detection — the sequential drift alarm
+    * (Page's cumulative sum): per user, s_i = max(0, s_{i−1} + (v_i −
+    * 60)) with an alarm + reset whenever s crosses 150. Like o11/o18
+    * this is an order-dependent fold no window frame expresses; the
+    * per-user sequence folds once with the higher-order `aggregate`
+    * over a struct accumulator (fine in SPARK — it is DuckDB's
+    * list_reduce that mis-executes struct accumulators, so the oracle
+    * uses the o18 recursive-CTE form). All constants are
+    * exactly-representable doubles; both engines run the identical
+    * IEEE chain — no rounding band on the alarm count, round-6 on the
+    * residual s.
+    */
+  def o20Cusum(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+        col("value").as("v")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        expr("""aggregate(seq, named_struct('s', 0.0D, 'a', 0L),
+          | (acc, x) -> named_struct(
+          |   's', IF(greatest(0.0D, acc.s + (x.v - 60.0D)) > 150.0D,
+          |           0.0D, greatest(0.0D, acc.s + (x.v - 60.0D))),
+          |   'a', acc.a + IF(greatest(0.0D, acc.s + (x.v - 60.0D))
+          |           > 150.0D, 1L, 0L)))""".stripMargin.replace("\n", " "))
+          .as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.a").as("n_alarms"), round(col("st.s"), 6).as("residual_s"))
+      .orderBy(col("user_id"))
+
   /** O14: event-transition matrix — for each user's time-ordered event
     * stream, count (event_type → next event_type) transitions and the
     * per-source transition probability: the first-order Markov summary
@@ -985,7 +1016,8 @@ object AnalyticsQueries {
     "a29_entropy" -> a29Entropy,
     "a30_ks" -> a30Ks,
     "c2_rfm" -> c2Rfm,
-    "a31_autocorr" -> a31Autocorr)
+    "a31_autocorr" -> a31Autocorr,
+    "o20_cusum" -> o20Cusum)
 
   val oracles: Map[String, String] = Map(
     "o16_seq_pattern" ->
@@ -1438,6 +1470,34 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
         |FROM events ORDER BY event_id""".stripMargin,
+    "o20_cusum" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    value AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN greatest(0.0, v - 60.0) > 150.0 THEN 0.0
+        |      ELSE greatest(0.0, v - 60.0) END AS s,
+        |    CASE WHEN greatest(0.0, v - 60.0) > 150.0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN greatest(0.0, r.s + (e.v - 60.0)) > 150.0 THEN 0.0
+        |      ELSE greatest(0.0, r.s + (e.v - 60.0)) END,
+        |    r.a + CASE WHEN greatest(0.0, r.s + (e.v - 60.0)) > 150.0
+        |      THEN 1 ELSE 0 END
+        |  FROM r JOIN ev e
+        |    ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id, c.n_events, r.a AS n_alarms,
+        |  round(r.s, 6) AS residual_s
+        |FROM r JOIN (SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY 1) c USING (user_id)
+        |WHERE r.rn = c.n_events
+        |ORDER BY user_id""".stripMargin,
     "a31_autocorr" ->
       """WITH hourly AS (
         |  SELECT CAST(epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
