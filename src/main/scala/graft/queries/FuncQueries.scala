@@ -292,6 +292,27 @@ object FuncQueries {
       .select(col("event_id"), unix_millis(col("ts")).as("ms"))
       .orderBy(col("event_id"))
 
+  /** U16: calendar-function alignment — the migration-hazard pin for
+    * date semantics: day-of-week NUMBERING differs between engines
+    * (Spark `dayofweek` is 1=Sunday, DuckDB `dayofweek` is 0=Sunday),
+    * so both sides normalize to ISO (1=Monday..7=Sunday) with explicit
+    * arithmetic; `last_day` month-end resolution and `add_months`
+    * end-of-month CLAMPING (Jan 31 + 1 month = Feb 29) are pinned
+    * corpus-wide through exact day-of-month sums per (ISO dow,
+    * quarter). One conditional-sum scan.
+    */
+  def u16CalendarProfile(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("dt"))
+      .select((((dayofweek(col("dt")) + 5) % 7) + 1).as("dow_iso"),
+        quarter(col("dt")).as("q"),
+        dayofmonth(last_day(col("dt"))).cast("long").as("eom_day"),
+        dayofmonth(add_months(col("dt"), 1)).cast("long").as("nm_day"))
+      .groupBy(col("dow_iso"), col("q"))
+      .agg(count(lit(1)).as("n"), sum(col("eom_day")).as("sum_eom_day"),
+        sum(col("nm_day")).as("sum_nm_day"))
+      .orderBy(col("dow_iso"), col("q"))
+
   /** U11: Debezium envelope build (insert events for the users table). */
   def u11DebeziumEnvelope(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -317,6 +338,7 @@ object FuncQueries {
     "u13_wallet_roundtrip" -> u13WalletRoundtrip,
     "u14_did_document" -> u14DidDocument,
     "u10_epoch_ms" -> u10EpochMs,
+    "u16_calendar_profile" -> u16CalendarProfile,
     "u11_debezium_envelope" -> u11DebeziumEnvelope)
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +396,20 @@ object FuncQueries {
         |  list_reduce(list_prepend('GENESIS', list(packaged ORDER BY doc_id)),
         |    (acc, x) -> sha256(acc || x)) AS chain_head
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "u16_calendar_profile" ->
+      """WITH b AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |x AS (
+        |  SELECT CASE WHEN dayofweek(dt) = 0 THEN 7
+        |      ELSE dayofweek(dt) END AS dow_iso,
+        |    quarter(dt) AS q,
+        |    CAST(day(last_day(dt)) AS BIGINT) AS eom_day,
+        |    CAST(day(CAST(dt + INTERVAL 1 MONTH AS DATE)) AS BIGINT)
+        |      AS nm_day
+        |  FROM b)
+        |SELECT dow_iso, q, count(*) AS n,
+        |  sum(eom_day) AS sum_eom_day, sum(nm_day) AS sum_nm_day
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "u10_epoch_ms" ->
       "SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events ORDER BY event_id",
     "u11_debezium_envelope" ->
