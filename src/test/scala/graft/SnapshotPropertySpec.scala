@@ -147,4 +147,37 @@ class SnapshotPropertySpec extends AnyFunSuite {
       Snapshot.diff(before, after.select("k", "v", "s"), Seq("k"))
     }
   }
+
+  test("diff fuzz: status classification matches a per-key model") {
+    val rnd = new scala.util.Random(4711)
+    for (round <- 1 to 5) {
+      val baseKeys = (1L to 60L).filter(_ => rnd.nextBoolean())
+      val before = baseKeys.map(k =>
+        (k, if (rnd.nextInt(5) == 0) None else Some(s"v$k-${rnd.nextInt(3)}"),
+          Option(rnd.nextInt(100).toLong)))
+      // Mutate each key independently; add some fresh keys.
+      val mutated = before.flatMap { case (k, s, v) =>
+        rnd.nextInt(4) match {
+          case 0 => None                                   // removed
+          case 1 => Some((k, s, v, "unchanged"))
+          case 2 => Some((k, s, v.map(_ + 1).orElse(Some(0L)), "changed"))
+          case _ => Some((k,
+            if (s.isEmpty) Some("was-null") else None, v, "changed"))
+        }
+      }
+      val added = (100L to 110L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, Some(s"n$k"), Some(k), "added"))
+      val expect =
+        before.map(_._1).toSet.diff(mutated.map(_._1).toSet)
+          .map(_ -> "removed").toMap ++
+        mutated.map(t => t._1 -> t._4).toMap ++
+        added.map(t => t._1 -> t._4).toMap
+      val beforeDf = before.toDF("k", "s", "v")
+      val afterDf = (mutated.map(t => (t._1, t._2, t._3)) ++
+        added.map(t => (t._1, t._2, t._3))).toDF("k", "s", "v")
+      val got = Snapshot.diff(beforeDf, afterDf, Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect, s"round $round: diff diverged from the model")
+    }
+  }
 }
