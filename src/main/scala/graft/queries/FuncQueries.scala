@@ -313,6 +313,28 @@ object FuncQueries {
         sum(col("nm_day")).as("sum_nm_day"))
       .orderBy(col("dow_iso"), col("q"))
 
+  /** U17: string-function alignment — the companion migration pin to
+    * u16 for the string surface: 1-based substring (positive AND
+    * negative start), split_part, lpad, translate, reverse, and
+    * 1-based first-occurrence search (Spark `instr` == DuckDB
+    * `strpos`), composed into one per-row fingerprint and hash-pinned
+    * corpus-wide. The pinned subset is the SAFE one: probing found
+    * `substr(s, 0, n)` diverges (Spark clamps start 0 to 1 and returns
+    * n chars; DuckDB spends a position and returns n−1) and DuckDB's
+    * `left(s, -k)` means all-but-last-k where Spark returns empty —
+    * both excluded and documented here so nobody reintroduces them.
+    */
+  def u17StringProfile(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .select(col("c_custkey"),
+        concat_ws("|",
+          substring(col("c_name"), 10, 4),
+          lpad(split_part(col("c_name"), lit("#"), lit(2)), 12, "0"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou"),
+          reverse(substring(col("c_name"), -3, 3)),
+          instr(col("c_name"), "0").cast("string")).as("fp"))
+      .orderBy(col("c_custkey"))
+
   /** U11: Debezium envelope build (insert events for the users table). */
   def u11DebeziumEnvelope(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -339,6 +361,7 @@ object FuncQueries {
     "u14_did_document" -> u14DidDocument,
     "u10_epoch_ms" -> u10EpochMs,
     "u16_calendar_profile" -> u16CalendarProfile,
+    "u17_string_profile" -> u17StringProfile,
     "u11_debezium_envelope" -> u11DebeziumEnvelope)
 
   val oracles: Map[String, String] = Map(
@@ -396,6 +419,14 @@ object FuncQueries {
         |  list_reduce(list_prepend('GENESIS', list(packaged ORDER BY doc_id)),
         |    (acc, x) -> sha256(acc || x)) AS chain_head
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "u17_string_profile" ->
+      """SELECT c_custkey,
+        |  substr(c_name, 10, 4) || '|'
+        |  || lpad(split_part(c_name, '#', 2), 12, '0') || '|'
+        |  || translate(c_mktsegment, 'AEIOU', 'aeiou') || '|'
+        |  || reverse(substr(c_name, -3, 3)) || '|'
+        |  || CAST(strpos(c_name, '0') AS VARCHAR) AS fp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "u16_calendar_profile" ->
       """WITH b AS (
         |  SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
