@@ -234,4 +234,37 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(zHits * 2 <= linHits,
       s"z-order must at least halve the candidate files: $zHits vs $linHits")
   }
+
+  test("parquet aggregate pushdown: COUNT(*) becomes a metadata-only scan") {
+    // The DSv2 read path can answer COUNT(*)/MIN/MAX from parquet footer
+    // statistics without materializing a single row — at 100 TB that is
+    // the difference between a metadata pass and a full scan. The gates
+    // run the default DSv1 path (plan-stability over the whole catalog);
+    // this spec pins that flipping the engine to v2 + aggregatePushdown
+    // yields the pushed plan, so the optimization is one conf away, and
+    // that it returns the same answer as the row-scan count.
+    val before = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read
+        .parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(count(lit(1)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        s"COUNT(*) must push into the scan:\n${plan.take(500)}")
+      val pushed = df.head().getLong(0)
+      spark.conf.set("spark.sql.sources.useV1SourceList", "parquet")
+      val scanned = spark.read
+        .parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+      assert(pushed == scanned,
+        "footer-statistics count must equal the row-scan count")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+  }
 }
