@@ -271,7 +271,32 @@ object StreamQueries {
       .orderBy(col("user_id"), col("event_id"), col("c_ms"))
   }
 
+  /** W11: gaps-and-islands summary — w2's sessionization flipped to the
+    * GAPS side: per user, how many sessions (islands at the same 30-min
+    * break rule) and how much idle time separates them (the engagement
+    * / retention signal next to w2's per-session rows). One user-keyed
+    * window for the lag gap, then a plain aggregate — idle time is the
+    * exact sum of the µs gaps that BROKE sessions, so the gate is an
+    * integer pin; consistency with w2 (n_sessions == w2's island count
+    * per user) is implied by construction from the same break rule.
+    */
+  def w11SessionGaps(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("gap_us") >= 1800000000L, 1L).otherwise(0L)) + 1L)
+          .as("n_sessions"),
+        coalesce(sum(when(col("gap_us") >= 1800000000L, col("gap_us"))),
+          lit(0L)).as("idle_us"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_session_gaps" -> w11SessionGaps,
     "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
     "w9_window_topk" -> w9WindowTopk,
     "o18_rate_limit" -> o18RateLimit,
@@ -288,6 +313,18 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    "w11_session_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id,
+        |  count(*) FILTER (WHERE gap_us >= 1800000000) + 1 AS n_sessions,
+        |  COALESCE(sum(gap_us) FILTER (WHERE gap_us >= 1800000000), 0)
+        |    AS idle_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w9_window_topk" ->
       """WITH w AS (
         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000)

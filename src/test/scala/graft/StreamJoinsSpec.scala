@@ -143,6 +143,18 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session gaps agree with session_window: same island count per user") {
+    val sf = "/root/testdata/sf0.001"
+    val fromGaps = graft.queries.StreamQueries
+      .w11SessionGaps(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromWindows = graft.queries.StreamQueries
+      .w2SessionWindow(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.length.toLong }
+    assert(fromGaps == fromWindows,
+      "the gap-count formulation must equal session_window's island count")
+  }
+
   test("the streaming plan is a stream-stream join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
