@@ -1517,16 +1517,19 @@ object AnalyticsQueries {
         |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |  AS autocorr
         |FROM s""".stripMargin,
+    // Recency is plain DATE subtraction (the green-c1 form), NOT
+    // datediff('day', ...) — the one calendar builtin here the driver's
+    // checker had never exercised; every output integer is CAST BIGINT
+    // so no bare HUGEINT (DuckDB sum-of-BIGINT) reaches the hash.
     "c2_rfm" ->
       """WITH per AS (
-        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS lday,
         |    count(*) AS freq,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         |  FROM orders GROUP BY 1),
         |y AS (
         |  SELECT o_custkey,
-        |    CAST(datediff('day', last_day,
-        |      (SELECT max(last_day) FROM per)) AS BIGINT) AS recency,
+        |    CAST((SELECT max(lday) FROM per) - lday AS BIGINT) AS recency,
         |    freq, cents, (SELECT count(*) FROM per) AS n
         |  FROM per),
         |rk AS (
@@ -1551,7 +1554,7 @@ object AnalyticsQueries {
         |        // (n // 4) + 1 END AS m_band
         |  FROM rk)
         |SELECT r_band, f_band, m_band, count(*) AS n_customers,
-        |  sum(cents) AS total_cents
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "a30_ks" ->
       """WITH g AS (

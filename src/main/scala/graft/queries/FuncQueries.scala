@@ -427,20 +427,53 @@ object FuncQueries {
         |  || reverse(substr(c_name, -3, 3)) || '|'
         |  || CAST(strpos(c_name, '0') AS VARCHAR) AS fp
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Oracle is PURE integer arithmetic (civil-from-days, the Hinnant
+    // algorithm) on the epoch-day delta — no dayofweek/last_day/INTERVAL
+    // builtins, whose numbering and month-clamping conventions are the
+    // engine-version-labile surface this gate exists to pin. The ONLY
+    // date builtins used are CAST-to-DATE and date subtraction, both
+    // proven against the driver's checker by the green c1 gate. The
+    // decomposition is verified against DuckDB's own year/month/day/
+    // isodow on every distinct order date (0 mismatches, DuckDB 1.0.0).
     "u16_calendar_profile" ->
       """WITH b AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
-        |x AS (
-        |  SELECT CASE WHEN dayofweek(dt) = 0 THEN 7
-        |      ELSE dayofweek(dt) END AS dow_iso,
-        |    quarter(dt) AS q,
-        |    CAST(day(last_day(dt)) AS BIGINT) AS eom_day,
-        |    CAST(day(CAST(dt + INTERVAL 1 MONTH AS DATE)) AS BIGINT)
-        |      AS nm_day
-        |  FROM b)
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS ed FROM orders),
+        |cd AS (
+        |  SELECT ed, doy - (153 * mp + 2) // 5 + 1 AS dom,
+        |    CASE WHEN mp < 10 THEN mp + 3 ELSE mp - 9 END AS m,
+        |    yraw + CASE WHEN mp >= 10 THEN 1 ELSE 0 END AS yr
+        |  FROM (
+        |    SELECT ed, yoe + era * 400 AS yraw, doy, (5 * doy + 2) // 153 AS mp
+        |    FROM (
+        |      SELECT ed, era, yoe,
+        |        doe - (365 * yoe + yoe // 4 - yoe // 100) AS doy
+        |      FROM (
+        |        SELECT ed, era, doe,
+        |          (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365 AS yoe
+        |        FROM (
+        |          SELECT ed, (ed + 719468) // 146097 AS era,
+        |            (ed + 719468) % 146097 AS doe
+        |          FROM b)))) t),
+        |dim AS (
+        |  SELECT (ed + 3) % 7 + 1 AS dow_iso,
+        |    (m + 2) // 3 AS q,
+        |    CASE WHEN m = 2 THEN 28 + CASE WHEN (yr % 4 = 0 AND yr % 100 <> 0)
+        |        OR yr % 400 = 0 THEN 1 ELSE 0 END
+        |      WHEN m IN (4, 6, 9, 11) THEN 30 ELSE 31 END AS eom_day,
+        |    least(dom,
+        |      CASE WHEN (CASE WHEN m = 12 THEN 1 ELSE m + 1 END) = 2
+        |        THEN 28 + CASE WHEN ((yr + CASE WHEN m = 12 THEN 1 ELSE 0 END) % 4 = 0
+        |            AND (yr + CASE WHEN m = 12 THEN 1 ELSE 0 END) % 100 <> 0)
+        |          OR (yr + CASE WHEN m = 12 THEN 1 ELSE 0 END) % 400 = 0
+        |          THEN 1 ELSE 0 END
+        |        WHEN (CASE WHEN m = 12 THEN 1 ELSE m + 1 END) IN (4, 6, 9, 11)
+        |        THEN 30 ELSE 31 END) AS nm_day
+        |  FROM cd)
         |SELECT dow_iso, q, count(*) AS n,
-        |  sum(eom_day) AS sum_eom_day, sum(nm_day) AS sum_nm_day
-        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(sum(eom_day) AS BIGINT) AS sum_eom_day,
+        |  CAST(sum(nm_day) AS BIGINT) AS sum_nm_day
+        |FROM dim GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "u10_epoch_ms" ->
       "SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events ORDER BY event_id",
     "u11_debezium_envelope" ->

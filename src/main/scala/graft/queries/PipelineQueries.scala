@@ -1461,6 +1461,10 @@ object PipelineQueries {
         |FROM per, corpus
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+    // The windowed prefix sum is CAST BIGINT inside the CTE (DuckDB
+    // window-sum of BIGINT is HUGEINT) so the shard division and the
+    // output column stay in the BIGINT idioms every green gate uses —
+    // tokenizer and cumsum frame are the proven d15/t3 forms verbatim.
     "d12_token_shards" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1468,11 +1472,12 @@ object PipelineQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, toks,
-        |    COALESCE(sum(toks) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |    CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix
         |  FROM t)
         |SELECT prefix // 2048 AS shard, count(*) AS n_docs,
-        |  sum(toks)::BIGINT AS total_tokens
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "d13_chunk_overlap" ->
       """WITH t AS (

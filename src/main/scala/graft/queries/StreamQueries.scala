@@ -276,22 +276,28 @@ object StreamQueries {
     * break rule) and how much idle time separates them (the engagement
     * / retention signal next to w2's per-session rows). One user-keyed
     * window for the lag gap, then a plain aggregate — idle time is the
-    * exact sum of the µs gaps that BROKE sessions, so the gate is an
+    * exact sum of the ms gaps that BROKE sessions, so the gate is an
     * integer pin; consistency with w2 (n_sessions == w2's island count
     * per user) is implied by construction from the same break rule.
+    * Gap math runs at ms (`unix_millis` ↔ DuckDB `epoch_ms(CAST(ts AS
+    * TIMESTAMP))`) — the exact timestamp form the green o3/w2 gates
+    * already pin cross-engine; the earlier µs form (`epoch_us` on the
+    * ns-precision parquet column) was the one construct here the
+    * driver's checker had never exercised, and it hash-diverged there
+    * while passing locally (r10 verdict #1).
     */
   def w11SessionGaps(spark: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, d)
       .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("gap_us",
-        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
       .groupBy(col("user_id"))
-      .agg((sum(when(col("gap_us") >= 1800000000L, 1L).otherwise(0L)) + 1L)
+      .agg((sum(when(col("gap_ms") >= 1800000L, 1L).otherwise(0L)) + 1L)
           .as("n_sessions"),
-        coalesce(sum(when(col("gap_us") >= 1800000000L, col("gap_us"))),
-          lit(0L)).as("idle_us"))
+        coalesce(sum(when(col("gap_ms") >= 1800000L, col("gap_ms"))),
+          lit(0L)).as("idle_ms"))
       .orderBy(col("user_id"))
   }
 
@@ -316,14 +322,14 @@ object StreamQueries {
     "w11_session_gaps" ->
       """WITH g AS (
         |  SELECT user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
-        |          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |    epoch_ms(CAST(ts AS TIMESTAMP))
+        |      - epoch_ms(lag(CAST(ts AS TIMESTAMP)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
         |  FROM events)
         |SELECT user_id,
-        |  count(*) FILTER (WHERE gap_us >= 1800000000) + 1 AS n_sessions,
-        |  COALESCE(sum(gap_us) FILTER (WHERE gap_us >= 1800000000), 0)
-        |    AS idle_us
+        |  count(*) FILTER (WHERE gap_ms >= 1800000) + 1 AS n_sessions,
+        |  CAST(COALESCE(sum(gap_ms) FILTER (WHERE gap_ms >= 1800000), 0)
+        |    AS BIGINT) AS idle_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w9_window_topk" ->
       """WITH w AS (
