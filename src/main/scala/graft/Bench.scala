@@ -82,8 +82,15 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported)
       c.getTotalCompilationTime else 0L
   }
+  // Guarded against a stopped context: the r10 driver capture died with
+  // "Cannot call methods on a stopped SparkContext" raised HERE (via
+  // timedIter ← scaleMetrics) after the driver's wall-clock kill fired
+  // the shutdown hook mid-block — a metric read must degrade to a
+  // sentinel, never abort the evidence stream.
   private def storageMb(spark: SparkSession): Double =
-    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1048576.0
+    if (spark.sparkContext.isStopped) -1.0
+    else try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1048576.0
+    catch { case _: Throwable => -1.0 }
 
   private def processCpuNs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -115,7 +122,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "20").toInt
+    val itersRequested = sys.env.getOrElse("SPARK_GRAFT_ITERS", "20").toInt
+    // ---- Wall-clock budget guard (r10 verdict #1): the driver's capture
+    // ---- of the r10 run was killed at its wall-clock limit (rc 124) on a
+    // ---- contended machine, leaving the round with NO valid official
+    // ---- record. The bench now runs against an explicit budget: every
+    // ---- block (and every sweep decade) checks remaining time first and
+    // ---- records an explicit skip instead of running past it, so the
+    // ---- process always reaches its final contract line and exits 0.
+    // ---- Default: the r9 official full run (rc 0) measured 1072 s of
+    // ---- sbt wall on a quiet machine with a smaller catalog; 2400 s
+    // ---- holds the grown catalog on a quiet machine and degrades
+    // ---- gracefully (scale decades first, then cold tail) under the
+    // ---- ~3x contention the r10 capture showed.
+    val t0Wall = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0Wall) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "2400").toDouble
+    def remainingS: Double = budgetS - elapsedS
+    // block → reason, carried into the final line so a degraded run is
+    // self-describing rather than silently thin.
+    val skips = scala.collection.mutable.LinkedHashMap[String, String]()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -125,6 +151,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // rc-0 guarantee (r10 verdict #1): whatever happens past this point —
+    // a stopped context from a shutdown hook, an OOM in one block, a bug —
+    // the process still prints a complete, parseable final contract line
+    // and returns normally. The error is IN the line, not in the exit code.
+    try {
 
     // Failed queries record the exception class instead of a silent -1.
     val runErrors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -164,9 +196,16 @@ object Bench {
       Some(new java.io.PrintWriter(new java.io.FileWriter(fullPath, false)))
     } catch { case _: Exception => None }
     def emit(line: String): Unit = {
-      println(line)
-      fullOut.foreach { w => w.println(line); w.flush() }
+      // Every block line carries the run clock so a partial capture (or a
+      // post-mortem of a killed run) can see exactly where the wall went.
+      val stamped =
+        if (line.startsWith("{") && line.endsWith("}"))
+          line.dropRight(1) + f""","elapsed_s":$elapsedS%.0f}"""
+        else line
+      println(stamped)
+      fullOut.foreach { w => w.println(stamped); w.flush() }
     }
+
     val steadyP50 = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // One untimed GLOBAL warm-up pass before any timing: the first
@@ -203,6 +242,39 @@ object Bench {
         (System.nanoTime() - t0) / 1000000},"settled":$settled}""")
     }
 
+    // ---- Driver-environment sanity probe (r10 verdict #3): a fixed
+    // ---- ~50 ms-class CPU-bound task with a band recorded from a quiet
+    // ---- run of THIS machine, measured AFTER the global warm-up + JIT
+    // ---- settle so the sample is contention, not compilation. A
+    // ---- contended sandbox (the r10 capture: a pure-CPU query slowed
+    // ---- 2.3x, 86 s stalls on a 412 ms query, the JVM at 4.8% CPU)
+    // ---- shows up here before any evidence is timed; the run is then
+    // ---- marked contended:true in the final line — self-describing
+    // ---- instead of indistinguishable from regression — and the
+    // ---- iteration counts halve (never exceeding what was requested)
+    // ---- so the run stays inside its wall budget.
+    def probeOnce(): Double = {
+      val t = System.nanoTime()
+      spark.range(0, 40000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1)").head()
+      (System.nanoTime() - t) / 1e6
+    }
+    probeOnce(); probeOnce() // probe-plan codegen warm (untimed)
+    val probeMs = (1 to 3).map(_ => probeOnce()).sorted.apply(1)
+    // Quiet-machine band (median-of-3 after warm, local[32], this repo's
+    // dev sandbox at sys_load <2/32: measured 323 ms — dominated by the
+    // 32-task scheduling floor, which is exactly the surface external
+    // load degrades first). Threshold 2x band.
+    val ProbeBandMs = 330.0
+    val contended = probeMs > 2 * ProbeBandMs
+    val iters = if (contended)
+      math.min(itersRequested, math.max(5, itersRequested / 2))
+    else itersRequested
+    emit(f"""{"block":"env_probe","probe_ms":$probeMs%.1f,""" +
+      f""""band_ms":$ProbeBandMs%.1f,"contended":$contended,""" +
+      s""""iterations_requested":$itersRequested,"iterations":$iters,""" +
+      f""""budget_s":$budgetS%.0f}""")
+
     // Machine-checked flatness (round-10 protocol): a headline series
     // whose p95 exceeds 2x p50, or whose first-half p50 exceeds 1.5x its
     // second-half p50, is NOT steady-state evidence — the r9 official run
@@ -225,7 +297,14 @@ object Bench {
         pct(lat, 0.95) <= 2 * pct(lat, 0.5) && (h2 <= 0 || h1 / h2 <= 1.5)
       }
 
+    // Budget reserve kept for the blocks after the headline pass (cdc +
+    // prepared + dynamic + e2e floors + the final line): past this point
+    // the remaining headline queries are recorded as skipped, not timed.
+    val headlineSkipped = scala.collection.mutable.ArrayBuffer[String]()
     toTime.foreach { name =>
+      if (remainingS < 600 || spark.sparkContext.isStopped) {
+        headlineSkipped += name
+      } else {
       // Adaptive warm-up: minimum two untimed runs (the reference's
       // protocol), then keep warming until the last three warm-up times
       // sit inside a 1.4x max/min band, capped at 8 total — absorbs
@@ -342,12 +421,28 @@ object Bench {
       // iterations of one query — the warm path reuses them, as a resident
       // service would).
       CacheRegistry.releaseAll()
+      }
+    }
+    if (headlineSkipped.nonEmpty) {
+      skips("headline") = s"time_budget: ${headlineSkipped.size} queries " +
+        s"untimed (${headlineSkipped.mkString(",")})"
+      flatnessPass = false // a partial headline pass is not flat evidence
     }
 
-    // Cold single pass over the rest of the catalog.
-    if (only.isEmpty && blockOn("cold")) SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(headline.contains)
-      .foreach { n => perQuery(n) = run(n); CacheRegistry.releaseAll() }
+    // Cold single pass over the rest of the catalog — time-boxed: the
+    // 190+-entry catalog is a wall hog under contention (r10 verdict #1c);
+    // the loop stops at the reserve line and records how many it skipped.
+    if (only.isEmpty && blockOn("cold")) {
+      var coldSkipped = 0
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(headline.contains)
+        .foreach { n =>
+          if (remainingS < 540 || spark.sparkContext.isStopped) coldSkipped += 1
+          else { perQuery(n) = run(n); CacheRegistry.releaseAll() }
+        }
+      if (coldSkipped > 0)
+        skips("cold") = s"time_budget: $coldSkipped catalog queries skipped"
+    }
 
     // S7: CSV result sink in the reference's column layout
     // (scenario, scale_up, depth, p50_ms, p95_ms, p99_ms, tps —
@@ -384,42 +479,82 @@ object Bench {
         s""""rule":"p95<=2x p50 and first-half p50<=1.5x second-half; one retime allowed, both series committed"}""")
     }
 
-    val cdc = if (only.isEmpty && blockOn("cdc")) cdcMetrics(spark, sfDir)
+    // Block gate: a block runs only if the remaining budget clears its
+    // floor (a rough quiet-machine cost) plus the final-line reserve —
+    // otherwise the evidence records an explicit skip. A stopped context
+    // (driver kill mid-run) degrades the same way.
+    def gate(name: String, floorS: Double)(body: => String): String =
+      if (spark.sparkContext.isStopped) {
+        skips(name) = "context_stopped"
+        """{"skipped":"context_stopped"}"""
+      } else if (remainingS < floorS + 60) {
+        skips(name) = "time_budget"
+        f"""{"skipped":"time_budget","floor_s":$floorS%.0f,"remaining_s":$remainingS%.0f}"""
+      } else body
+    def gate2(name: String, floorS: Double)(body: => (String, String))
+        : (String, String) = {
+      val g = gate(name, floorS)(null)
+      if (g != null) (g, g) else body
+    }
+
+    val cdc = if (only.isEmpty && blockOn("cdc")) gate("cdc", 120)(cdcMetrics(spark, sfDir))
               else "{}"
     emit(s"""{"block":"cdc","cdc":$cdc}""")
     val prepared =
       if (only.isEmpty && blockOn("prepared"))
-        preparedMetrics(spark, sfDir, math.max(3, iters / 4))
+        gate("prepared", 60)(preparedMetrics(spark, sfDir, math.max(3, iters / 4)))
       else "{}"
     emit(s"""{"block":"prepared","prepared":$prepared}""")
     val (dyn, dynCompact) =
       if (only.isEmpty && blockOn("dynamic"))
-        dynamicMetrics(spark, sfDir, math.max(3, iters / 4))
+        gate2("dynamic", 120)(dynamicMetrics(spark, sfDir, math.max(3, iters / 4)))
       else ("{}", "{}")
     emit(s"""{"block":"dynamic","dynamic":$dyn}""")
     val (e2e, e2eCompact) =
-      if (only.isEmpty && blockOn("e2e")) e2eMetrics(spark, sfDir)
+      if (only.isEmpty && blockOn("e2e"))
+        gate2("e2e", 150)(e2eMetrics(spark, sfDir, contended))
       else ("{}", "{}")
     emit(s"""{"block":"e2e","e2e":$e2e}""")
+
+    def finalLine(scaleCompact: String, provisional: Boolean): String = {
+      val cs = compact.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val qsHead = perQuery.filter(kv => headline.contains(kv._1))
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val skipped = skips.keys.map(k => s""""$k"""").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsHead,""" +
+        s""""stats":$cs,"e2e":$e2eCompact,"dynamic":$dynCompact,""" +
+        s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
+        s""""flatness_pass":$flatnessPass,"contended":$contended,""" +
+        s""""skipped_blocks":$skipped,"provisional":$provisional,""" +
+        s""""full":"${fullPath.split('/').last}"}"""
+    }
+    // Provisional contract line BEFORE the long multi-decade sweep: if the
+    // harness kills the run mid-sweep, the stdout tail still ends in a
+    // complete, parseable record of everything measured so far (r10's
+    // official record died exactly there).
+    if (only.isEmpty && blockOn("scale")) emit(finalLine("{\"pending\":true}", provisional = true))
+
     val (scale, scaleCompact) =
       if (only.isEmpty && blockOn("scale"))
-        scaleMetrics(spark, math.max(3, iters / 4),
-          perQuery.toMap ++ steadyP50, sfDir)
+        gate2("scale", 300)(scaleMetrics(spark, math.max(3, iters / 4),
+          perQuery.toMap ++ steadyP50, sfDir, () => remainingS))
       else ("{}", "{}")
     emit(s"""{"block":"scale","scale":$scale}""")
+    if (skips.nonEmpty)
+      emit(s"""{"block":"skips","skips":${skips.map { case (k, v) =>
+        s""""$k":"$v"""" }.mkString("{", ",", "}")}}""")
 
-    val cs = compact.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qsHead = perQuery.filter(kv => headline.contains(kv._1))
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val finalLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsHead,""" +
-      s""""stats":$cs,"e2e":$e2eCompact,"dynamic":$dynCompact,""" +
-      s""""scale_ratio_top":$scaleCompact,"iterations":$iters,"sf":"$sfDir",""" +
-      s""""flatness_pass":$flatnessPass,"full":"${fullPath.split('/').last}"}"""
-
-    emit(finalLine)
+    emit(finalLine(scaleCompact, provisional = false))
     fullOut.foreach(_.close())
-    spark.stop()
+    } catch { case e: Throwable =>
+      val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ")
+        .take(200)
+      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},""" +
+        s""""error":"${e.getClass.getSimpleName}","message":"$msg",""" +
+        s""""flatness_pass":false,"aborted":true}""")
+    }
+    try { if (!spark.sparkContext.isStopped) spark.stop() }
+    catch { case _: Throwable => () }
   }
 
   /** Prepared-statement surface timings — the reference's prepare-once /
@@ -494,7 +629,8 @@ object Bench {
     * final contract line).
     */
   private def scaleMetrics(spark: SparkSession, iters: Int,
-      headlineP50Sec: Map[String, Double], mainSfDir: String): (String, String) = {
+      headlineP50Sec: Map[String, Double], mainSfDir: String,
+      remainingS: () => Double = () => Double.MaxValue): (String, String) = {
     // benchdata/ is gitignored, so a fresh checkout loses the generated
     // decade; rebuild it in-session rather than silently shrinking the
     // sweep to three decades. LAZILY, though — just before the sf1 cells
@@ -540,7 +676,17 @@ object Bench {
         scala.collection.mutable.LinkedHashMap[String, Double]]()
       val cellDetail = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.LinkedHashMap[String, String]]()
+      // Per-decade budget floors (quiet-machine costs): a decade that no
+      // longer fits the remaining wall is recorded as skipped, not run
+      // into the driver's kill. sf1 carries its in-session regen cost.
+      val decadeFloorS = Map("sf0.001" -> 60.0, "sf0.01" -> 90.0,
+        "sf0.1" -> 240.0, "sf1" -> 600.0)
+      val skippedDecades = scala.collection.mutable.ArrayBuffer[String]()
       dirs.foreach { d =>
+        if (remainingS() < decadeFloorS.getOrElse(sfName(d), 120.0) + 60 ||
+            spark.sparkContext.isStopped) {
+          skippedDecades += sfName(d)
+        } else {
         if (d == Sf1Dir) regenSf1()
         if (new java.io.File(d).isDirectory) {
         val dirIters = if (sfName(d) == "sf1") math.min(3, iters) else iters
@@ -578,6 +724,7 @@ object Bench {
                 s""","gc_ms":${cells.map(_.gcMs).sum}"""
           }
           CacheRegistry.releaseAll()
+        }
         }
         }
       }
@@ -668,7 +815,9 @@ object Bench {
       }.mkString(",")
       val full =
         s"""{"iterations":$iters,"dirs":${dirs.map(d => s""""${sfName(d)}"""")
-          .mkString("[", ",", "]")},"p50_ms":$p50Json,"ratio":{$ratioJson},""" +
+          .mkString("[", ",", "]")},"skipped_decades":${skippedDecades
+          .map(d => s""""$d"""").mkString("[", ",", "]")},""" +
+          s""""p50_ms":$p50Json,"ratio":{$ratioJson},""" +
           s""""selfcheck":$selfJson,"decade_check":$decadeJson,""" +
           s""""detail":$detailJson,""" +
           s""""note":"documents/embeddings are 500 rows at both sf0.001 and sf0.01 (5000/2000 at sf0.1), so pipeline ratios across the lower decades track corpus size, not sf; sf1 replicates both corpora 10x into copy-disjoint blocks, so sf1/sf0.1 is the honest pipeline scale ratio"}"""
@@ -716,8 +865,8 @@ object Bench {
     * Returns (full block JSON, compact segment-p50/p95 JSON for the final
     * contract line).
     */
-  private[graft] def e2eMetrics(spark: SparkSession, sfDir: String)
-      : (String, String) = {
+  private[graft] def e2eMetrics(spark: SparkSession, sfDir: String,
+      contended: Boolean = false): (String, String) = {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcStream
     val dir = new java.io.File(s"target/bench_e2e_${System.nanoTime()}")
@@ -759,8 +908,10 @@ object Bench {
         graft.Tables.events(spark, sfDir).cache())
       // 20 batch clocks: segment latencies take ~20 distinct values, so
       // p95 separates from max (the r7 5-batch staging left p95==max —
-      // flagged as a resolution artifact, fixed by resolution).
-      val nBatches = 20
+      // flagged as a resolution artifact, fixed by resolution). Under a
+      // contended sandbox the block halves to 10 batches — it is one of
+      // the two wall hogs the r10 budget post-mortem named.
+      val nBatches = if (contended) 10 else 20
 
       sampler.start()
       val cfg = graft.GraftConfig(cdcSource = "file",
@@ -827,12 +978,40 @@ object Bench {
       val cpus = snap.map(_._1).sorted
       val mems = snap.map(_._2).sorted
       def mean(a: Array[Double]) = if (a.isEmpty) 0.0 else a.sum / a.length
+      // RSS composition + cap (r10 verdict #4): the driver's r10 capture
+      // read 79 GB average RSS against 9.2 GB in the committed run of the
+      // same code — with the bench JVM forked at -Xmx8g, such a resident
+      // set cannot be heap; the suspects are file-backed mappings (mmap'd
+      // shuffle/parquet under page-cache pressure) vs anonymous native
+      // (malloc-arena bloat, direct buffers). smaps_rollup splits the two
+      // IN the evidence, and a configurable cap turns a silent near-OOM
+      // into a loud alert — without failing the run (rc 0 is the
+      // contract; the alert is the evidence).
+      val (anonMb, fileMb) = try {
+        val src = scala.io.Source.fromFile("/proc/self/smaps_rollup")
+        try {
+          val m = src.getLines().flatMap { l =>
+            val p = l.split("\\s+")
+            if (p.length >= 2 && (l.startsWith("Anonymous:") ||
+              l.startsWith("Shared_Clean:") || l.startsWith("Private_Clean:")))
+              Some(p(0).dropRight(1) -> p(1).toDouble / 1024) else None
+          }.toMap
+          (m.getOrElse("Anonymous", -1.0),
+            m.getOrElse("Shared_Clean", 0.0) + m.getOrElse("Private_Clean", 0.0))
+        } finally src.close()
+      } catch { case _: Exception => (-1.0, -1.0) }
+      val rssMax = if (mems.isEmpty) 0.0 else mems.last
+      val rssCapMb = sys.env.getOrElse("SPARK_GRAFT_RSS_CAP_MB", "24576").toDouble
+      val rssAlert = rssMax > rssCapMb
       val res =
         f""""resource":{"samples":${snap.length},""" +
           f""""cpu_avg_pct":${mean(cpus)}%.1f,"cpu_max_pct":${if (cpus.isEmpty) 0.0 else cpus.last}%.1f,""" +
           f""""cpu_p95_pct":${pct(cpus, 0.95)}%.1f,""" +
-          f""""rss_avg_mb":${mean(mems)}%.1f,"rss_max_mb":${if (mems.isEmpty) 0.0 else mems.last}%.1f,""" +
-          f""""rss_p95_mb":${pct(mems, 0.95)}%.1f}"""
+          f""""rss_avg_mb":${mean(mems)}%.1f,"rss_max_mb":$rssMax%.1f,""" +
+          f""""rss_p95_mb":${pct(mems, 0.95)}%.1f,""" +
+          f""""rss_anon_mb":$anonMb%.1f,"rss_file_mapped_mb":$fileMb%.1f,""" +
+          f""""heap_max_mb":${Runtime.getRuntime.maxMemory / 1048576}%d,""" +
+          f""""rss_cap_mb":$rssCapMb%.0f,"rss_alert":$rssAlert}"""
       // Compact form for the tail-capped final line: per-segment arrays in
       // the order capture_to_broker, broker_to_apply, end_to_end.
       def arr(off: Int): String =
