@@ -14,7 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle): empty strings score 0, match window ⌊max(|a|,|b|)/2⌋−1,
   * greedy left-to-right matching, transpositions = half the
   * matched-but-different count, Winkler prefix boost (ℓ ≤ 4, p = 0.1)
-  * applied only when jaro > 0.7.
+  * applied only when jaro > 0.7. The empty-string edge is probed, not
+  * assumed: DuckDB 1.0.0 scores ('',''), ('','a') and ('a','') all
+  * 0.0 — NOT the RapidFuzz convention of 1.0 for two empties — and the
+  * kernel matches (FunctionsSpec pins all three).
   *
   * The loop is too branchy to inline profitably, so codegen emits a
   * call to the static [[JaroWinkler.similarity]] kernel — the standard

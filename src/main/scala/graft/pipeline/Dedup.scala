@@ -428,7 +428,10 @@ object Dedup {
         docs.select(col(idCol), col(textCol), keyCol.as("__snm_key")),
         Seq(col("__snm_key"), col(idCol)), "__rn")
       .select(col(idCol), col("__rn"),
-        array_distinct(split(col(textCol), " ")).as("__ws"))
+        // Shared tokenization with the other dedup verifiers (Dedup.words,
+        // \s+): a tab/newline/double space must not make d26's Jaccard
+        // disagree with d4/d25's on the same pair.
+        array_distinct(words(col(textCol))).as("__ws"))
     val left = ranked
       .select(col("__rn"), col(idCol).as("doc_a"), col("__ws").as("__wa"))
       .withColumn("__rn_b",

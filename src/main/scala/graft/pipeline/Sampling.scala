@@ -123,7 +123,14 @@ object Sampling {
         md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
         16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
-    df.withColumn("ekey", -log(lit(1.0) - uni) / col(weightCol))
+    // A-ES is only defined for w > 0: a negative weight's exponential
+    // key sorts ahead of every valid key (deterministically forcing the
+    // row into the sample) and w = 0 yields ±Inf/NaN keys. Rows outside
+    // the contract are excluded rather than silently mis-ranked — the
+    // distributed analogue of the k > 0 require (a row-level require
+    // can't fail fast across executors without an action).
+    df.filter(col(weightCol) > 0)
+      .withColumn("ekey", -log(lit(1.0) - uni) / col(weightCol))
       .orderBy(col("ekey"), col(idCol))
       .limit(k)
   }

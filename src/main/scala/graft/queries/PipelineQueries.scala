@@ -1075,7 +1075,7 @@ object PipelineQueries {
         |    ORDER BY substr(lower(text), 1, 24), doc_id) AS rn
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, rn, list_distinct(string_split(text, ' ')) AS ws
+        |  SELECT doc_id, rn, list_distinct(string_split_regex(text, '\s+')) AS ws
         |  FROM r),
         |c AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db,

@@ -120,8 +120,11 @@ object Snapshot {
     * join on the key (the operator's shuffle optimum, same argument as
     * [[merge]]); payload comparison is a single null-safe struct
     * equality (`<=>`), so genuinely-NULL fields compare equal instead of
-    * poisoning the diff. Emits the old snapshot's columns plus
-    * `diff_status`; callers aggregate or filter from there.
+    * poisoning the diff. Emits the KEY columns plus `diff_status` —
+    * deliberately not the payloads (a 100 TB diff result that carries
+    * both row images is another full copy of the table); callers
+    * aggregate or filter from there and join a payload back by key if
+    * they need one.
     *
     * Both inputs must share the schema; key columns must be non-null on
     * the side they exist (standard snapshot contract, enforced by the

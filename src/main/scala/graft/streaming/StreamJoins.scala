@@ -36,8 +36,8 @@ object StreamJoins {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermarkDelay)
     p.join(c, expr(
-      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
-        "SECONDS AND c_ts <= p_ts"))
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs} " +
+        "MILLISECONDS AND c_ts <= p_ts"))
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"))
   }
@@ -62,8 +62,8 @@ object StreamJoins {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermarkDelay)
     p.join(c, expr(
-      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
-        "SECONDS AND c_ts <= p_ts"), "left_outer")
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs} " +
+        "MILLISECONDS AND c_ts <= p_ts"), "left_outer")
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"))
   }
@@ -90,8 +90,8 @@ object StreamJoins {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermarkDelay)
     p.join(c, expr(
-      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs / 1000} " +
-        "SECONDS AND c_ts <= p_ts"), "full_outer")
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL ${beforeMs} " +
+        "MILLISECONDS AND c_ts <= p_ts"), "full_outer")
       .select(col("event_id"), coalesce(col("p_user"), col("c_user"))
           .as("user_id"), col("p_ts"), col("c_ts"))
   }

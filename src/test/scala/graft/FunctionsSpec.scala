@@ -247,10 +247,14 @@ class CryptoSpec extends AnyFunSuite {
     // Boost threshold is EXCLUSIVE at 0.7: jaro('ax','az') = 2/3 with a
     // 1-char prefix — a boosted value would be 0.7.
     assert(similarity("ax", "az") == 2.0 / 3.0)
-    // DuckDB conventions: empty strings score 0 (not 1); odd
-    // matched-but-different counts FLOOR on halving (dacebcca/aecda has
-    // 3 mismatched matches -> t=1, not 1.5).
-    assert(similarity("", "") == 0.0 && similarity("", "abc") == 0.0)
+    // DuckDB conventions: empty strings score 0 (not the RapidFuzz 1.0
+    // for two empties) — probed directly in DuckDB 1.0.0:
+    // jaro_winkler_similarity('','') = jaro_winkler_similarity('','a')
+    // = jaro_winkler_similarity('a','') = 0.0. Odd matched-but-different
+    // counts FLOOR on halving (dacebcca/aecda has 3 mismatched matches
+    // -> t=1, not 1.5).
+    assert(similarity("", "") == 0.0 && similarity("", "abc") == 0.0 &&
+      similarity("abc", "") == 0.0)
     assert(math.abs(similarity("dacebcca", "aecda") - 0.8083333333333333) < 1e-12)
     assert(similarity("abc", "abc") == 1.0)
     // Symmetry on random strings.
