@@ -261,11 +261,18 @@ object Bench {
     }
     probeOnce(); probeOnce() // probe-plan codegen warm (untimed)
     val probeMs = (1 to 3).map(_ => probeOnce()).sorted.apply(1)
-    // Quiet-machine band (median-of-3 after warm, local[32], this repo's
-    // dev sandbox at sys_load <2/32: measured 323 ms — dominated by the
-    // 32-task scheduling floor, which is exactly the surface external
-    // load degrades first). Threshold 2x band.
-    val ProbeBandMs = 330.0
+    // Quiet-machine band (local[32], this repo's dev sandbox at
+    // sys_load <2/32): in the official protocol position — after the
+    // full two-pass headline warm-up + JIT settle — the probe measured
+    // 104 ms (r11 full run); in lightly-warmed filtered runs it reads
+    // ~270-320 ms (residual JIT). The band is set for the OFFICIAL
+    // position: 120 ms, threshold 2x. The asymmetry is deliberate — a
+    // false "contended" merely halves iterations and says so in the
+    // evidence, while a missed r10-grade contention (2-3x CPU slowdown
+    // → probe 300+ ms) ships another sick official record. Filtered
+    // dev runs may read contended:true spuriously; they are not
+    // official evidence (BENCH_DEBUG sidecar).
+    val ProbeBandMs = 120.0
     val contended = probeMs > 2 * ProbeBandMs
     val iters = if (contended)
       math.min(itersRequested, math.max(5, itersRequested / 2))
