@@ -295,6 +295,12 @@ object Dedup {
     // regardless.
     // Cached: the window chain above it feeds BOTH sides of the self-join —
     // uncached it would execute twice per action.
+    // PPJoin's positional/size filters are deliberately NOT applied here
+    // (they ARE in [[containmentPairs]]): measured at sf0.1, the
+    // prefix-prefix self-join at t = 0.9 yields so few candidates that
+    // carrying (sz, rank) through the cache and join cost 33% MORE wall
+    // (738 → 984 ms) than the pruning saved. The filters pay only when
+    // one join side is fully indexed (containment's 2.9x win below).
     val prefix = graft.CacheRegistry.register(toks.join(dfreq, "w")
       .withColumn("rank", row_number().over(byRarity))
       .filter(col("rank") <=
@@ -379,15 +385,31 @@ object Dedup {
       size(col("ws")).as("sz"), explode(col("ws")).as("w"))
     val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("w"))
-    val prefix = toks.join(dfreq, "w")
+    // Ranked once, cached: the probe prefix AND the fully-indexed b side
+    // both need (sz, rank) for the PPJoin pruning below — previously the
+    // b side read bare tokens and every shared token became a candidate.
+    val ranked = graft.CacheRegistry.register(toks.join(dfreq, "w")
       .withColumn("rank", row_number().over(byRarity))
-      .filter(col("rank") <=
-        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1))
-      .select(col(blockCol), col(idCol), col("w"))
-    val cand = prefix.select(col(blockCol), col(idCol).as("doc_a"), col("w"))
-      .join(toks.select(col(blockCol), col(idCol).as("doc_b"), col("w")),
+      .select(col(blockCol), col(idCol), col("sz"), col("w"), col("rank"))
+      .cache())
+    val prefix = ranked.filter(col("rank") <=
+      col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1))
+    // One-sided PPJoin pruning (same soundness argument as in
+    // [[ngramJaccard]]; the verify is exact either way): containment
+    // needs inter ≥ α_a = ⌈t·|a|⌉, so
+    //  - size filter: |b| ≥ α_a (b cannot contain more of a than b has),
+    //  - positional filter: a shared token at ranks (i, j) under the one
+    //    global rarity order bounds inter by min(i, j) + min(|a|−i, |b|−j).
+    val alphaA = ceil(col("sz_a") * lit(threshold) - lit(1e-9))
+    val cand = prefix.select(col(blockCol), col(idCol).as("doc_a"),
+        col("sz").as("sz_a"), col("w"), col("rank").as("rk_a"))
+      .join(ranked.select(col(blockCol), col(idCol).as("doc_b"),
+        col("sz").as("sz_b"), col("w"), col("rank").as("rk_b")),
         Seq(blockCol, "w"))
       .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sz_b") >= alphaA)
+      .filter(least(col("rk_a"), col("rk_b")) +
+        least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) >= alphaA)
       .select(col("doc_a"), col("doc_b")).distinct()
       .repartition(
         scala.util.Try(docs.sparkSession.conf
