@@ -522,6 +522,18 @@ object PipelineQueries {
         window = 16, stride = 12)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** D31: content-defined chunking (k-gram fingerprint boundaries,
+    * k = 3, divisor 8 ≈ 8-token expected chunks) — the shift-invariant
+    * chunker whose boundaries re-synchronize after an edit
+    * ([[graft.pipeline.Chunking.contentDefinedChunks]]). The oracle
+    * recomputes the identical boundary predicate and chunk md5 in
+    * DuckDB, so the gate pins the fingerprint arithmetic, the span
+    * construction, AND the chunk content hash cross-engine.
+    */
+  def d31ContentChunks(spark: SparkSession, d: String): DataFrame =
+    Chunking.contentDefinedChunks(Tables.documents(spark, d))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** D14: temperature-smoothed language mixture (alpha 0.5, 1M-token
     * budget) — per-language natural share, smoothed weight, and quota
     * ([[graft.pipeline.Mixing]]).
@@ -822,6 +834,7 @@ object PipelineQueries {
     "t11_edit_distance" -> t11EditDistance,
     "d12_token_shards" -> d12TokenShards,
     "d13_chunk_overlap" -> d13ChunkOverlap,
+    "d31_content_chunks" -> d31ContentChunks,
     "d14_mix_weights" -> d14MixWeights,
     "d15_token_cap" -> d15TokenCap,
     "d10_chunk_shared" -> d10ChunkShared,
@@ -1495,6 +1508,35 @@ object PipelineQueries {
         |  w[chunk_idx * 12 + 1] AS first_tok,
         |  w[chunk_idx * 12 + least(16, nt - chunk_idx * 12)] AS last_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Mirrors the engine's boundary predicate exactly: the ('0x' ||
+    // substr(md5, 1, 4))::BIGINT hex-parse is the proven d7/t4 idiom for
+    // Spark's conv(substring(md5, 1, 4), 16, 10); the cumulative
+    // boundary count uses the proven d12/d15 window frame; the chunk
+    // hash re-derives from list(tok ORDER BY j) (the u12 idiom).
+    "d31_content_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |    len(string_split_regex(text, '\s+')) AS n
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, n, w, unnest(range(1, n + 1)) AS j FROM t),
+        |b AS (
+        |  SELECT doc_id, j, w[j] AS tokj,
+        |    CASE WHEN j >= 3 AND j <= n - 1 AND
+        |      ('0x' || substr(md5(array_to_string(w[j-2:j], ' ')), 1, 4))::BIGINT
+        |        % 8 = 0
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, j, tokj,
+        |    CAST(COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cid
+        |  FROM b)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_idx,
+        |  CAST(count(*) AS INT) AS n_tokens,
+        |  md5(array_to_string(list(tokj ORDER BY j), ' ')) AS chunk_hash
+        |FROM c GROUP BY doc_id, cid ORDER BY doc_id, chunk_idx""".stripMargin,
     "d14_mix_weights" ->
       """WITH g AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -65,6 +65,45 @@ class CurationOpsSpec extends AnyFunSuite {
       "slidingChunks must not shuffle")
   }
 
+  test("content-defined chunks: cover every token, re-synchronize after an edit") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(400)("w" + rnd.nextInt(50)).mkString(" ")
+    def chunksOf(text: String): Seq[(Int, Int, String)] =
+      Chunking.contentDefinedChunks(docsOf(Seq(text)))
+        .select("chunk_idx", "n_tokens", "chunk_hash")
+        .as[(Int, Int, String)].collect().toSeq.sortBy(_._1)
+    val orig = chunksOf(base)
+    // Coverage: contiguous ids from 0, token counts sum to the doc.
+    assert(orig.map(_._1) == orig.indices)
+    assert(orig.map(_._2).sum == 400)
+    assert(orig.forall(_._2 >= 1))
+    assert(orig.size > 10, "divisor 8 over 400 tokens must cut many chunks")
+    // Shift invariance — THE property position-based chunking lacks:
+    // prepend tokens and every chunk after the first re-synchronized
+    // boundary hashes identically, so chunk-hash dedup still matches the
+    // unedited remainder. The first boundary depends only on a k-gram
+    // (k = 3), so at most the head chunk (plus the k-gram straddle) can
+    // differ; compare as multisets of hashes.
+    val edited = chunksOf("zzz qqq " + base)
+    val origH = orig.map(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val editH = edited.map(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val shared = origH.map { case (h, n) => math.min(n, editH.getOrElse(h, 0)) }.sum
+    assert(shared >= orig.size - 2,
+      s"edit must only perturb the head chunk: ${orig.size} chunks, $shared survived")
+    // Determinism under repartitioning (chunk identity is a pure function
+    // of content).
+    val repart = Chunking.contentDefinedChunks(
+        docsOf(Seq(base)).repartition(7))
+      .select("chunk_idx", "n_tokens", "chunk_hash")
+      .as[(Int, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(repart == orig)
+    // Map-side generator like slidingChunks: no shuffle.
+    val plan = Chunking.contentDefinedChunks(docsOf(Seq(base)))
+      .queryExecution.executedPlan
+    assert(!collectLeaves(plan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "contentDefinedChunks must not shuffle")
+  }
+
   test("mixture weights: alpha=1 is the natural distribution, sums hold") {
     val docs = Seq(
       ("en", Seq.fill(80)("w").mkString(" ")),
