@@ -346,6 +346,25 @@ object PipelineQueries {
         lit(IvfRecallFloor).as("recall_floor"),
         (col("recall") >= IvfRecallFloor).as("meets_floor"))
 
+  /** PQ-ADC top-k ([[Similarity.pqTopK]], m=8 subspaces × 16 codes over
+    * the 64-dim corpus). Approximate by construction → rows-only gate;
+    * the quality pin is [[annPqRecall]] against the exact Euclidean
+    * top-k (PQ approximates L2, so the baseline is
+    * [[Similarity.bruteForceTopKL2]], not the cosine ann_topk).
+    */
+  def annPqTopk(spark: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
+
+  val PqRecallFloor = 0.5
+
+  def annPqRecall(spark: SparkSession, d: String): DataFrame =
+    Similarity.recallAtK(
+      Similarity.bruteForceTopKL2(Tables.embeddings(spark, d), 0L, 10),
+      annPqTopk(spark, d), "pq")
+      .select(col("method"), col("k"),
+        lit(PqRecallFloor).as("recall_floor"),
+        (col("recall") >= PqRecallFloor).as("meets_floor"))
+
   /** Pair-level recall of the LSH candidate-generation near-dup path
     * ([[Similarity.cosinePairs]]) against the exact all-pairs form, on the
     * same block/threshold as `d5_embed_cosine`. The oracle derives the
@@ -814,6 +833,8 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
+    "ann_pq_topk" -> annPqTopk,
+    "ann_pq_recall" -> annPqRecall,
     "d5_cosine_lsh_recall" -> d5CosineLshRecall,
     "d2_minhash_recall" -> d2MinhashRecall,
     "t1_langid" -> t1LangId,
@@ -1232,6 +1253,19 @@ object PipelineQueries {
     "d3_simhash" -> d3SimhashOracle(16),
     "ann_lsh_topk" -> annLshTopkOracle,
     "ann_lsh_recall" -> annLshRecallOracle,
+    // Like ann_ivf_recall: the oracle re-derives the exact baseline's k
+    // (here the EUCLIDEAN top-k — the metric PQ approximates) and pins
+    // meets_floor at true; Spark's meets_floor is computed from its own
+    // measured recall, so a degraded quantizer reds this gate.
+    "ann_pq_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ex AS (
+        |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
+        |  WHERE w.vec_id <> 0
+        |  ORDER BY round(list_distance(w.e, q.e), 4) ASC, w.vec_id
+        |  LIMIT 10)
+        |SELECT 'pq' AS method, (SELECT count(*) FROM ex)::INT AS k,
+        |  CAST(0.5 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
     "ann_ivf_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (

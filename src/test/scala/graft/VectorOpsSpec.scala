@@ -86,4 +86,57 @@ class VectorOpsSpec extends AnyFunSuite {
     // Endpoints must reconstruct exactly (codes 0 and 255).
     assert(d1._4 < d1._5 * 1.0000001)
   }
+
+  test("pq: ADC equals distance-to-reconstruction; codes bounded; deterministic") {
+    // 16-dim corpus, m=4 subspaces of 4 dims, 4 codes each. Random but
+    // seeded; enough points that every centroid attracts members.
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(vecs, m = 4, codebookSize = 4, dim = 16)
+    assert(cbs.length == 4 && cbs.forall(_.length == 4) &&
+      cbs.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(vecs, cbs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 60 * 4, "one code per (vector, subspace)")
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+    // The ADC identity: sum over subspaces of the q->centroid table
+    // lookups IS the exact squared distance from q to the vector's
+    // reconstruction. Recompute both driver-side from the same codes.
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qId = 0L
+    val adc = Similarity.pqAdcScores(vecs, qId, 4, 4, 16, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = raw(qId)
+    raw.keys.filter(_ != qId).foreach { id =>
+      val recon = (0 until 4).flatMap(s => cbs(s)(codes((id, s)))).toArray
+      val d2 = q.indices.map(i => (q(i) - recon(i)) * (q(i) - recon(i))).sum
+      assert(math.abs(adc(id) - d2) < 1e-9 * (1 + d2),
+        s"ADC must equal ||q - recon||^2 for vec $id")
+    }
+    // Encoding is the argmin: no other code gives a smaller distance to
+    // the vector's own subvector (ties broken toward the smaller code).
+    raw.keys.foreach { id =>
+      (0 until 4).foreach { s =>
+        val sub = raw(id).slice(s * 4, s * 4 + 4)
+        def d2(c: Array[Double]) =
+          sub.indices.map(i => (sub(i) - c(i)) * (sub(i) - c(i))).sum
+        val chosen = d2(cbs(s)(codes((id, s))))
+        cbs(s).zipWithIndex.foreach { case (c, k) =>
+          assert(d2(c) > chosen - 1e-12 ||
+            (math.abs(d2(c) - chosen) < 1e-12 && k >= codes((id, s))))
+        }
+      }
+    }
+    // Determinism: a second run (fresh plan, same seed) returns the same
+    // top-k; and the rerank output is a subset of the exact metric's
+    // ordering semantics (dist ascending).
+    val t1 = Similarity.pqTopK(vecs, qId, 5, m = 4, codebookSize = 4,
+      dim = 16, shortlist = 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val t2 = Similarity.pqTopK(vecs, qId, 5, m = 4, codebookSize = 4,
+      dim = 16, shortlist = 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(t1.toSeq == t2.toSeq)
+    assert(t1.map(_._2).toSeq == t1.map(_._2).sorted.toSeq)
+  }
 }
