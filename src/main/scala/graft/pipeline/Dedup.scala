@@ -590,6 +590,43 @@ object Dedup {
           .as("n_shared"))
   }
 
+  /** D32: near-duplicate pairs by shared CONTENT-DEFINED chunks — the
+    * end-to-end consumer of [[Chunking.contentDefinedChunks]]: because
+    * those boundaries re-synchronize after edits, two documents that
+    * share any long-enough run of text share its interior chunks
+    * verbatim, so "≥ `minShared` common chunk hashes" finds
+    * partial-overlap duplicates that doc-level hashing (d1) misses and
+    * fixed-stride chunking (d10) only catches when the copies happen to
+    * be stride-aligned.
+    *
+    * Scale shape: chunks shuffle by hash (fixed-width keys, no text);
+    * hashes are pre-filtered to 2 ≤ df ≤ `maxDf` BEFORE the pair join —
+    * df=1 can't pair, and df > maxDf is corpus boilerplate whose
+    * C(df,2) fan-out would dominate the join while signaling template
+    * reuse, not duplication (the same hot-key reasoning as the rarity
+    * prefix in [[ngramJaccard]]). Pair fan-out is then Σ C(df,2) over
+    * capped dfs; the final aggregate keys on the pair.
+    */
+  def cdcSharedPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 50,
+      k: Int = 3, divisor: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
+    val chunks = Chunking.contentDefinedChunks(docs, k, divisor, idCol, textCol)
+      .select(col(idCol), col("chunk_hash")).distinct()
+    val dfreq = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("chunk_hash"))
+    val keep = chunks.join(dfreq, "chunk_hash")
+    keep.select(col("chunk_hash"), col(idCol).as("doc_a"))
+      .join(keep.select(col("chunk_hash"), col(idCol).as("doc_b")), "chunk_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Max pairs collected to the driver by [[componentsAuto]]'s small
     * tier; above this the delta iteration runs. Same bounded-driver-read
     * contract as [[graft.graph.Closure.DefaultMaxEdges]].

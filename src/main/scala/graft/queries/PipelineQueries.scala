@@ -553,6 +553,15 @@ object PipelineQueries {
     Chunking.contentDefinedChunks(Tables.documents(spark, d))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** D32: partial-overlap near-dup pairs via shared content-defined
+    * chunks (≥ 3 common chunk hashes, boilerplate df-capped at 50) —
+    * the end-to-end consumer of d31's shift-invariant boundaries
+    * ([[graft.pipeline.Dedup.cdcSharedPairs]]).
+    */
+  def d32CdcShared(spark: SparkSession, d: String): DataFrame =
+    Dedup.cdcSharedPairs(Tables.documents(spark, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** D14: temperature-smoothed language mixture (alpha 0.5, 1M-token
     * budget) — per-language natural share, smoothed weight, and quota
     * ([[graft.pipeline.Mixing]]).
@@ -856,6 +865,7 @@ object PipelineQueries {
     "d12_token_shards" -> d12TokenShards,
     "d13_chunk_overlap" -> d13ChunkOverlap,
     "d31_content_chunks" -> d31ContentChunks,
+    "d32_cdc_shared" -> d32CdcShared,
     "d14_mix_weights" -> d14MixWeights,
     "d15_token_cap" -> d15TokenCap,
     "d10_chunk_shared" -> d10ChunkShared,
@@ -1571,6 +1581,42 @@ object PipelineQueries {
         |  CAST(count(*) AS INT) AS n_tokens,
         |  md5(array_to_string(list(tokj ORDER BY j), ' ')) AS chunk_hash
         |FROM c GROUP BY doc_id, cid ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Re-derives d31's chunks in SQL, then the pair join with the same
+    // 2 <= df <= 50 pre-filter and the >= 3 shared floor.
+    "d32_cdc_shared" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |    len(string_split_regex(text, '\s+')) AS n
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, n, w, unnest(range(1, n + 1)) AS j FROM t),
+        |b AS (
+        |  SELECT doc_id, j, w[j] AS tokj,
+        |    CASE WHEN j >= 3 AND j <= n - 1 AND
+        |      ('0x' || substr(md5(array_to_string(w[j-2:j], ' ')), 1, 4))::BIGINT
+        |        % 8 = 0
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, j, tokj,
+        |    CAST(COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cid
+        |  FROM b),
+        |ch AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list(tokj ORDER BY j), ' ')) AS h
+        |  FROM c GROUP BY doc_id, cid),
+        |f AS (
+        |  SELECT h FROM ch GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS INT) AS n_shared
+        |  FROM ch a JOIN f USING (h) JOIN ch b USING (h)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d14_mix_weights" ->
       """WITH g AS (
         |  SELECT lang, count(*) AS n_docs,
