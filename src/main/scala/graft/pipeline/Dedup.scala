@@ -612,13 +612,19 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(minShared > 0, s"minShared must be positive, got $minShared")
     require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
-    val chunks = Chunking.contentDefinedChunks(docs, k, divisor, idCol, textCol)
-      .select(col(idCol), col("chunk_hash")).distinct()
+    // Cached (the ngramJaccard `sets` discipline): the chunk artifact
+    // feeds the df count AND both pair-join sides — uncached, the plan
+    // re-reads and re-chunks the CORPUS once per consumer (explain
+    // showed 4 parquet scans; with the cache, one).
+    val chunks = graft.CacheRegistry.register(
+      Chunking.contentDefinedChunks(docs, k, divisor, idCol, textCol)
+        .select(col(idCol), col("chunk_hash")).distinct().cache())
     val dfreq = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("chunk_hash"))
-    val keep = chunks.join(dfreq, "chunk_hash")
+    val keep = graft.CacheRegistry.register(
+      chunks.join(dfreq, "chunk_hash").cache())
     keep.select(col("chunk_hash"), col(idCol).as("doc_a"))
       .join(keep.select(col("chunk_hash"), col(idCol).as("doc_b")), "chunk_hash")
       .filter(col("doc_a") < col("doc_b"))
