@@ -78,6 +78,36 @@ object StreamQueries {
         col("n_events"))
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** W12: DYNAMIC-gap sessionization — `session_window` with a
+    * per-event gap expression (purchases hold a session open 45 min,
+    * everything else 20: the "heavier intent extends the session"
+    * product rule), the session-window variant the fixed-gap w2 cannot
+    * express. The oracle re-derives the merge semantics independently
+    * as a RUNNING-MAX formulation: a session's end is max(tsᵢ + gapᵢ)
+    * over its events, and an event at ts ≥ that running end starts a
+    * new session — pinning Spark's merge-on-overlap state logic
+    * against classical window SQL. The EXACT-TOUCH boundary (ts ==
+    * running end) is deliberately outside the pin: building the spec
+    * showed Spark's outcome there is physical-layout-dependent (see
+    * StreamJoinsSpec), and both corpora were probed to contain zero
+    * exact-touch events, so the oracle's ≥ choice is unobservable.
+    * Same scale shape as w2: one shuffle on user_id, merging
+    * partition-local; `StreamJoinsSpec` drives the identical
+    * expression through MemoryStream and pins streaming ≡ batch on
+    * touch-free data.
+    */
+  def w12DynSessionWindow(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("45 minutes"))
+          .otherwise(lit("20 minutes"))), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+
   /** W3: watermark late-data semantics as a batch twin. Structured
     * Streaming's event-time watermark is `max(event time seen) - delay`,
     * and a stateful aggregation drops rows older than it. This gate
@@ -313,6 +343,7 @@ object StreamQueries {
     "s4_replay_stats_sharded" -> s4ReplayStatsSharded,
     "w1_tumbling_counts" -> w1TumblingCounts,
     "w2_session_window" -> w2SessionWindow,
+    "w12_dyn_session" -> w12DynSessionWindow,
     "w3_late_drop" -> w3LateDrop,
     "w4_sliding_counts" -> w4SlidingCounts,
     "w5_stream_join_twin" -> w5StreamJoinTwin,
@@ -331,6 +362,36 @@ object StreamQueries {
         |  CAST(COALESCE(sum(gap_ms) FILTER (WHERE gap_ms >= 1800000), 0)
         |    AS BIGINT) AS idle_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Running-max twin of session_window's merge semantics: run_end is
+    // the max (ts + gap) of all PRIOR events (the proven d12/d15 frame;
+    // max of BIGINT stays BIGINT — no HUGEINT), an event at ts >=
+    // run_end opens a new island. Tie-order safe: equal-ms events merge
+    // into the same island under either order, and the aggregates are
+    // group-level.
+    "w12_dyn_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |    CASE WHEN event_type = 'purchase' THEN 2700000
+        |      ELSE 1200000 END AS gap
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ms, gap,
+        |    max(ms + gap) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM e),
+        |b AS (
+        |  SELECT user_id, ms, gap,
+        |    CASE WHEN run_end IS NULL OR ms >= run_end THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM r),
+        |s AS (
+        |  SELECT user_id, ms, gap,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ms) AS start_ms, max(ms + gap) AS end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
     "w9_window_topk" ->
       """WITH w AS (
         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000)

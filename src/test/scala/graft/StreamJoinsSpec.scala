@@ -208,4 +208,63 @@ class StreamJoinsSpec extends AnyFunSuite {
         "exactly one streaming source")
     } finally q.stop()
   }
+
+  test("dynamic-gap session window: streaming equals batch, boundaries pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    def sessionize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("45 minutes"))
+          .otherwise(lit("20 minutes"))), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3))
+    def min(m: Long) = base.getTime + m * 60000L
+    def streamed(events: Seq[(Long, String, java.sql.Timestamp)],
+        name: String): Set[(Long, Long, Long, Long)] = {
+      val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = sessionize(src.toDF().toDF("user_id", "event_type", "ts"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.nonEmpty,
+          "streaming session window must hold merge state")
+        spark.table(name).collect().map(key).toSet
+      } finally q.stop()
+    }
+    // Parity case (no exact-touch boundaries): click@0 opens [0,20);
+    // purchase@15 merges and holds to 60; click@55 merges (55 < 60)
+    // extending to 75; click@76 falls past the end — new session.
+    // User 2: click@21 past click@0's end (new), purchase@39 merges
+    // into the second session and stretches it to 84.
+    val events = Seq(
+      (1L, "click", ts(0)), (1L, "purchase", ts(15)),
+      (1L, "click", ts(55)), (1L, "click", ts(76)),
+      (2L, "click", ts(0)), (2L, "click", ts(21)),
+      (2L, "purchase", ts(39)))
+    val batch = sessionize(
+      events.toDF("user_id", "event_type", "ts")).collect().map(key).toSet
+    assert(streamed(events, "w12_stream") == batch,
+      "streaming dynamic-gap sessions and their batch twin diverged")
+    assert(batch == Set(
+      (1L, min(0), min(75), 3L), (1L, min(76), min(96), 1L),
+      (2L, min(0), min(20), 1L), (2L, min(21), min(84), 2L)))
+    // Deliberately NOT pinned: an event at EXACTLY a session's end
+    // (start == end, zero overlap). Building this test surfaced that
+    // Spark's outcome there is PHYSICAL-LAYOUT-DEPENDENT — from the
+    // same batch API in the same JVM, a 7-event dataset split the
+    // touching pair while a 2-event dataset (and the streaming state
+    // manager) merged it; the local pre-merge and final merge paths
+    // disagree on the boundary. A spec must not pin unstable upstream
+    // behavior, so the operator's documented contract is: exact-touch
+    // behavior is UNSPECIFIED. The w12 gate is unaffected in practice —
+    // probed both corpora (sf0.01 and sf1): zero events land on an
+    // exact whole-ms session end (same latent class the long-green w2
+    // fixed-gap gate carries).
+  }
 }
