@@ -152,6 +152,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Filtered runs (SPARK_GRAFT_ONLY / SPARK_GRAFT_BLOCKS — dev/forensic
+    // protocol) must never overwrite the official full-run evidence: a
+    // debug rerun silently replacing BENCH_FULL.jsonl with empty blocks
+    // is exactly the kind of evidence corruption the round-10 protocol
+    // exists to prevent. They get their own sidecar file.
+    // Declared BEFORE the rc-0 try so the abort path writes through the
+    // same emit — the r11 catch printed its aborted line with a bare
+    // println, leaving the persisted full log without the abort record
+    // (r11 ADVICE).
+    val isFiltered = sys.env.contains("SPARK_GRAFT_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_BLOCKS") ||
+      sys.env.get("SPARK_GRAFT_FORCE_CONTENDED").contains("1")
+    val fullPath = if (isFiltered) "/root/repo/BENCH_DEBUG.jsonl"
+      else "/root/repo/BENCH_FULL.jsonl"
+    val fullOut = try {
+      Some(new java.io.PrintWriter(new java.io.FileWriter(fullPath, false)))
+    } catch { case _: Exception => None }
+    @volatile var fullOutOpen = true
+    def emit(line: String): Unit = {
+      // Every block line carries the run clock so a partial capture (or a
+      // post-mortem of a killed run) can see exactly where the wall went.
+      val stamped =
+        if (line.startsWith("{") && line.endsWith("}"))
+          line.dropRight(1) + f""","elapsed_s":$elapsedS%.0f}"""
+        else line
+      println(stamped)
+      if (fullOutOpen) fullOut.foreach { w => w.println(stamped); w.flush() }
+    }
+
     // rc-0 guarantee (r10 verdict #1): whatever happens past this point —
     // a stopped context from a shutdown hook, an OOM in one block, a bug —
     // the process still prints a complete, parseable final contract line
@@ -183,30 +212,44 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap[String, String]()
     val compact = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    // Filtered runs (SPARK_GRAFT_ONLY / SPARK_GRAFT_BLOCKS — dev/forensic
-    // protocol) must never overwrite the official full-run evidence: a
-    // debug rerun silently replacing BENCH_FULL.jsonl with empty blocks
-    // is exactly the kind of evidence corruption the round-10 protocol
-    // exists to prevent. They get their own sidecar file.
-    val isFiltered = sys.env.contains("SPARK_GRAFT_ONLY") ||
-      sys.env.contains("SPARK_GRAFT_BLOCKS")
-    val fullPath = if (isFiltered) "/root/repo/BENCH_DEBUG.jsonl"
-      else "/root/repo/BENCH_FULL.jsonl"
-    val fullOut = try {
-      Some(new java.io.PrintWriter(new java.io.FileWriter(fullPath, false)))
-    } catch { case _: Exception => None }
-    def emit(line: String): Unit = {
-      // Every block line carries the run clock so a partial capture (or a
-      // post-mortem of a killed run) can see exactly where the wall went.
-      val stamped =
-        if (line.startsWith("{") && line.endsWith("}"))
-          line.dropRight(1) + f""","elapsed_s":$elapsedS%.0f}"""
-        else line
-      println(stamped)
-      fullOut.foreach { w => w.println(stamped); w.flush() }
+    val steadyP50 = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- Driver-environment sanity probe (r10 verdict #3): a fixed
+    // ---- ~50 ms-class CPU-bound task with a band recorded from a quiet
+    // ---- run of THIS machine. A contended sandbox (the r10 capture: a
+    // ---- pure-CPU query slowed 2.3x, 86 s stalls on a 412 ms query,
+    // ---- the JVM at 4.8% CPU) shows up here; the run is then marked
+    // ---- contended:true in the final line — self-describing instead of
+    // ---- indistinguishable from regression — the iteration counts
+    // ---- halve (never exceeding what was requested), and the block
+    // ---- order flips to essentials-first (see below).
+    def probeOnce(): Double = {
+      val t = System.nanoTime()
+      spark.range(0, 40000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1)").head()
+      (System.nanoTime() - t) / 1e6
     }
 
-    val steadyP50 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // ---- EARLY contention probe (r11 verdict #1a): the official probe
+    // ---- below runs after the full warm-up — on the r11 driver sandbox
+    // ---- that meant ~24 minutes of budget burned before the first
+    // ---- contention evidence existed. This one runs on the cold-ish
+    // ---- JVM against its own band (residual JIT keeps the probe near
+    // ---- ~300 ms here even on a quiet machine — measured 270-320 ms in
+    // ---- lightly-warmed runs), and a contended verdict TIME-BOXES the
+    // ---- warm-up phase instead of letting it eat the budget.
+    probeOnce(); probeOnce() // probe-plan codegen warm (untimed)
+    // Dev/forensic knob: exercises the contended degradation path on a
+    // quiet machine (the path otherwise only runs on a sick sandbox,
+    // where its own evidence is the only witness). Never set by the
+    // driver.
+    val forceContended = sys.env.get("SPARK_GRAFT_FORCE_CONTENDED")
+      .contains("1")
+    val earlyProbeMs = (1 to 3).map(_ => probeOnce()).sorted.apply(1)
+    val EarlyBandMs = 330.0
+    val earlyContended = forceContended || earlyProbeMs > 2 * EarlyBandMs
+    emit(f"""{"block":"early_probe","probe_ms":$earlyProbeMs%.1f,""" +
+      f""""band_ms":$EarlyBandMs%.1f,"contended":$earlyContended}""")
 
     // One untimed GLOBAL warm-up pass before any timing: the first
     // measured query in a cold JVM otherwise absorbs the session's JIT
@@ -218,67 +261,70 @@ object Bench {
     val toTime = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
       .filter(_ => blockOn("headline"))
-    // Two passes: the second matures the driver's Catalyst
-    // analysis/optimization paths (not just executor JIT), which
-    // otherwise keeps improving across the whole run and leaves the
-    // early-timed queries' steady state above the late-run sweep's.
-    toTime.foreach { n => run(n); CacheRegistry.releaseAll() }
-    toTime.foreach { n => run(n); CacheRegistry.releaseAll() }
+    // Two passes on a quiet machine: the second matures the driver's
+    // Catalyst analysis/optimization paths (not just executor JIT),
+    // which otherwise keeps improving across the whole run and leaves
+    // the early-timed queries' steady state above the late-run sweep's.
+    // Under early-probe contention the phase is time-boxed (r11 verdict
+    // #1a): ONE pass, hard-capped at 120 s wall — warmth is worth less
+    // than headline completeness on a sick machine, and the queries a
+    // cap skips are named in the evidence.
+    val warmupDeadlineNs = System.nanoTime() +
+      (if (earlyContended) 120L else 100000L) * 1000000000L
+    val warmPasses = if (earlyContended) 1 else 2
+    var warmupSkipped = 0
+    (1 to warmPasses).foreach { _ =>
+      toTime.foreach { n =>
+        if (System.nanoTime() > warmupDeadlineNs) warmupSkipped += 1
+        else { run(n); CacheRegistry.releaseAll() }
+      }
+    }
     // The warm-up pass floods the C2 queue; background compile threads
     // then burn cores under the FIRST timed queries (r9 evidence: r1's
     // early iterations at cpu_ms 970 vs 430 steady, descending wall
     // 183→123 ms, jit_ms nonzero throughout). Let the queue drain before
     // timing — the JMH settle pattern: wait until the compilation-time
-    // delta over a 500 ms window drops under 25 ms, capped at 30 s.
+    // delta over a 500 ms window drops under 25 ms, capped at 30 s
+    // (10 s when the early probe read contended — on a machine being
+    // stolen from, the queue may never drain and the wait is pure loss).
     if (toTime.nonEmpty) locally {
+      val capNs = (if (earlyContended) 10L else 30L) * 1000000000L
       val t0 = System.nanoTime(); var last = jitMs(); var settled = false
-      while (!settled && (System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000) {
+      while (!settled && (System.nanoTime() - t0) < capNs) {
         Thread.sleep(500)
         val now = jitMs()
         settled = now - last < 25
         last = now
       }
       emit(s"""{"block":"warmup","jit_settle_wait_ms":${
-        (System.nanoTime() - t0) / 1000000},"settled":$settled}""")
+        (System.nanoTime() - t0) / 1000000},"settled":$settled,""" +
+        s""""passes":$warmPasses,"warmups_skipped":$warmupSkipped,""" +
+        s""""time_boxed":$earlyContended}""")
     }
 
-    // ---- Driver-environment sanity probe (r10 verdict #3): a fixed
-    // ---- ~50 ms-class CPU-bound task with a band recorded from a quiet
-    // ---- run of THIS machine, measured AFTER the global warm-up + JIT
-    // ---- settle so the sample is contention, not compilation. A
-    // ---- contended sandbox (the r10 capture: a pure-CPU query slowed
-    // ---- 2.3x, 86 s stalls on a 412 ms query, the JVM at 4.8% CPU)
-    // ---- shows up here before any evidence is timed; the run is then
-    // ---- marked contended:true in the final line — self-describing
-    // ---- instead of indistinguishable from regression — and the
-    // ---- iteration counts halve (never exceeding what was requested)
-    // ---- so the run stays inside its wall budget.
-    def probeOnce(): Double = {
-      val t = System.nanoTime()
-      spark.range(0, 40000000L, 1, cpus.toInt)
-        .selectExpr("sum(id * 3 + 1)").head()
-      (System.nanoTime() - t) / 1e6
-    }
-    probeOnce(); probeOnce() // probe-plan codegen warm (untimed)
+    // Official probe — the steady-state position (after warm-up + JIT
+    // settle, so the sample is contention, not compilation). Quiet-
+    // machine band (local[32], this repo's dev sandbox at sys_load
+    // <2/32): measured 104-107 ms in the r11 official runs; 120 ms band,
+    // threshold 2x. The asymmetry is deliberate — a false "contended"
+    // merely halves iterations and says so in the evidence, while a
+    // missed r10-grade contention (2-3x CPU slowdown → probe 300+ ms)
+    // ships another sick official record. Filtered dev runs may read
+    // contended:true spuriously; they are not official evidence
+    // (BENCH_DEBUG sidecar).
     val probeMs = (1 to 3).map(_ => probeOnce()).sorted.apply(1)
-    // Quiet-machine band (local[32], this repo's dev sandbox at
-    // sys_load <2/32): in the official protocol position — after the
-    // full two-pass headline warm-up + JIT settle — the probe measured
-    // 104 ms (r11 full run); in lightly-warmed filtered runs it reads
-    // ~270-320 ms (residual JIT). The band is set for the OFFICIAL
-    // position: 120 ms, threshold 2x. The asymmetry is deliberate — a
-    // false "contended" merely halves iterations and says so in the
-    // evidence, while a missed r10-grade contention (2-3x CPU slowdown
-    // → probe 300+ ms) ships another sick official record. Filtered
-    // dev runs may read contended:true spuriously; they are not
-    // official evidence (BENCH_DEBUG sidecar).
     val ProbeBandMs = 120.0
-    val contended = probeMs > 2 * ProbeBandMs
+    // Either probe position can name the contention: the early one
+    // catches a sandbox that is sick from the start (and has already
+    // time-boxed the warm-up), the official one catches load that
+    // arrived during warm-up.
+    val contended = earlyContended || probeMs > 2 * ProbeBandMs
     val iters = if (contended)
       math.min(itersRequested, math.max(5, itersRequested / 2))
     else itersRequested
     emit(f"""{"block":"env_probe","probe_ms":$probeMs%.1f,""" +
-      f""""band_ms":$ProbeBandMs%.1f,"contended":$contended,""" +
+      f""""band_ms":$ProbeBandMs%.1f,"early_probe_ms":$earlyProbeMs%.1f,""" +
+      f""""contended":$contended,""" +
       s""""iterations_requested":$itersRequested,"iterations":$iters,""" +
       f""""budget_s":$budgetS%.0f}""")
 
@@ -304,32 +350,48 @@ object Bench {
         pct(lat, 0.95) <= 2 * pct(lat, 0.5) && (h2 <= 0 || h1 / h2 <= 1.5)
       }
 
-    // Budget reserve kept for the blocks after the headline pass (cdc +
-    // prepared + dynamic + e2e floors + the final line): past this point
-    // the remaining headline queries are recorded as skipped, not timed.
+    // Headline completeness first (r11 verdict #1 "done" criterion: a
+    // COMPLETE headline table no matter the sandbox state). Instead of
+    // the r11 all-or-nothing 600 s reserve — which under contention
+    // skipped the whole tail of the table — the pass DEGRADES: when the
+    // remaining budget falls under the reserve, the remaining queries
+    // run in essentials mode (2 warm-ups, iters/2 timed, no retime)
+    // rather than not at all; only a true emergency (< 180 s, barely the
+    // final line + one slow query) records a skip.
     val headlineSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val headlineReduced = scala.collection.mutable.ArrayBuffer[String]()
     toTime.foreach { name =>
-      if (remainingS < 600 || spark.sparkContext.isStopped) {
+      if (remainingS < 180 || spark.sparkContext.isStopped) {
         headlineSkipped += name
       } else {
+      val tight = remainingS < 600
+      if (tight) headlineReduced += name
+      val qIters = if (tight) math.max(3, iters / 2) else iters
       // Adaptive warm-up: minimum two untimed runs (the reference's
       // protocol), then keep warming until the last three warm-up times
       // sit inside a 1.4x max/min band, capped at 8 total — absorbs
       // machine-state contamination (page-cache churn from a process
       // that ran just before the bench) that a fixed two-run warm-up
-      // leaked into the r9 timed series as a bimodal first half.
+      // leaked into the r9 timed series as a bimodal first half. On a
+      // contended machine the band may NEVER hold — cap at 3 there
+      // (the extra warm-ups are pure budget loss; the flatness check
+      // still names an unflat series in the evidence).
+      val warmCap = if (contended || tight) 3 else 8
       val warm = scala.collection.mutable.ArrayBuffer[Double]()
       warm += run(name); warm += run(name)
-      while (warm.length < 8 && {
+      while (warm.length < warmCap && {
         val w = warm.takeRight(3)
         w.length < 3 || w.exists(_ < 0) || w.max > 1.4 * w.min
       }) warm += run(name)
 
-      def timeSeries(): Array[IterSample] = (1 to iters)
+      def timeSeries(): Array[IterSample] = (1 to qIters)
         .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
       var iterSamples = timeSeries()
       var firstAttempt: Option[Array[Double]] = None
-      if (iterSamples.nonEmpty && !isFlat(iterSamples.map(_.sec))) {
+      // The one-retime-from-warm-state allowance costs a full series —
+      // skip it in essentials mode (the unflat first series is still
+      // named by the flatness block).
+      if (!tight && iterSamples.nonEmpty && !isFlat(iterSamples.map(_.sec))) {
         firstAttempt = Some(iterSamples.map(_.sec))
         iterSamples = timeSeries()
       }
@@ -424,6 +486,12 @@ object Bench {
         stats(name) = s"""{"error":"$err"}"""
         compact(name) = s"""{"error":"$err"}"""
       }
+      // Incremental evidence (r11 verdict #1c): each query's stats line
+      // lands in stdout + the full file the moment it exists, so a
+      // mid-run kill loses only the query in flight — the aggregate
+      // stats/queries blocks below still carry the official copy.
+      emit(s"""{"block":"headline_q","name":"$name",""" +
+        s""""reduced":$tight,"stats":${stats(name)}}""")
       // Release operator-internal caches between queries (kept across the
       // iterations of one query — the warm path reuses them, as a resident
       // service would).
@@ -435,6 +503,10 @@ object Bench {
         s"untimed (${headlineSkipped.mkString(",")})"
       flatnessPass = false // a partial headline pass is not flat evidence
     }
+    if (headlineReduced.nonEmpty)
+      emit(s"""{"block":"headline_reduced","queries":${headlineReduced
+        .map(q => s""""$q"""").mkString("[", ",", "]")},""" +
+        s""""note":"timed in essentials mode (2 warm-ups, halved iters, no retime) under budget pressure"}""")
 
     // Cold single pass over the rest of the catalog — time-boxed: the
     // 190+-entry catalog is a wall hog under contention (r10 verdict #1c);
@@ -504,24 +576,43 @@ object Bench {
       if (g != null) (g, g) else body
     }
 
-    val cdc = if (only.isEmpty && blockOn("cdc")) gate("cdc", 120)(cdcMetrics(spark, sfDir))
-              else "{}"
-    emit(s"""{"block":"cdc","cdc":$cdc}""")
-    val prepared =
-      if (only.isEmpty && blockOn("prepared"))
+    var dynCompact = "{}"
+    var e2eCompact = "{}"
+    var scaleCompact = "{}"
+    def runCdcBlock(): Unit = {
+      val cdc = if (only.isEmpty && blockOn("cdc"))
+        gate("cdc", 120)(cdcMetrics(spark, sfDir)) else "{}"
+      emit(s"""{"block":"cdc","cdc":$cdc}""")
+    }
+    def runPreparedBlock(): Unit = {
+      val prepared = if (only.isEmpty && blockOn("prepared"))
         gate("prepared", 60)(preparedMetrics(spark, sfDir, math.max(3, iters / 4)))
       else "{}"
-    emit(s"""{"block":"prepared","prepared":$prepared}""")
-    val (dyn, dynCompact) =
-      if (only.isEmpty && blockOn("dynamic"))
+      emit(s"""{"block":"prepared","prepared":$prepared}""")
+    }
+    def runDynamicBlock(): Unit = {
+      val (dyn, dc) = if (only.isEmpty && blockOn("dynamic"))
         gate2("dynamic", 120)(dynamicMetrics(spark, sfDir, math.max(3, iters / 4)))
       else ("{}", "{}")
-    emit(s"""{"block":"dynamic","dynamic":$dyn}""")
-    val (e2e, e2eCompact) =
-      if (only.isEmpty && blockOn("e2e"))
+      dynCompact = dc
+      emit(s"""{"block":"dynamic","dynamic":$dyn}""")
+    }
+    def runE2eBlock(): Unit = {
+      val (e2e, ec) = if (only.isEmpty && blockOn("e2e"))
         gate2("e2e", 150)(e2eMetrics(spark, sfDir, contended))
       else ("{}", "{}")
-    emit(s"""{"block":"e2e","e2e":$e2e}""")
+      e2eCompact = ec
+      emit(s"""{"block":"e2e","e2e":$e2e}""")
+    }
+    def runScaleBlock(dirsOverride: Option[Seq[String]], floorS: Double)
+        : Unit = {
+      val (scale, sc) = if (only.isEmpty && blockOn("scale"))
+        gate2("scale", floorS)(scaleMetrics(spark, math.max(3, iters / 4),
+          perQuery.toMap ++ steadyP50, sfDir, () => remainingS, dirsOverride))
+      else ("{}", "{}")
+      scaleCompact = sc
+      emit(s"""{"block":"scale","scale":$scale}""")
+    }
 
     def finalLine(scaleCompact: String, provisional: Boolean): String = {
       val cs = compact.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -545,30 +636,60 @@ object Bench {
         skipped + prov +
         s""""full":"${fullPath.split('/').last}"}"""
     }
-    // Provisional contract line BEFORE the long multi-decade sweep: if the
-    // harness kills the run mid-sweep, the stdout tail still ends in a
-    // complete, parseable record of everything measured so far (r10's
-    // official record died exactly there).
-    if (only.isEmpty && blockOn("scale")) emit(finalLine("{\"pending\":true}", provisional = true))
-
-    val (scale, scaleCompact) =
+    if (!contended) {
+      // Quiet machine: the r9-r11 official order, held for
+      // round-over-round comparability. The provisional contract line
+      // lands BEFORE the long multi-decade sweep: if the harness kills
+      // the run mid-sweep, the stdout tail still ends in a complete,
+      // parseable record of everything measured so far (r10's official
+      // record died exactly there).
+      runCdcBlock()
+      runPreparedBlock()
+      runDynamicBlock()
+      runE2eBlock()
       if (only.isEmpty && blockOn("scale"))
-        gate2("scale", 300)(scaleMetrics(spark, math.max(3, iters / 4),
-          perQuery.toMap ++ steadyP50, sfDir, () => remainingS))
-      else ("{}", "{}")
-    emit(s"""{"block":"scale","scale":$scale}""")
+        emit(finalLine("{\"pending\":true}", provisional = true))
+      runScaleBlock(None, 300)
+    } else {
+      // Contended machine: ESSENTIALS-FIRST (r11 verdict #1b) — blocks
+      // in descending evidence-value-per-minute, so whatever the budget
+      // (or a harness kill) cuts off is the least diagnostic part:
+      //   1. scale CANARY — sf0.01 + sf0.1 only: two decades are enough
+      //      for one adjacent-decade ratio per query, at a fraction of
+      //      the 4-decade sweep (whose sf1 cells would be contaminated
+      //      garbage here anyway);
+      //   2. e2e (already runs halved batches when contended);
+      //   3. cdc, prepared (cheap, load-bearing throughput numbers);
+      //   4. dynamic LAST — its multi-second mutate cycles are the
+      //      least meaningful numbers on a machine being stolen from
+      //      (the r11 driver capture spent its tail producing 5-52 s
+      //      contaminated churn cycles while e2e and scale starved).
+      emit(s"""{"block":"block_order","order":"scale_canary,e2e,cdc,prepared,dynamic","reason":"contended"}""")
+      if (only.isEmpty && blockOn("scale"))
+        emit(finalLine("{\"pending\":true}", provisional = true))
+      runScaleBlock(Some(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")),
+        150)
+      runE2eBlock()
+      runCdcBlock()
+      runPreparedBlock()
+      runDynamicBlock()
+    }
     if (skips.nonEmpty)
       emit(s"""{"block":"skips","skips":${skips.map { case (k, v) =>
         s""""$k":"$v"""" }.mkString("{", ",", "}")}}""")
 
     emit(finalLine(scaleCompact, provisional = false))
-    fullOut.foreach(_.close())
     } catch { case e: Throwable =>
       val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ")
         .take(200)
-      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},""" +
+      // Through emit, not println (r11 ADVICE): the aborted record gets
+      // its elapsed_s stamp and lands in the persisted full log too.
+      emit(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},""" +
         s""""error":"${e.getClass.getSimpleName}","message":"$msg",""" +
         s""""flatness_pass":false,"aborted":true}""")
+    } finally {
+      fullOutOpen = false
+      fullOut.foreach(w => try w.close() catch { case _: Exception => () })
     }
     try { if (!spark.sparkContext.isStopped) spark.stop() }
     catch { case _: Throwable => () }
@@ -647,7 +768,8 @@ object Bench {
     */
   private def scaleMetrics(spark: SparkSession, iters: Int,
       headlineP50Sec: Map[String, Double], mainSfDir: String,
-      remainingS: () => Double = () => Double.MaxValue): (String, String) = {
+      remainingS: () => Double = () => Double.MaxValue,
+      dirsOverride: Option[Seq[String]] = None): (String, String) = {
     // benchdata/ is gitignored, so a fresh checkout loses the generated
     // decade; rebuild it in-session rather than silently shrinking the
     // sweep to three decades. LAZILY, though — just before the sf1 cells
@@ -665,10 +787,14 @@ object Bench {
           val m = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ")
             .take(200)
           println(s"""{"block":"scale_gen","error":"${e.getClass.getSimpleName}","message":"$m"}""") }
-    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
-      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
-        Sf1Dir)
-      .split(",").toSeq
+    // dirsOverride is the contended-run CANARY (two decades, one
+    // adjacent ratio per query) — it bypasses the env default, never
+    // includes the regen-costly sf1 dir.
+    val dirs = dirsOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
+        "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
+          Sf1Dir)
+        .split(",").toSeq)
       .filter(d => new java.io.File(d).isDirectory ||
         (d == Sf1Dir && new java.io.File("/root/testdata/sf0.1").isDirectory))
     if (dirs.size < 2) return ("{}", "{}")

@@ -574,8 +574,11 @@ object Dedup {
   def chunkShared(docs: DataFrame, chunkWords: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    // Shared tokenization with every other dedup verifier ([[words]],
+    // \s+): a tab/newline/double space must not make d10's chunk
+    // membership disagree with d4/d25/d26's token sets on the same text.
     val chunks = docs
-      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), words(col(textCol)).as("w"))
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0D) as int) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))"))

@@ -115,6 +115,16 @@ object Sampling {
     * k-row reduction at ANY scale. Membership is a pure function of
     * (seed, id, weight): stable under repartitioning and replayable,
     * the property `rand()`-weighted sampling lacks.
+    *
+    * CONTRACT: weights must be strictly positive. Rows with
+    * `weightCol <= 0` (or null) are EXCLUDED from the draw — A-ES keys
+    * are undefined there (w = 0 → ±Inf/NaN, w < 0 deterministically
+    * hijacks the sample) — so an input with many non-positive weights
+    * returns fewer than k rows. Callers needing to detect contract
+    * violations should count `weightCol <= 0 OR weightCol IS NULL`
+    * rows themselves; this operator stays a silent filter by design (a
+    * row-level require cannot fail fast across executors without an
+    * extra action).
     */
   def weightedTopK(df: DataFrame, weightCol: String, k: Int, seed: String,
       idCol: String = "doc_id"): DataFrame = {

@@ -446,9 +446,35 @@ object Similarity {
     }.toArray
     planKey(vectors) match {
       case Some(key) =>
-        pqModels.computeIfAbsent(s"$key:$m:$codebookSize", _ => fit())
+        // dim and vecCol are part of the key (ADVICE r11): a second call
+        // on the same corpus with a different dim or vector column must
+        // train its own codebooks, not silently reuse wrong-shape ones.
+        // dim is derivable from subDim but including it is cheap insurance.
+        pqModels.computeIfAbsent(s"$key:$m:$codebookSize:$dim:$vecCol",
+          _ => fit())
       case None => fit()
     }
+  }
+
+  // Encoded codes are memoized alongside the codebooks (ADVICE r11: only
+  // the codebooks were memoized, so every PQ query re-encoded the whole
+  // corpus — at scale the codes table IS the index artifact, built once
+  // and persisted with the data). A memo hit re-registers the cached
+  // plan with CacheRegistry: releaseAll() between catalog queries only
+  // unpersists the blocks, the deterministic plan re-caches on next use.
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  // Corpus row counts, memoized per corpus identity (an index statistic,
+  // not query work): sizing pqTopK's default shortlist must not run a
+  // full-scan count() action per query.
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(vectors: DataFrame): Long = planKey(vectors) match {
+    case Some(key) =>
+      corpusCounts.computeIfAbsent(key, _ => vectors.count()).longValue()
+    case None => vectors.count()
   }
 
   /** PQ encoding as a pure relational argmin — no vector UDF anywhere:
@@ -496,7 +522,13 @@ object Similarity {
       codebookSize: Int, dim: Int, idCol: String,
       vecCol: String): DataFrame = {
     val cbs = pqCodebooks(vectors, m, codebookSize, dim, vecCol)
-    val codes = pqEncode(vectors, cbs, idCol, vecCol)
+    val codes = planKey(vectors) match {
+      case Some(key) =>
+        graft.CacheRegistry.register(pqCodesCache.computeIfAbsent(
+          s"$key:$m:$codebookSize:$dim:$vecCol:$idCol",
+          _ => pqEncode(vectors, cbs, idCol, vecCol)).cache())
+      case None => pqEncode(vectors, cbs, idCol, vecCol)
+    }
     val subDim = dim / m
     val q = vectors.filter(col(idCol) === queryId)
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos0", "x")))
@@ -537,8 +569,13 @@ object Similarity {
   def pqTopK(vectors: DataFrame, queryId: Long, k: Int, m: Int = 8,
       codebookSize: Int = 16, dim: Int = 64, shortlist: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Default shortlist: the memoized corpus-count statistic (never a
+    // per-query full-scan action — ADVICE r11), Long math clamped to
+    // Int.MaxValue so a >21B-row corpus degrades to "rerank a lot"
+    // instead of overflowing negative.
     val l = if (shortlist > 0) shortlist
-            else math.max(5L * k, vectors.count() / 10).toInt
+            else math.min(math.max(5L * k, corpusCount(vectors) / 10),
+              Int.MaxValue.toLong).toInt
     val cand = pqAdcScores(vectors, queryId, m, codebookSize, dim, idCol, vecCol)
       .orderBy(col("adc2").asc, col(idCol))
       .limit(l)
@@ -567,6 +604,124 @@ object Similarity {
           - lit(2.0) * dot(col(vecCol), col("qvec"))), 4).as("dist"))
       .orderBy(col("dist").asc, col(idCol))
       .limit(k)
+  }
+
+  /** Cluster-id assignment for semantic dedup — the SemDeDup front half
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023), with MULTI-PROBE
+    * assignment: k-means the embedding corpus once (seeded MLlib fit,
+    * memoized per (corpus identity, k) through the same `ivfModels`
+    * discipline as [[ivfTopK]] — the cluster model IS an index artifact,
+    * trained once and persisted with the data at scale), then label
+    * every vector with its `probes` NEAREST clusters, not just the
+    * argmin. Single-assignment blocking loses every near-dup pair that
+    * straddles a centroid boundary — measured 0.37–0.63 recall on the
+    * near-uniform synthetic corpus — while p-probe assignment recovers
+    * boundary pairs for a p× index-size cost, the same recall/cost dial
+    * as IVF nProbe (and the paper's ε-ball overlap extension).
+    *
+    * Relational ranking, no vector UDF: per row, the k centroid
+    * distances are k codegen'd [[dot]] kernels folded into an
+    * array_sort over (d2, cid) structs — centroids are literal
+    * broadcast constants, ‖c‖² is precomputed on the driver (k values),
+    * and the probe explode emits `probes` rows per vector. Returns
+    * (idCol, vecCol, sem_cluster), one row per (vector, probed cluster).
+    */
+  def semanticClusters(vectors: DataFrame, nClusters: Int, probes: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(probes >= 1 && probes <= nClusters,
+      s"probes must be in [1, $nClusters], got $probes")
+    val ml = vectors.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    def fit() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml)
+    val model = planKey(ml) match {
+      case Some(key) => ivfModels.computeIfAbsent(s"$key:$nClusters", _ => fit())
+      case None => fit()
+    }
+    // dist²(v, c_j) = v·v − 2·v·c_j + ‖c_j‖²; the v·v term is shared by
+    // every candidate so it cannot change the ranking, but keeping it
+    // costs one extra kernel and makes the sorted value a true distance.
+    val cents = model.clusterCenters.map(_.toArray.toIndexedSeq)
+    val vv = dot(col(vecCol), col(vecCol))
+    val candidates = array(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        (vv - lit(2.0) * dot(col(vecCol), typedlit(c)) +
+          lit(c.map(x => x * x).sum)).as("d2"),
+        lit(j).as("cid"))
+    }.toIndexedSeq: _*)
+    vectors.select(col(idCol), col(vecCol),
+        explode(slice(array_sort(candidates), 1, probes)).as("__pc"))
+      .select(col(idCol), col(vecCol), col("__pc.cid").as("sem_cluster"))
+  }
+
+  /** SemDeDup semantic near-duplicate pairs: cluster-then-pair — k-means
+    * blocks ([[semanticClusters]]) bound the candidate space, then the
+    * within-cluster pair search runs through the cost-based selector
+    * ([[cosinePairsAuto]]): exact all-pairs while the measured per-block
+    * fan-out Σc² fits the pair budget, banded-LSH candidate generation
+    * above it. So the plan is NEVER corpus-all-pairs: fan-out is bounded
+    * by cluster sizes, and a skewed hot cluster degrades to the LSH
+    * path instead of an O(c²) task. At 100 TB the cluster id is the
+    * partition key — the exact shape the paper's per-cluster pairwise
+    * pass shards by.
+    *
+    * Approximate BY DESIGN in one way only: pairs whose two vectors
+    * share NONE of their probed clusters are not tested (the paper's
+    * semantics — dedup within semantic clusters — widened by
+    * multi-probe). The `d33_semantic_recall` twin measures exactly that
+    * loss against the exhaustive pair set and gates it with a floor, so
+    * a degenerate clustering (everything near one centroid, or
+    * assignment drift after an MLlib upgrade) surfaces as a named
+    * recall drop, not silent corpus shrinkage. A pair sharing several
+    * probed clusters would qualify once per shared cluster — the final
+    * distinct collapses it (sim is a pure function of the pair, so the
+    * duplicate rows are identical).
+    */
+  def semanticDedupPairs(vectors: DataFrame, nClusters: Int = 8,
+      probes: Int = 3, threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    cosinePairsAuto(
+      semanticClusters(vectors, nClusters, probes, idCol, vecCol)
+        .select(col("sem_cluster"), col(idCol), col(vecCol)),
+      "sem_cluster", threshold, idCol, vecCol)
+      .distinct()
+
+  /** Prototypicality ranking (SSL-prototypes pruning — Sorscher et al.,
+    * "Beyond neural scaling laws: beating power law scaling via data
+    * pruning", NeurIPS 2022): each vector's cosine to its own LABEL
+    * centroid, ranked most-prototypical-first within the label. The
+    * curation pass drops the top-p most prototypical examples per class
+    * (they carry the least marginal information at scale); this
+    * operator emits that drop list — the `keep = rank > p` complement
+    * is the training set.
+    *
+    * Fully relational ([[labelCentroidCohesion]]'s decomposition): ONE
+    * posexplode to (label, id, pos, v) cells, a (label, pos) centroid
+    * mean, a re-join computing v·c / (‖v‖‖c‖) as grouped sums — no
+    * vector UDF, shuffle carries labels × dims centroid cells. Cosines
+    * round at 6 decimals BEFORE ranking (the v2_knn_join discipline) so
+    * the emitted ranks are engine-exact; ties break on id.
+    */
+  def prototypicality(vectors: DataFrame, topP: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = vectors.select(col("label"), col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val centroid = cells.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    val perVec = cells.join(centroid, Seq("label", "pos"))
+      .groupBy(col("label"), col(idCol))
+      .agg(sum(col("v") * col("c")).as("vc"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("c") * col("c")).as("cc"))
+      .select(col("label"), col(idCol),
+        round(col("vc") / (sqrt(col("vv")) * sqrt(col("cc"))), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos").desc, col(idCol))
+    perVec.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topP)
+      .select(col("label"), col("rk"), col(idCol), col("cos"))
   }
 
   /** Int8 scalar quantization (the SQ8 companion to the IVF path — the

@@ -355,7 +355,16 @@ object PipelineQueries {
   def annPqTopk(spark: SparkSession, d: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
 
-  val PqRecallFloor = 0.5
+  /** Measured PQ recall@10 (tools/PqProbe, r12): 0.8 at sf0.01, 0.7 at
+    * sf0.1, 1.0 at the generated sf1 — floor one band (~0.1) under the
+    * measured minimum across the decades the gate executes at (the r11
+    * floor-tightening directive; was a generous 0.5). The sf0.001 slice
+    * measures 0.4: a 500-row corpus whose inter-point distance gaps sit
+    * below the quantization distortion at the default corpus/10
+    * shortlist — documented, not gated (no correctness gate runs there;
+    * the driver's checker runs at sf0.01).
+    */
+  val PqRecallFloor = 0.6
 
   def annPqRecall(spark: SparkSession, d: String): DataFrame =
     Similarity.recallAtK(
@@ -442,6 +451,52 @@ object PipelineQueries {
           .otherwise(round(col("hits").cast("double") / col("n_exact"), 4))
           .as("recall"))
   }
+
+  /** D33: SemDeDup semantic near-dup pairs
+    * ([[Similarity.semanticDedupPairs]]: k-means cluster blocks → cost-
+    * based within-cluster pair search, never corpus-all-pairs). Like d2
+    * and the IVF/PQ top-k gates, the pair list is rows-only by design —
+    * the MLlib k-means assignment cannot run in DuckDB — and
+    * [[d33SemanticRecall]] is the oracle-green quality twin.
+    */
+  def d33SemanticDedup(spark: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedupPairs(Tables.embeddings(spark, d))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Cluster-blocking recall floor for `d33_semantic_recall`: the pairs
+    * SemDeDup can lose are exactly those whose vectors share none of
+    * their probed clusters. Measured recall at the gate parameters
+    * (k = 8 clusters, 3 probes) on the synthetic corpus: 1.0 (sf0.001),
+    * 1.0 (sf0.01), 0.974 (sf0.1) — single-assignment (probes = 1)
+    * measured only 0.37–0.63 on these near-uniform embeddings, which is
+    * what motivated the multi-probe widening. Floor set one band (~0.1)
+    * under the measured minimum per the r11 floor-tightening directive,
+    * so a degenerate clustering or a broken probe explode reds the gate
+    * while normal MLlib seed/version drift does not.
+    */
+  val SemanticRecallFloor = 0.85
+
+  def d33SemanticRecall(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val exact = Similarity.cosinePairsExact(
+      emb.select(lit(0).as("blk"), col("vec_id"), col("embedding")),
+      "blk", 0.4)
+    Similarity.pairRecall(exact,
+        Similarity.semanticDedupPairs(emb), "semdedup")
+      .select(col("method"), col("n_exact"),
+        lit(SemanticRecallFloor).as("recall_floor"),
+        (col("recall") >= SemanticRecallFloor).as("meets_floor"))
+  }
+
+  /** D34: prototypicality pruning ([[Similarity.prototypicality]], SSL-
+    * prototypes data pruning) — the 5 most prototypical vectors per
+    * label (highest cosine to their label centroid), the per-class drop
+    * list. Fully oracle-green: the centroid decomposition is the v1
+    * relational shape, cosines round at 6 decimals before ranking.
+    */
+  def d34PrototypePrune(spark: SparkSession, d: String): DataFrame =
+    Similarity.prototypicality(Tables.embeddings(spark, d), topP = 5)
+      .orderBy(col("label"), col("rk"))
 
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
@@ -876,7 +931,10 @@ object PipelineQueries {
     "mm3_frames" -> mm3Frames,
     "mm4_binary_dedup" -> mm4BinaryDedup,
     "d16_incremental_neardup" -> d16IncrementalNeardup,
-    "d16_incremental_recall" -> d16IncrementalRecall)
+    "d16_incremental_recall" -> d16IncrementalRecall,
+    "d33_semantic_dedup" -> d33SemanticDedup,
+    "d33_semantic_recall" -> d33SemanticRecall,
+    "d34_prototype_prune" -> d34PrototypePrune)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -1275,7 +1333,7 @@ object PipelineQueries {
         |  ORDER BY round(list_distance(w.e, q.e), 4) ASC, w.vec_id
         |  LIMIT 10)
         |SELECT 'pq' AS method, (SELECT count(*) FROM ex)::INT AS k,
-        |  CAST(0.5 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+        |  CAST(0.6 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
     "ann_ivf_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (
@@ -1285,6 +1343,45 @@ object PipelineQueries {
         |  LIMIT 10)
         |SELECT 'ivf' AS method, (SELECT count(*) FROM ex)::INT AS k,
         |  CAST(0.8 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+    // d33's quality twin (the ann_ivf_recall pattern): the oracle
+    // re-derives the exhaustive global ≥0.4-cos pair count — the ground
+    // truth SemDeDup's cluster blocking approximates — and pins
+    // meets_floor TRUE; Spark's meets_floor comes from its own measured
+    // recall, so a degenerate clustering reds the gate. O(n²) in DuckDB
+    // by design (the exhaustive form is the parity oracle, the engine
+    // never runs it) — sf1 replays skip it like d2_minhash_recall.
+    "d33_semantic_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
+        |SELECT 'semdedup' AS method, count(*)::INT AS n_exact,
+        |  CAST(0.85 AS DOUBLE) AS recall_floor, true AS meets_floor
+        |FROM p""".stripMargin,
+    // Mechanical translation of [[Similarity.prototypicality]] in the
+    // v1_centroids cell decomposition; round-before-rank keeps the
+    // emitted ranks engine-exact, ties break on vec_id.
+    "d34_prototype_prune" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM cells GROUP BY 1, 2),
+        |per AS (
+        |  SELECT c1.label, c1.vec_id,
+        |    round(sum(c1.v * ct.c)
+        |      / (sqrt(sum(c1.v * c1.v)) * sqrt(sum(ct.c * ct.c))), 6) AS cosv
+        |  FROM cells c1 JOIN cent ct
+        |    ON c1.label = ct.label AND c1.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, cosv,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY label ORDER BY cosv DESC, vec_id) AS INTEGER) AS rk
+        |  FROM per)
+        |SELECT label, rk, vec_id, cosv AS cos FROM r WHERE rk <= 5
+        |ORDER BY label, rk""".stripMargin,
     "d5_cosine_lsh_recall" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
         |pairs AS (
@@ -1441,7 +1538,7 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d10_chunk_shared" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
         |ch AS (
         |  SELECT doc_id, array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk
         |  FROM (SELECT doc_id, w,

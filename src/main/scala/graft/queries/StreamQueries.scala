@@ -331,7 +331,73 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** S6: streaming checkpoint recovery — offset resume + exactly-once
+    * sink commit across a restart, executed for real (not a batch twin):
+    * the event backlog is staged as 6 envelope files; a file-source →
+    * parse → parquet-file-sink query with a checkpoint processes the
+    * first 3 micro-batches and STOPS with the rest of the backlog
+    * arriving while it is down; a SECOND query starts from the same
+    * checkpoint, resumes at the committed offset, and drains the rest.
+    * The gate result is the per-user aggregate over the sink's committed
+    * output — read through the sink's `_spark_metadata` transaction log,
+    * the exactly-once read path — and the oracle derives the same
+    * aggregate from the raw events table. A restart that RE-processed an
+    * already-committed file would double those users' counts (replayed
+    * batches get fresh batch ids, so the sink would commit them twice);
+    * one that dropped a file would undercount — either reds the gate.
+    * This pins the SURVEY §2.10 claim that the reference's recovery
+    * protocol (demo_sqlite_cdc/02_benchmark/03_recovery.py:57-121 —
+    * cursor save/resume + replay) collapses into checkpointed source
+    * offsets in Spark. CdcStreamSpec additionally pins the harder
+    * CRASH-mid-stream case (a batch that throws after partial work,
+    * then a checkpoint restart) through the foreachBatch-merge sink.
+    */
+  def s6CheckpointResume(spark: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(s"target/s6_resume_${System.nanoTime()}")
+    val watch = new java.io.File(base, "in")
+    watch.mkdirs()
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    val out = new java.io.File(base, "out").getPath
+    val nFiles = 6
+    val events = Tables.events(spark, d)
+    // One staged envelope file per future micro-batch (rename(2) is
+    // atomic on one filesystem — the source never sees a partial file).
+    def stage(i: Int): Unit = {
+      val s = new java.io.File(base, s"stage$i")
+      events.filter(col("event_id") % nFiles === i)
+        .select(Debezium.envelope(Debezium.nullRow,
+          struct(col("user_id").as("id"),
+            concat(lit("u"), col("user_id").cast("string")).as("name")),
+          lit("c"), unix_millis(col("ts")), "users").as("value"))
+        .coalesce(1).write.mode("overwrite").text(s.getPath)
+      Option(s.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach { f =>
+          if (!f.renameTo(new java.io.File(watch, s"b$i-${f.getName}")))
+            throw new java.io.IOException(s"rename failed: ${f.getName}")
+        }
+    }
+    def startQ() = CdcStream.parse(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(watch.getPath))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    (0 until nFiles / 2).foreach(stage)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    q1.stop() // down with a future backlog — the outage
+    (nFiles / 2 until nFiles).foreach(stage)
+    val q2 = startQ() // same checkpoint: resume, don't re-read
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.parquet(out)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("ts_ms")).as("sum_ts_ms"))
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_checkpoint_resume" -> s6CheckpointResume,
     "w11_session_gaps" -> w11SessionGaps,
     "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
     "w9_window_topk" -> w9WindowTopk,
@@ -350,6 +416,14 @@ object StreamQueries {
     "w6_stream_left_outer_twin" -> w6StreamLeftOuterTwin)
 
   val oracles: Map[String, String] = Map(
+    // The restart-resumed sink must hold exactly one copy of every event:
+    // per-user count + ts_ms checksum from the raw table. sum(BIGINT) is
+    // HUGEINT in DuckDB — CAST to BIGINT at the output (r10 postmortem
+    // rule); epoch_ms(CAST(ts AS TIMESTAMP)) is the proven o3/w2/w11 form.
+    "s6_checkpoint_resume" ->
+      """SELECT user_id AS id, count(*) AS n_events,
+        |  CAST(sum(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sum_ts_ms
+        |FROM events GROUP BY 1 ORDER BY id""".stripMargin,
     "w11_session_gaps" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Similarity
+import graft.Tables
+
+/** Ad-hoc calibration probe for the ann_pq_recall floor: measures PQ
+  * (ADC-shortlist + exact rerank) recall@10 against the exact Euclidean
+  * top-10 per decade, so the floor is set one band under the measured
+  * minimum instead of guessed (r11 verdict #6).
+  */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1", "/root/repo/benchdata/sf1")
+    dirs.foreach { d =>
+      val emb = Tables.embeddings(spark, d)
+      val r = Similarity.recallAtK(
+        Similarity.bruteForceTopKL2(emb, 0L, 10),
+        Similarity.pqTopK(emb, 0L, 10), "pq").head()
+      println(s"PROBE $d recall@10=${r.getDouble(2)}")
+      graft.CacheRegistry.releaseAll()
+    }
+    spark.stop()
+  }
+}

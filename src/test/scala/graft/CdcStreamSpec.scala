@@ -127,6 +127,65 @@ class CdcStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dedup")
   }
 
+  test("checkpoint recovery: crash mid-stream, restart redelivers the failed batch, merge converges exactly-once") {
+    // The HARD half of the s6_checkpoint_resume gate (which stops
+    // gracefully between batches): here the query CRASHES inside batch 2
+    // — after the source committed its offset plan but before the batch's
+    // work completed — and the checkpoint restart must REDELIVER that
+    // batch (no loss) while the first incarnation's committed batches are
+    // not re-merged (no duplication visible through the idempotent keyed
+    // merge). MemoryStream is not fault-tolerant across restarts, so the
+    // source is a real file source, the thing production runs.
+    val base = new java.io.File(
+      s"target/spec_ckpt_${System.nanoTime()}")
+    val watch = new java.io.File(base, "in")
+    watch.mkdirs()
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    (0 until 4).foreach { i =>
+      val f = new java.io.File(watch, s"b$i.txt")
+      java.nio.file.Files.writeString(f.toPath,
+        env("c", i * 10L, s"n$i", 1000L + i) + "\n" +
+          env("c", i * 10L + 1, s"m$i", 2000L + i) + "\n")
+    }
+    val state = new CdcStream.SnapshotHandle(spark)
+    @volatile var crashed = false
+    def startQ() = CdcStream.parse(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(watch.getPath))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // Crash BEFORE any merge work on the batch's second delivery
+        // target: the restart must re-run this batch id with the same
+        // data or the events in file b2 are lost.
+        if (!crashed && id == 2) {
+          crashed = true
+          throw new RuntimeException("injected crash")
+        }
+        state.set(CdcStream.mergeCdcBatch(state.get(batch.sparkSession), batch))
+      }.start()
+    val q1 = startQ()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(failed.getMessage.contains("injected crash") ||
+      Option(failed.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(crashed)
+    val q2 = startQ() // same checkpoint: resume at batch 2, not batch 0
+    q2.processAllAvailable()
+    q2.stop()
+    val got = state.snapshot.select(col("id"), col("name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0 until 4).flatMap(i =>
+      Seq(i * 10L -> s"n$i", i * 10L + 1 -> s"m$i")).toMap
+    assert(got == want,
+      s"post-recovery snapshot must hold every event exactly once: $got")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(base)
+  }
+
   test("latency segments are non-negative and ordered") {
     import spark.implicits._
     val parsed = CdcStream.parse(

@@ -139,4 +139,58 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(t1.toSeq == t2.toSeq)
     assert(t1.map(_._2).toSeq == t1.map(_._2).sorted.toSeq)
   }
+
+  test("semdedup: multi-probe assignment contract (p rows, distinct clusters, argmin first)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val assigned = Similarity.semanticClusters(emb, nClusters = 8, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(assigned.length == n * 3, "exactly `probes` rows per vector")
+    assigned.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.map(_._2).distinct.length == 3,
+        s"vector $id probed a repeated cluster")
+    }
+    // probes = nClusters degenerates to every cluster per vector.
+    val all = Similarity.semanticClusters(emb, nClusters = 4, probes = 4)
+      .groupBy(col("vec_id")).agg(countDistinct(col("sem_cluster")).as("nc"))
+      .collect()
+    assert(all.forall(_.getLong(1) == 4))
+  }
+
+  test("semdedup: pair set equals the exhaustive global pair set at sf0.001 (measured recall 1.0 at the defaults)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosinePairsExact(
+        emb.select(lit(0).as("blk"), col("vec_id"), col("embedding")),
+        "blk", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.semanticDedupPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Precision 1.0 by construction (the verify is exact); recall 1.0 is
+    // a measured property of (k=8, p=3) on this corpus — a clustering or
+    // probe regression breaks set equality here before the gate floor
+    // (0.85) would catch it at the driver's decade.
+    assert(got == exact, s"got ${got.size} pairs vs exact ${exact.size}")
+  }
+
+  test("prototypicality: closed form, round-before-rank, topP filter") {
+    // Label 0: (1,0), (0,1), (1,1) -> centroid (2/3, 1/3 + 1/3)... compute:
+    // centroid c = ((1+0+1)/3, (0+1+1)/3) = (2/3, 2/3). cos((1,1), c) = 1
+    // (parallel) -> rank 1; (1,0) and (0,1) tie at 1/sqrt(2) -> id order.
+    val vecs = Seq(
+      (0, 10L, Seq(1f, 0f)), (0, 11L, Seq(0f, 1f)), (0, 12L, Seq(1f, 1f)),
+      (1, 20L, Seq(2f, 0f)), (1, 21L, Seq(0f, 5f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Similarity.prototypicality(vecs, topP = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val l0 = got.filter(_._1 == 0).sortBy(_._2)
+    assert(l0.map(x => (x._2, x._3)).toSeq == Seq((1, 12L), (2, 10L)),
+      s"label 0 must rank (1,1) first, then (1,0) on the id tiebreak: ${l0.toSeq}")
+    assert(math.abs(l0.head._4 - 1.0) < 1e-6)
+    assert(math.abs(l0(1)._4 - math.sqrt(0.5)) < 1e-4)
+    // topP truncates: label 0 has 3 vectors, only 2 emitted.
+    assert(got.count(_._1 == 0) == 2)
+    // Label 1: centroid (1, 2.5); both cosines < 1, ranks 1..2 emitted.
+    assert(got.count(_._1 == 1) == 2)
+  }
 }
