@@ -509,19 +509,33 @@ object Bench {
         s""""note":"timed in essentials mode (2 warm-ups, halved iters, no retime) under budget pressure"}""")
 
     // Cold single pass over the rest of the catalog — time-boxed: the
-    // 190+-entry catalog is a wall hog under contention (r10 verdict #1c);
-    // the loop stops at the reserve line and records how many it skipped.
-    if (only.isEmpty && blockOn("cold")) {
+    // 200+-entry catalog is a wall hog under contention (r10 verdict
+    // #1c); the loop stops at the reserve line and records how many it
+    // skipped. On a CONTENDED machine the whole pass is DEFERRED to the
+    // end of the run (after the essential blocks — it is the least
+    // diagnostic evidence: single samples of non-headline queries on a
+    // machine being stolen from), emitted as its own queries_cold block.
+    def coldPass(reserveS: Double): Unit = if (only.isEmpty && blockOn("cold")) {
+      val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
       var coldSkipped = 0
       SparkEntry.queries.keys.toSeq.sorted
         .filterNot(headline.contains)
         .foreach { n =>
-          if (remainingS < 540 || spark.sparkContext.isStopped) coldSkipped += 1
-          else { perQuery(n) = run(n); CacheRegistry.releaseAll() }
+          if (remainingS < reserveS || spark.sparkContext.isStopped)
+            coldSkipped += 1
+          else {
+            val t = run(n); perQuery(n) = t; coldTimes(n) = t
+            CacheRegistry.releaseAll()
+          }
         }
       if (coldSkipped > 0)
         skips("cold") = s"time_budget: $coldSkipped catalog queries skipped"
+      if (contended)
+        emit(s"""{"block":"queries_cold","queries":${coldTimes.map {
+          case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")},""" +
+          s""""skipped_n":$coldSkipped}""")
     }
+    if (!contended) coldPass(540)
 
     // S7: CSV result sink in the reference's column layout
     // (scenario, scale_up, depth, p50_ms, p95_ms, p99_ms, tps —
@@ -664,7 +678,7 @@ object Bench {
       //      least meaningful numbers on a machine being stolen from
       //      (the r11 driver capture spent its tail producing 5-52 s
       //      contaminated churn cycles while e2e and scale starved).
-      emit(s"""{"block":"block_order","order":"scale_canary,e2e,cdc,prepared,dynamic","reason":"contended"}""")
+      emit(s"""{"block":"block_order","order":"scale_canary,e2e,cdc,prepared,dynamic,cold","reason":"contended"}""")
       if (only.isEmpty && blockOn("scale"))
         emit(finalLine("{\"pending\":true}", provisional = true))
       runScaleBlock(Some(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")),
@@ -673,6 +687,7 @@ object Bench {
       runCdcBlock()
       runPreparedBlock()
       runDynamicBlock()
+      coldPass(120) // last: least diagnostic on a contended machine
     }
     if (skips.nonEmpty)
       emit(s"""{"block":"skips","skips":${skips.map { case (k, v) =>

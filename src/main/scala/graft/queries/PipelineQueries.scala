@@ -498,6 +498,23 @@ object PipelineQueries {
     Similarity.prototypicality(Tables.embeddings(spark, d), topP = 5)
       .orderBy(col("label"), col("rk"))
 
+  /** D35: DSIR importance weights ([[graft.pipeline.Dsir]]) — every
+    * non-src0 document's hashed-bigram log-likelihood ratio against the
+    * src0 block standing in as the target domain (the d9 split). The
+    * score that turns "sample the web uniformly" into "sample what
+    * looks like the target corpus"; selection on top of it is the
+    * already-gated seeded weighted sampler (d23). Fully oracle-green:
+    * portable sha256-prefix buckets, exact BIGINT counts, one identical
+    * log-ratio expression tree, round-6 sums.
+    */
+  def d35DsirWeights(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.pipeline.Dsir.logImportanceWeights(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
     * decontamination. Two scan passes, zero token shuffle
@@ -934,7 +951,8 @@ object PipelineQueries {
     "d16_incremental_recall" -> d16IncrementalRecall,
     "d33_semantic_dedup" -> d33SemanticDedup,
     "d33_semantic_recall" -> d33SemanticRecall,
-    "d34_prototype_prune" -> d34PrototypePrune)
+    "d34_prototype_prune" -> d34PrototypePrune,
+    "d35_dsir_weights" -> d35DsirWeights)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -1359,6 +1377,41 @@ object PipelineQueries {
         |SELECT 'semdedup' AS method, count(*)::INT AS n_exact,
         |  CAST(0.85 AS DOUBLE) AS recall_floor, true AS meets_floor
         |FROM p""".stripMargin,
+    // Mechanical translation of [[Dsir.logImportanceWeights]]: same
+    // sha256-prefix buckets (the d7/d8 portable hash), same add-1
+    // smoothing over 64 buckets, e-notation literals force DOUBLE
+    // division (the DuckDB decimal-literal trap), round-6 per-doc sums.
+    // range(1, len(ws)) yields the same len-1 bigram starts as Spark's
+    // sequence(0, size-2).
+    "d35_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(ws)),
+        |             i -> ws[i] || ' ' || ws[i+1]) END) AS bg
+        |  FROM w),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(sha256(bg), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM bg),
+        |tb AS (SELECT bucket FROM b WHERE source = 'src0'),
+        |rb AS (SELECT doc_id, bucket FROM b WHERE source <> 'src0'),
+        |ct AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM tb),
+        |ns AS (SELECT count(*) AS ns FROM rb),
+        |ratio AS (
+        |  SELECT r.bucket,
+        |    ln((COALESCE(ct.ct, 0) + 1e0) / (nt.nt + 64e0))
+        |      - ln((r.cs + 1e0) / (ns.ns + 64e0)) AS lr
+        |  FROM (SELECT bucket, count(*) AS cs FROM rb GROUP BY 1) r
+        |  LEFT JOIN ct USING (bucket), nt, ns)
+        |SELECT rb.doc_id, count(*)::INT AS n_bigrams,
+        |  round(sum(lr), 6) AS log_w
+        |FROM rb JOIN ratio USING (bucket)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Mechanical translation of [[Similarity.prototypicality]] in the
     // v1_centroids cell decomposition; round-before-rank keeps the
     // emitted ranks engine-exact, ties break on vec_id.

@@ -363,4 +363,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kl("v") > kl("u1"))
     kl.values.foreach(v => assert(v >= 0.0, s"KL must be non-negative: $v"))
   }
+
+  test("dsir: closed-form log-likelihood ratios, target-like docs score above disjoint docs") {
+    // Target corpus: one doc, one bigram ("a b"): ct[b(ab)] = 1, nt = 1.
+    // Raw corpus: "a b" (the target bigram), "x y" (disjoint), "q"
+    // (no bigram -> absent). ns = 2, B = 64, add-1 smoothing:
+    //   log_w(ab) = ln((1+1)/(1+64)) - ln((1+1)/(2+64)) = ln(66/65)
+    //   log_w(xy) = ln((0+1)/(1+64)) - ln((1+1)/(2+64)) = ln(66/130)
+    // (valid while b("a b") != b("x y") — a fixed property of sha256.)
+    val target = docsOf(Seq("a b"))
+    val raw = Seq((10L, "a b"), (11L, "x y"), (12L, "q"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dsir.logImportanceWeights(target, raw)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L), "no-bigram docs carry no evidence")
+    assert(got(10L)._1 == 1 && got(11L)._1 == 1)
+    assert(math.abs(got(10L)._2 - math.log(66.0 / 65.0)) < 1e-5)
+    assert(math.abs(got(11L)._2 - math.log(66.0 / 130.0)) < 1e-5)
+    assert(got(10L)._2 > got(11L)._2,
+      "a target-identical doc must outscore a target-disjoint doc")
+  }
 }
