@@ -681,7 +681,11 @@ object Bench {
       emit(s"""{"block":"block_order","order":"scale_canary,e2e,cdc,prepared,dynamic,cold","reason":"contended"}""")
       if (only.isEmpty && blockOn("scale"))
         emit(finalLine("{\"pending\":true}", provisional = true))
-      runScaleBlock(Some(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")),
+      // An EXPLICIT dirs request (forensic reruns) outranks the canary
+      // default — the canary is for the driver's unattended run.
+      runScaleBlock(
+        if (sys.env.contains("SPARK_GRAFT_SCALE_DIRS")) None
+        else Some(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")),
         150)
       runE2eBlock()
       runCdcBlock()
