@@ -818,20 +818,39 @@ object Bench {
         (d == Sf1Dir && new java.io.File("/root/testdata/sf0.1").isDirectory))
     if (dirs.size < 2) return ("{}", "{}")
     def sfName(d: String) = d.split("/").last
-    // Sweep-entry settling lap (r10): the sweep starts seconds after the
-    // e2e block's streaming machinery tears down, and the residual drag
-    // decays over ~10-20 s — measured as a FLAT ~2x elevation across the
-    // whole FIRST decade only (r5 sf0.001 278 ms vs sf0.01 126 ms,
-    // failing the decade check exactly as intended) while later decades
-    // read clean. The per-query adaptive warm-up cannot absorb a
-    // machine-wide decay; one untimed lap over the first dir can.
+    // Sweep-entry settling laps (r10, widened r12): the sweep starts
+    // seconds after the e2e block's streaming machinery tears down, and
+    // the residual drag decays over ~10-60 s — measured as a FLAT 2-3x
+    // elevation across the whole FIRST decade only (r5 sf0.001 278 ms
+    // vs sf0.01 126 ms; r12 first-run g3 5.6 s vs sf0.01 2.0 s, failing
+    // the decade check exactly as intended) while later decades read
+    // clean. The per-query adaptive warm-up cannot absorb a
+    // machine-wide decay; untimed laps over the first dir can. Lap
+    // until the lap time stabilizes (second lap within 1.3x of the
+    // best so far), max 3 laps — one lap was measured insufficient
+    // after the r12 cold-pass growth put more streaming start/stops
+    // ahead of the sweep.
     dirs.headOption.filter(d => new java.io.File(d).isDirectory)
       .foreach { d0 =>
-        headline.filter(SparkEntry.queries.contains).foreach { q =>
-          try SparkEntry.queries(q)(spark, d0).count()
-          catch { case _: Throwable => () }
-          CacheRegistry.releaseAll()
+        def lap(): Double = {
+          val t0 = System.nanoTime()
+          headline.filter(SparkEntry.queries.contains).foreach { q =>
+            try SparkEntry.queries(q)(spark, d0).count()
+            catch { case _: Throwable => () }
+            CacheRegistry.releaseAll()
+          }
+          (System.nanoTime() - t0) / 1e9
         }
+        var prev = lap()
+        var laps = 1
+        var cur = lap(); laps += 1
+        // Still improving by >30% per lap = still decaying; lap again
+        // (cap 3 — two stable laps in a row is settled enough).
+        while (laps < 3 && cur < prev / 1.3) {
+          prev = cur
+          cur = lap(); laps += 1
+        }
+        println(f"""{"block":"scale_settle","laps":$laps,"last_lap_s":$cur%.1f}""")
       }
     try {
       val p50 = scala.collection.mutable.LinkedHashMap[String,
