@@ -238,4 +238,34 @@ object TextAnalysis {
       .groupBy(col("grp"))
       .agg(max(col("n_l")).as("n_chars"), sum(col("term")).as("kl"))
   }
+
+  /** Vocabulary-growth (lexical diversity) curve: for each document in
+    * id order, how many corpus-NEW distinct word trigrams it introduces
+    * (`n_new` — its first-occurrence count) and the cumulative corpus
+    * vocabulary after it (`n_new_cum`). The curation ablation signal
+    * behind "is more of this source still adding diversity?": a source
+    * whose curve flattens is repeating itself, and the marginal docs
+    * are dedup/prune candidates.
+    *
+    * Scale shape: one shingle explode → min(doc_id) per distinct
+    * trigram (fixed-width keys, map-side combined) → doc-keyed count →
+    * the distributed two-pass prefix sum ([[graft.operators.PrefixSum]]
+    * — never the single-task `sum().over(Window.orderBy)` cliff).
+    * Shingling reuses [[Dedup.shingles]] (k-word windows; short docs
+    * contribute their whole text), so the vocabulary this curve counts
+    * is exactly the one d2's near-dup pipeline indexes.
+    */
+  def vocabGrowth(docs: DataFrame, shingleLen: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleLen)))
+        .as("g"))
+    val firstSeen = grams.groupBy(col("g")).agg(min(col(idCol)).as(idCol))
+    val perDoc = firstSeen.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_new"))
+    val all = docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    graft.operators.PrefixSum.running(all, Seq(col(idCol)), Seq("n_new"))
+  }
 }

@@ -515,6 +515,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D36: vocabulary-growth curve ([[TextAnalysis.vocabGrowth]]) — each
+    * document's corpus-new distinct trigram count and the cumulative
+    * vocabulary in id order, through the distributed two-pass prefix
+    * sum. The oracle pins the first-occurrence attribution AND the
+    * running sum (DuckDB's single-node window) against the
+    * range-exchange implementation — the d26/GlobalRank discipline for
+    * cumulative order.
+    */
+  def d36VocabGrowth(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
     * decontamination. Two scan passes, zero token shuffle
@@ -952,7 +964,8 @@ object PipelineQueries {
     "d33_semantic_dedup" -> d33SemanticDedup,
     "d33_semantic_recall" -> d33SemanticRecall,
     "d34_prototype_prune" -> d34PrototypePrune,
-    "d35_dsir_weights" -> d35DsirWeights)
+    "d35_dsir_weights" -> d35DsirWeights,
+    "d36_vocab_growth" -> d36VocabGrowth)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -1377,6 +1390,29 @@ object PipelineQueries {
         |SELECT 'semdedup' AS method, count(*)::INT AS n_exact,
         |  CAST(0.85 AS DOUBLE) AS recall_floor, true AS meets_floor
         |FROM p""".stripMargin,
+    // First-occurrence attribution + single-node running sum — pins the
+    // distributed two-pass prefix sum's order exactly. Shingle CASE
+    // mirrors Dedup.shingles (short docs contribute their whole text);
+    // the window sum casts BIGINT (DuckDB sum → HUGEINT, the r10 rule).
+    "d36_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ws) >= 3
+        |      THEN list_transform(range(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [array_to_string(ws, ' ')] END)) AS g
+        |  FROM w),
+        |f AS (SELECT g, min(doc_id) AS doc_id FROM s GROUP BY 1),
+        |p AS (SELECT doc_id, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_new, 0) AS n_new,
+        |  CAST(sum(COALESCE(p.n_new, 0)) OVER (
+        |    ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_new_cum
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Mechanical translation of [[Dsir.logImportanceWeights]]: same
     // sha256-prefix buckets (the d7/d8 portable hash), same add-1
     // smoothing over 64 buckets, e-notation literals force DOUBLE

@@ -384,4 +384,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(10L)._2 > got(11L)._2,
       "a target-identical doc must outscore a target-disjoint doc")
   }
+
+  test("vocab growth: first-occurrence attribution, short-doc shingle, exact running sum") {
+    // doc 0 "a b c d": trigrams {a b c, b c d} -> 2 new.
+    // doc 1 "a b c":   its only trigram already seen -> 0 new.
+    // doc 2 "x":       short doc contributes its whole text -> 1 new.
+    val docs = docsOf(Seq("a b c d", "a b c", "x"))
+    val got = graft.pipeline.TextAnalysis.vocabGrowth(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 0L, 2L), (2L, 1L, 3L)),
+      s"got: ${got.toSeq}")
+  }
 }
