@@ -41,4 +41,31 @@ object Contamination {
         round(col("n_hits").cast("double") / col("n_shingles"), 4))
       .select(col(idCol), col("n_shingles"), col("n_hits"), col("frac"))
   }
+
+  /** D40: decontamination SPANS — the positional refinement of
+    * [[overlap]] and the cross-corpus sibling of [[Dedup.dupSpans]]:
+    * the GPT-3/PaLM decontamination pass marks every training-doc
+    * `k`-token window that appears verbatim anywhere in the eval set,
+    * then merges adjacent hits into maximal spans — the exact text
+    * ranges a span-surgery decontaminator cuts (versus [[overlap]]'s
+    * doc-level drop/discount counts, which cannot say WHERE the leak
+    * is). Returns (idCol, span_start, span_end, n_windows), 0-based
+    * inclusive token indices into the training document.
+    *
+    * Scale shape: the eval side collapses to its distinct window
+    * digests and broadcasts (the [[overlap]] asymmetry argument — an
+    * eval set is benchmark-sized by definition); the corpus is touched
+    * by one [[Dedup.tokenWindows]] pass, hash-probes the broadcast set
+    * map-side, and the island merge windows per document. The only
+    * exchange carries flagged (id, pos) rows — contaminated windows
+    * only, a vanishing fraction of a healthy corpus.
+    */
+  def contaminatedSpans(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val wins = Dedup.tokenWindows(corpus, k, idCol, textCol)
+    val evalH = Dedup.tokenWindows(evalSet, k, idCol, textCol)
+      .select(col("h")).distinct()
+    Dedup.mergeSpans(wins.join(broadcast(evalH), "h"), k, idCol)
+  }
 }

@@ -636,6 +636,173 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** D37: duplicated-substring SPANS — the token-window approximation of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": remove any ≥50-token
+    * substring that repeats across the corpus; reference surface:
+    * document-level hashing only, `02_benchmark/` ingest dedup). Every
+    * `k`-token window (stride 1) is hashed; windows whose text occurs in
+    * at least `minDocs` DISTINCT documents are duplicated; adjacent
+    * duplicated window starts inside one document merge into maximal
+    * spans (the gaps-and-islands step — stride 1 makes "adjacent" =
+    * consecutive start positions). Returns per-span
+    * (id, span_start, span_end, n_windows) with 0-based inclusive token
+    * indices: `span_end - span_start + 1` tokens of verbatim cross-doc
+    * repetition, the unit the Lee et al. pipeline cuts out of training
+    * text.
+    *
+    * Scale shape: the window explode multiplies the corpus by ~tokens
+    * per doc (the d2 shingle fan-out, linear); window-frequency counting
+    * shuffles fixed-width sha2 keys with map-side combine; the
+    * membership join keys on that same digest so the exchange is
+    * reusable; the island merge windows by (doc, pos) — partitioned by
+    * document, never a global sort. Nothing is all-pairs: a window text
+    * shared by d documents costs d rows, not C(d,2).
+    */
+  def dupSpans(docs: DataFrame, k: Int = 5, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val wins = tokenWindows(docs, k, idCol, textCol)
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    mergeSpans(wins.join(dup, "h"), k, idCol)
+  }
+
+  /** Stride-1 `k`-token windows of every document, positions 0-based,
+    * window text carried only as its sha2 digest: (idCol, pos, h).
+    * Shared by [[dupSpans]] and
+    * [[Contamination.contaminatedSpans]] so "the same window" means the
+    * same bytes in every span operator. Documents shorter than k
+    * contribute nothing (no window of length k exists).
+    */
+  def tokenWindows(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $k)))"))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), sha2(col("gram"), 256).as("h"))
+
+  /** Gaps-and-islands merge of flagged window starts into maximal spans
+    * — stride 1 makes "adjacent" = consecutive positions, so
+    * `pos − row_number()` is constant exactly within one maximal run.
+    * Input needs (idCol, pos); returns (idCol, span_start, span_end,
+    * n_windows) with 0-based inclusive token indices. The window runs
+    * partitioned BY DOCUMENT — never a global sort.
+    */
+  def mergeSpans(flagged: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** D38: C4-style duplicated-chunk REMOVAL with text reconstruction —
+    * the transform companion to [[chunkShared]]'s statistics: where d10
+    * reports how much of each document is boilerplate, this actually
+    * scrubs it (C4's "discard any three-sentence span occurring more
+    * than once" rule, restated on `chunkWords`-word chunks for
+    * unpunctuated text). A chunk is removed when its text occurs at
+    * least `minOccurrences` times CORPUS-WIDE (occurrence count, not
+    * distinct documents — a doc self-repeating its own boilerplate
+    * counts, the C4 convention); survivors reassemble in original order.
+    * Returns (id, n_chunks, n_removed, clean_text) — clean_text is ''
+    * when everything was boilerplate, and the row survives so the
+    * downstream length filter (d11) sees the empty doc rather than
+    * silently losing it.
+    *
+    * Scale shape: occurrence counting shuffles fixed-width sha2 keys
+    * with map-side combine; the membership join then touches only the
+    * DUPLICATED hash set (occ ≥ `minOccurrences` — in a healthy corpus
+    * a small fraction of distinct chunks, so the join side stays
+    * broadcast-able at any corpus size; a full occ-per-chunk join-back
+    * would carry a corpus-sized build side), with a left join treating
+    * misses as occ = 1. Reassembly aggregates by document id with a
+    * bounded per-doc array (chunks of ONE document — the d12 per-group
+    * bound, never a corpus-wide collect), sorted by chunk index inside
+    * the aggregate, so no window over the corpus and no global sort.
+    */
+  def chunkScrub(docs: DataFrame, chunkWords: Int = 8,
+      minOccurrences: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be at least 2, got $minOccurrences")
+    val chunks = docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0D) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))"))
+        .as(Seq("idx", "chunk")))
+      .withColumn("h", sha2(col("chunk"), 256))
+    val dup = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"), lit(true).as("is_dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        coalesce(sum(when(col("is_dup"), 1)), lit(0))
+          .cast("int").as("n_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN is_dup IS NULL " +
+            "THEN struct(idx, chunk) END)), s -> s.chunk)"), " ")
+          .as("clean_text"))
+  }
+
+  /** D42: span SCRUB — the removal half of Lee et al. 2021 substring
+    * dedup (the detection half is [[dupSpans]]): every token whose
+    * position falls inside any span is cut, survivors reassemble in
+    * order. Returns (id, n_tokens, n_removed, clean_text) for EVERY
+    * document (no spans → text passes through verbatim; fully-covered
+    * → clean_text '', the [[chunkScrub]] empty-doc convention).
+    *
+    * `spans` is any (idCol, span_start, span_end) frame — [[dupSpans]]
+    * output for cross-corpus repetition surgery,
+    * [[Contamination.contaminatedSpans]] for decontamination surgery;
+    * the operator is the shared execution half of both pipelines.
+    *
+    * Scale shape: the coverage test is an ANTI join with an id equi-key
+    * plus the range predicate — per-document span lists are small (the
+    * d13 per-doc bound), so the join fans out per token only over that
+    * document's spans, never a corpus cross. Reassembly is the per-doc
+    * sorted-struct aggregate ([[chunkScrub]]); the final left join puts
+    * span-free documents back untouched.
+    */
+  def scrubSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("pos", "tok")))
+    val sp = spans.select(col(idCol).as("sid"), col("span_start"),
+      col("span_end"))
+    val kept = toks.join(sp,
+      toks(idCol) === col("sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("clean_text"))
+    docs.select(col(idCol), size(words(col(textCol))).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0))).cast("int")
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Max pairs collected to the driver by [[componentsAuto]]'s small
     * tier; above this the delta iteration runs. Same bounded-driver-read
     * contract as [[graft.graph.Closure.DefaultMaxEdges]].

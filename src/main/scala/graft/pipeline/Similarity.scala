@@ -522,13 +522,34 @@ object Similarity {
       codebookSize: Int, dim: Int, idCol: String,
       vecCol: String): DataFrame = {
     val cbs = pqCodebooks(vectors, m, codebookSize, dim, vecCol)
-    val codes = planKey(vectors) match {
+    val codes = pqCodesOf(vectors, cbs, m, codebookSize, dim, idCol, vecCol)
+    val qTable = pqQueryTable(vectors, queryId, cbs, m, dim, idCol, vecCol)
+    codes.join(broadcast(qTable), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("qd2")).as("adc2"))
+      .filter(col(idCol) =!= queryId)
+  }
+
+  /** The memoized corpus codes table for a trained codebook set — the
+    * persisted index artifact at scale ([[pqAdcScores]]'s cache,
+    * factored out so [[ivfPqTopK]] reads the same codes).
+    */
+  private def pqCodesOf(vectors: DataFrame,
+      cbs: Array[Array[Array[Double]]], m: Int, codebookSize: Int,
+      dim: Int, idCol: String, vecCol: String): DataFrame =
+    planKey(vectors) match {
       case Some(key) =>
         graft.CacheRegistry.register(pqCodesCache.computeIfAbsent(
           s"$key:$m:$codebookSize:$dim:$vecCol:$idCol",
           _ => pqEncode(vectors, cbs, idCol, vecCol)).cache())
       case None => pqEncode(vectors, cbs, idCol, vecCol)
     }
+
+  /** The query's m × codebookSize table of squared subspace distances
+    * to every centroid — the tiny broadcast side of ADC.
+    */
+  private def pqQueryTable(vectors: DataFrame, queryId: Long,
+      cbs: Array[Array[Array[Double]]], m: Int, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val subDim = dim / m
     val q = vectors.filter(col(idCol) === queryId)
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos0", "x")))
@@ -540,12 +561,9 @@ object Similarity {
       cs.zipWithIndex.flatMap { case (c, kk) =>
         c.zipWithIndex.map { case (v, p) => (s, kk, p, v) } }
     }.toIndexedSeq.toDF("sub", "code", "sp", "c")
-    val qTable = q.join(cb, Seq("sub", "sp"))
+    q.join(cb, Seq("sub", "sp"))
       .groupBy(col("sub"), col("code"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("qd2"))
-    codes.join(broadcast(qTable), Seq("sub", "code"))
-      .groupBy(col(idCol)).agg(sum(col("qd2")).as("adc2"))
-      .filter(col(idCol) =!= queryId)
   }
 
   /** PQ search = ADC shortlist + exact rerank (the faiss IVFPQ+refine
@@ -577,6 +595,75 @@ object Similarity {
             else math.min(math.max(5L * k, corpusCount(vectors) / 10),
               Int.MaxValue.toLong).toInt
     val cand = pqAdcScores(vectors, queryId, m, codebookSize, dim, idCol, vecCol)
+      .orderBy(col("adc2").asc, col(idCol))
+      .limit(l)
+      .select(col(idCol))
+    val q = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    vectors.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(sqrt(dot(col(vecCol), col(vecCol)) + dot(col("qvec"), col("qvec"))
+          - lit(2.0) * dot(col(vecCol), col("qvec"))), 4).as("dist"))
+      .orderBy(col("dist").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ top-k — the two indexes composed the way faiss's IVFPQ
+    * deploys them at billion-vector scale: the COARSE quantizer (the
+    * memoized IVF k-means) routes the query to its `nProbe` nearest
+    * inverted lists, PQ-ADC ranks ONLY those lists' members from their
+    * codes, and the exact rerank reads raw vectors for the shortlist
+    * alone. Versus [[pqTopK]] (ADC over the whole corpus) the scan
+    * shrinks by ~nProbe/nClusters; versus [[ivfTopK]] (exact distances
+    * inside the probed lists) the probed lists are read as m-byte codes
+    * instead of raw vectors. This is the non-residual variant (codes
+    * quantize raw vectors, not list residuals): residual encoding buys
+    * finer cells at the cost of per-list query tables — m×codebookSize
+    * per probe instead of one shared table — and on near-uniform
+    * synthetic data the residual gain is noise, so the shared-table
+    * shape is the honest one to pin.
+    *
+    * Scale shape: cluster assignment is the partition key of the codes
+    * table at scale, so probing prunes partitions; here the probe
+    * filter is a broadcast-semi on the assigned ids. The ADC join +
+    * id-keyed sum and the shortlist/rerank are [[pqTopK]]'s plan,
+    * restricted to probed members before the per-id sum (the semi-join
+    * sits UNDER the aggregate, so unprobed codes never reach it).
+    */
+  def ivfPqTopK(vectors: DataFrame, queryId: Long, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
+      codebookSize: Int = 16, dim: Int = 64, shortlist: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nProbe >= 1 && nProbe <= nClusters,
+      s"nProbe must be in [1, $nClusters], got $nProbe")
+    val ml = vectors.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    def fit() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml)
+    val model = planKey(ml) match {
+      case Some(key) => ivfModels.computeIfAbsent(s"$key:$nClusters", _ => fit())
+      case None => fit()
+    }
+    val qVec = ml.filter(col(idCol) === queryId)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val probe = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec) }
+      .take(nProbe).map(_._2)
+    val probed = model.transform(ml)
+      .filter(col("prediction").isin(probe.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col(idCol))
+    val cbs = pqCodebooks(vectors, m, codebookSize, dim, vecCol)
+    val codes = pqCodesOf(vectors, cbs, m, codebookSize, dim, idCol, vecCol)
+      .join(probed, Seq(idCol), "left_semi")
+    val qTable = pqQueryTable(vectors, queryId, cbs, m, dim, idCol, vecCol)
+    val l = if (shortlist > 0) shortlist
+            else math.min(math.max(5L * k, corpusCount(vectors) / 10),
+              Int.MaxValue.toLong).toInt
+    val cand = codes.join(broadcast(qTable), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("qd2")).as("adc2"))
+      .filter(col(idCol) =!= queryId)
       .orderBy(col("adc2").asc, col(idCol))
       .limit(l)
       .select(col(idCol))
@@ -769,5 +856,69 @@ object Similarity {
       .select(col("pos"), col("dmin"), col("dmax"), col("max_abs_err"),
         col("bound"), col("ok"))
       .orderBy(col("pos"))
+  }
+
+  /** Squared L2 between two vector columns, summed in element order
+    * (both engines fold the array left-to-right, so doubles agree
+    * bit-for-bit before any rounding guard).
+    */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** V4: greedy k-center CORESET selection (farthest-point traversal —
+    * Gonzalez 1985's 2-approximation of the k-center cover, the
+    * geometric core of coreset-based training-data selection): start
+    * from the lowest-id vector, then `k−1` times select the point whose
+    * distance to the nearest already-selected center is LARGEST. The
+    * selected set maximizes coverage diversity — the complement of
+    * prototype pruning ([[prototypicality]] drops the redundant middle;
+    * this keeps the spanning extremes) — and the final center's
+    * selection distance is the corpus cover radius.
+    *
+    * Determinism contract (the round-then-rank discipline): candidates
+    * rank by (round(minDist², 6) DESC, id ASC), so the emitted set is
+    * engine-exact and a DuckDB oracle replays it as k chained argmax
+    * CTEs. Returns (rk, idCol, dist_sq) — dist_sq is the selection
+    * distance, 0 for the seed.
+    *
+    * Scale shape: each of the k rounds is ONE scan computing
+    * min-over-centers of `r` codegen'd [[distSq]] kernels (centers are
+    * literal broadcast constants, the [[semanticClusters]] idiom)
+    * followed by a TakeOrderedAndProject(1) — a k-bounded driver loop
+    * holding k×dim doubles, the documented [[ivfTopK]]/SemDeDup
+    * driver-side discipline, never a pairwise matrix. At 100 TB: k
+    * scans of the corpus, each embarrassingly parallel; the classic
+    * trade of farthest-point traversal and exactly how GonzalezFP runs
+    * on MapReduce.
+    */
+  def kCenterCoreset(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seedRow = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v")).collect()(0)
+    var picked = Vector[(Long, Seq[Double], Double)](
+      (seedRow.getLong(0), seedRow.getSeq[Double](1), 0.0))
+    while (picked.length < k) {
+      val minD = picked.map { case (_, c, _) =>
+        round(distSq(col("v"), typedlit(c)), 6)
+      }.reduce(least(_, _))
+      val next = base
+        .filter(!col("id").isInCollection(picked.map(_._1)))
+        .select(col("id"), minD.as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()(0)
+      val nid = next.getLong(0)
+      val nvec = base.filter(col("id") === nid)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      picked = picked :+ ((nid, nvec, next.getDouble(1)))
+    }
+    picked.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("rk", idCol, "dist_sq")
   }
 }

@@ -268,4 +268,96 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_new"), lit(0L)).as("n_new"))
     graft.operators.PrefixSum.running(all, Seq(col(idCol)), Seq("n_new"))
   }
+
+  /** D41: CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    * head/middle/tail split CCNet and its descendants cut web data by):
+    * every document's corpus-bigram-LM fluency ([[bigramLogProb]] — the
+    * stand-in for CCNet's KenLM; perplexity = exp(−avg_logp), so
+    * ranking on avg_logp DESCENDING is ranking on perplexity ascending
+    * with no float exp anywhere) is ranked corpus-wide and tertiled:
+    * `head` = the most fluent third, `tail` = the least; CCNet trains
+    * on head+middle, so `keep = bucket ≠ 'tail'`.
+    *
+    * Scale shape: the per-doc LM scores are [[bigramLogProb]]'s two
+    * token-keyed aggregates; the corpus-wide ordering runs through the
+    * distributed two-pass rank ([[graft.operators.GlobalRank]] — never
+    * the single-task `row_number().over(Window.orderBy)` cliff), and
+    * the tertile thresholds compare against one broadcast scalar count.
+    * Ranked on (round-4 avg_logp, id) — total order, engine-exact.
+    * Documents with no bigram (< 2 tokens) have no LM score and are
+    * out of scope here — the length gates (t2/t20) own them.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lp = bigramLogProb(docs, idCol, textCol)
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      lp, Seq(col("avg_logp").desc, col(idCol)), "rn")
+    val tot = lp.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n_docs"), "head")
+          .when(col("rn") * 3 <= col("n_docs") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("keep", col("bucket") =!= "tail")
+      .select(col(idCol), col("n_bigrams"), col("avg_logp"),
+        col("rn"), col("bucket"), col("keep"))
+  }
+
+  /** Stop words for the [[gopherRules]] battery — the high-frequency
+    * function words of Rae et al. 2021's rule 8, intersected with this
+    * corpus's vocabulary convention (lowercase, unpunctuated).
+    */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  /** T20: the Gopher quality-rule battery (Rae et al. 2021 §A1.1, the
+    * rule set reused by MassiveText/RefinedWeb/Dolma) — per-document
+    * boolean gates, not a blended score (that is [[quality]]):
+    *
+    *  1. word count in [`minWords`, `maxWords`];
+    *  2. mean word length in [3, 10] characters;
+    *  3. symbol-to-word ratio ≤ 0.1 (`#` and `...`);
+    *  4. ≥ 80% of words contain at least one alphabetic character;
+    *  5. at least 2 distinct stop words present ([[gopherStopWords]]).
+    *
+    * (The bullet/ellipsis LINE rules don't apply — this corpus is
+    * single-line by construction; see chunk-level boilerplate handling
+    * in [[Dedup.chunkShared]]/[[Dedup.chunkScrub]] instead.) `keep` is
+    * the conjunction. All pure column expressions over the token array —
+    * zero shuffles, the whole battery runs inside the scan's codegen
+    * stage at any corpus size.
+    */
+  def gopherRules(df: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val padded = concat(lit(" "), t, lit(" "))
+    val nWords = size(split(t, "\\s+"))
+    val totChars = expr(
+      s"aggregate(transform(split($textCol, '\\\\s+'), x -> length(x)), " +
+        "0, (a, x) -> a + x)")
+    val nAlpha = expr(
+      s"aggregate(transform(split($textCol, '\\\\s+'), " +
+        "x -> CASE WHEN x rlike '[A-Za-z]' THEN 1 ELSE 0 END), " +
+        "0, (a, x) -> a + x)")
+    val nSymbols = markerCount(t, "#") + markerCount(t, "...")
+    val nStopKinds = gopherStopWords
+      .map(sw => when(markerCount(padded, s" $sw ") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        round(totChars.cast("double") / nWords, 6).as("mean_wlen"),
+        round(nSymbols.cast("double") / nWords, 6).as("symbol_ratio"),
+        round(nAlpha.cast("double") / nWords, 6).as("alpha_frac"),
+        nStopKinds.cast("int").as("n_stop_kinds"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_wlen", col("mean_wlen") >= 3 && col("mean_wlen") <= 10)
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_stop", col("n_stop_kinds") >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_wlen") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stop"))
+  }
 }

@@ -374,6 +374,33 @@ object PipelineQueries {
         lit(PqRecallFloor).as("recall_floor"),
         (col("recall") >= PqRecallFloor).as("meets_floor"))
 
+  /** IVF-PQ top-k ([[Similarity.ivfPqTopK]] — coarse-quantizer routing
+    * + PQ-ADC over the probed lists + exact rerank, the faiss IVFPQ
+    * production composition). Rows-only like its parents (MLlib
+    * k-means + seeded PQ fits can't run in DuckDB); the quality pin is
+    * [[annIvfPqRecall]].
+    */
+  def annIvfPqTopk(spark: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
+
+  /** Measured IVF-PQ recall@10 (tools/PqProbe, r12): 0.9 at sf0.01,
+    * 0.6 at sf0.1, 1.0 at the generated sf1 (sf0.001 reads 0.4 like
+    * plain PQ — same distortion-dominated-corpus caveat, no gate runs
+    * there). Floor one band under the measured minimum across executed
+    * decades. nProbe=4 of 16 lists: probing costs recall only when a
+    * true neighbor's list isn't probed — on this near-uniform corpus
+    * that's the sf0.1 0.7→0.6 step vs plain PQ, the expected IVF trade.
+    */
+  val IvfPqRecallFloor = 0.5
+
+  def annIvfPqRecall(spark: SparkSession, d: String): DataFrame =
+    Similarity.recallAtK(
+      Similarity.bruteForceTopKL2(Tables.embeddings(spark, d), 0L, 10),
+      annIvfPqTopk(spark, d), "ivfpq")
+      .select(col("method"), col("k"),
+        lit(IvfPqRecallFloor).as("recall_floor"),
+        (col("recall") >= IvfPqRecallFloor).as("meets_floor"))
+
   /** Pair-level recall of the LSH candidate-generation near-dup path
     * ([[Similarity.cosinePairs]]) against the exact all-pairs form, on the
     * same block/threshold as `d5_embed_cosine`. The oracle derives the
@@ -526,6 +553,82 @@ object PipelineQueries {
   def d36VocabGrowth(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabGrowth(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
+
+  /** D37: duplicated-substring spans ([[Dedup.dupSpans]], the Lee et al.
+    * 2021 substring-dedup unit at 5-token window granularity) — maximal
+    * per-document runs of cross-document verbatim repetition. The
+    * oracle replays window extraction, the distinct-doc frequency
+    * filter, and the gaps-and-islands merge in SQL, pinning both the
+    * span boundaries and the per-span window counts.
+    */
+  def d37DupSpans(spark: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(spark, d))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** D38: C4-style duplicated-chunk scrub ([[Dedup.chunkScrub]]) — the
+    * boilerplate-REMOVAL transform: corpus-duplicated 8-word chunks are
+    * cut and each document's surviving text is reassembled in order.
+    * The oracle rebuilds clean_text with an ordered string_agg, so the
+    * reassembly order (not just the removal counts) is hash-pinned.
+    */
+  def d38ChunkScrub(spark: SparkSession, d: String): DataFrame =
+    Dedup.chunkScrub(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
+  /** D42: span scrub ([[Dedup.scrubSpans]] over [[Dedup.dupSpans]]) —
+    * the execution half of Lee et al. substring dedup: cut every token
+    * inside a cross-document duplicated span, reassemble, report the
+    * removal counts. Hash-pins the rebuilt text itself, not just
+    * counts.
+    */
+  def d42SpanScrub(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Dedup.scrubSpans(docs, Dedup.dupSpans(docs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T20: the Gopher rule battery ([[TextAnalysis.gopherRules]]) — the
+    * named per-rule boolean gates of Rae et al. 2021 (word-count band,
+    * mean word length, symbol ratio, alphabetic fraction, stop-word
+    * kinds) plus the conjunction. Pure scan-stage expressions.
+    */
+  def t20GopherRules(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
+  /** D41: CCNet perplexity buckets
+    * ([[TextAnalysis.perplexityBuckets]]) — corpus-LM fluency tertiles
+    * (head/middle/tail) with the CCNet keep rule. The oracle replays
+    * the LM, the corpus-wide rank (DuckDB's single-node row_number
+    * pinning the distributed GlobalRank order — the d26 discipline),
+    * and the tertile arithmetic.
+    */
+  def d41PerplexityBuckets(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexityBuckets(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
+  /** D40: decontamination spans ([[Contamination.contaminatedSpans]])
+    * — src0 stands in as the eval/benchmark block (the d9/d35 split);
+    * every other document's verbatim 5-token overlaps with it merge
+    * into maximal spans. The oracle replays the cross-corpus window
+    * probe and the island merge in SQL.
+    */
+  def d40DecontaminateSpans(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.pipeline.Contamination.contaminatedSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** V4: greedy k-center coreset ([[Similarity.kCenterCoreset]], k = 4)
+    * — the farthest-point diversity selection. Deterministic by the
+    * round-then-rank contract, so the DuckDB oracle replays the greedy
+    * chain exactly (k chained argmax CTEs).
+    */
+  def v4KcenterCoreset(spark: SparkSession, d: String): DataFrame =
+    Similarity.kCenterCoreset(Tables.embeddings(spark, d), k = 4)
+      .orderBy(col("rk"))
 
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
@@ -928,6 +1031,8 @@ object PipelineQueries {
     "ann_ivf_recall" -> annIvfRecall,
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_recall" -> annPqRecall,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
+    "ann_ivfpq_recall" -> annIvfPqRecall,
     "d5_cosine_lsh_recall" -> d5CosineLshRecall,
     "d2_minhash_recall" -> d2MinhashRecall,
     "t1_langid" -> t1LangId,
@@ -965,7 +1070,14 @@ object PipelineQueries {
     "d33_semantic_recall" -> d33SemanticRecall,
     "d34_prototype_prune" -> d34PrototypePrune,
     "d35_dsir_weights" -> d35DsirWeights,
-    "d36_vocab_growth" -> d36VocabGrowth)
+    "d36_vocab_growth" -> d36VocabGrowth,
+    "d37_dup_spans" -> d37DupSpans,
+    "d38_chunk_scrub" -> d38ChunkScrub,
+    "d40_decontaminate_spans" -> d40DecontaminateSpans,
+    "d41_ppl_buckets" -> d41PerplexityBuckets,
+    "d42_span_scrub" -> d42SpanScrub,
+    "t20_gopher_rules" -> t20GopherRules,
+    "v4_kcenter_coreset" -> v4KcenterCoreset)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -1365,6 +1477,19 @@ object PipelineQueries {
         |  LIMIT 10)
         |SELECT 'pq' AS method, (SELECT count(*) FROM ex)::INT AS k,
         |  CAST(0.6 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+    // The ann_pq_recall pattern at the IVF-PQ composition's measured
+    // floor: the oracle re-derives the exact Euclidean top-10 ground
+    // truth and pins meets_floor TRUE; Spark's meets_floor comes from
+    // its own measured recall, so a routing or ADC regression reds it.
+    "ann_ivfpq_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ex AS (
+        |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
+        |  WHERE w.vec_id <> 0
+        |  ORDER BY round(list_distance(w.e, q.e), 4) ASC, w.vec_id
+        |  LIMIT 10)
+        |SELECT 'ivfpq' AS method, (SELECT count(*) FROM ex)::INT AS k,
+        |  CAST(0.5 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
     "ann_ivf_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (
@@ -1608,6 +1733,35 @@ object PipelineQueries {
         |  round(avg(ln(cb.cb::DOUBLE / cu.cu)), 4) AS avg_logp
         |FROM gr JOIN cb USING (g) JOIN cu USING (w1)
         |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin,
+    // [[TextAnalysis.perplexityBuckets]]: the t12 LM CTEs, then the
+    // corpus-wide rank over (round-4 avg_logp DESC, doc_id) — DuckDB's
+    // single-node row_number pins the distributed GlobalRank order —
+    // and integer tertile arithmetic (rn*3 vs n, no float division).
+    "d41_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |      FROM t),
+        |gr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS w1 FROM i),
+        |cb AS (SELECT g, count(*) AS cb FROM gr GROUP BY g),
+        |cu AS (SELECT w1, count(*) AS cu FROM gr GROUP BY w1),
+        |lp AS (
+        |  SELECT gr.doc_id, count(*)::INT AS n_bigrams,
+        |    round(avg(ln(cb.cb::DOUBLE / cu.cu)), 4) AS avg_logp
+        |  FROM gr JOIN cb USING (g) JOIN cu USING (w1)
+        |  GROUP BY gr.doc_id),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n_docs
+        |  FROM lp)
+        |SELECT doc_id, n_bigrams, avg_logp, rn,
+        |  CASE WHEN rn * 3 <= n_docs THEN 'head'
+        |       WHEN rn * 3 <= n_docs * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  (CASE WHEN rn * 3 <= n_docs THEN 'head'
+        |        WHEN rn * 3 <= n_docs * 2 THEN 'middle'
+        |        ELSE 'tail' END) <> 'tail' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t7_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
@@ -1906,6 +2060,199 @@ object PipelineQueries {
         |             + strpos('0123456789ABCDEF', h[2*i+2]) - 1))::VARCHAR),
         |    ',') AS block_sums
         |FROM b ORDER BY doc_id""".stripMargin,
+    // Mechanical translation of [[Dedup.dupSpans]] (k=5, minDocs=2):
+    // same \s+ tokens, same 0-based window starts (generate_series is
+    // 1-based → i-1), duplicate = gram text in ≥2 distinct docs (the
+    // engine groups the sha2 of the gram — same partition of windows),
+    // islands via pos − row_number, span_end = start + k − 1.
+    "d37_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |dup AS (SELECT gram FROM g
+        |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM g JOIN dup USING (gram))
+        |SELECT doc_id, min(pos)::INT AS span_start,
+        |  (max(pos) + 4)::INT AS span_end, count(*)::INT AS n_windows
+        |FROM m GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // [[Dedup.scrubSpans]] over [[Dedup.dupSpans]]: the d37 span CTEs,
+    // a NOT EXISTS coverage test per token, and the ordered string_agg
+    // reassembly (the d38 convention: span-free docs pass through via
+    // the left join, fully-covered docs coalesce to '').
+    "d42_span_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |dup AS (SELECT gram FROM g
+        |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM g JOIN dup USING (gram)),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |       FROM m GROUP BY doc_id, isl),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM w)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::INT AS n_tokens,
+        |  (len(w.ws) - COALESCE(k.n_kept, 0))::INT AS n_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Mechanical translation of [[Contamination.contaminatedSpans]]
+    // (k=5, eval = src0, the d9/d35 split): training windows that occur
+    // verbatim anywhere in the eval block, merged into islands exactly
+    // as d37's oracle does.
+    "d40_decontaminate_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM g JOIN ev USING (gram) WHERE source <> 'src0')
+        |SELECT doc_id, min(pos)::INT AS span_start,
+        |  (max(pos) + 4)::INT AS span_end, count(*)::INT AS n_windows
+        |FROM m GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // Mechanical translation of [[Dedup.chunkScrub]] (chunkWords=8,
+    // minOccurrences=2): the d10 chunk extraction, corpus OCCURRENCE
+    // counts (not distinct docs — the C4 convention), and an ordered
+    // string_agg rebuilding clean_text exactly as the engine's
+    // sorted-struct reassembly does (aggregates skip the NULLed-out
+    // removed chunks on both sides; all-boilerplate docs coalesce '').
+    "d38_chunk_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(w) / 8.0) AS INT) - 1)) AS i
+        |        FROM t)),
+        |occ AS (SELECT chunk, count(*) AS occ FROM ch GROUP BY chunk)
+        |SELECT doc_id, count(*)::INT AS n_chunks,
+        |  COALESCE(sum(CASE WHEN occ >= 2 THEN 1 END), 0)::INT
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN occ < 2 THEN chunk END,
+        |    ' ' ORDER BY idx), '') AS clean_text
+        |FROM ch JOIN occ USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mechanical translation of [[TextAnalysis.gopherRules]]: same \s+
+    // tokens, marker counts via the length-difference identity, the
+    // stop-word KIND count over the padded text, DOUBLE ratios rounded
+    // at 6 on both sides. The '...' marker diff is always a multiple of
+    // 3, so /3 is exact and DuckDB's round-on-cast equals Spark's
+    // truncation.
+    "t20_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id, text AS t, ' ' || text || ' ' AS pt,
+        |    string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    len(ws)::INT AS n_words,
+        |    round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+        |      / len(ws), 6) AS mean_wlen,
+        |    round(((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE
+        |      / len(ws), 6) AS symbol_ratio,
+        |    round(list_sum(list_transform(ws, x ->
+        |      CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END))
+        |      ::DOUBLE / len(ws), 6) AS alpha_frac,
+        |    (CASE WHEN position(' the ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' be ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' to ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' of ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' and ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' that ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' have ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' with ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' a ' IN pt) > 0 THEN 1 ELSE 0 END)::INT
+        |      AS n_stop_kinds
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac,
+        |  n_stop_kinds,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_wlen >= 3 AND mean_wlen <= 10) AS ok_wlen,
+        |  (symbol_ratio <= 0.1) AS ok_symbols,
+        |  (alpha_frac >= 0.8) AS ok_alpha,
+        |  (n_stop_kinds >= 2) AS ok_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_wlen >= 3 AND mean_wlen <= 10)
+        |    AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+        |    AND (n_stop_kinds >= 2)) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // [[Similarity.kCenterCoreset]] k=4 as four chained argmax CTEs —
+    // the greedy chain is replayable precisely BECAUSE the engine ranks
+    // on (round(minDist²,6) DESC, id ASC). Squared-L2 sums run in
+    // element order on both engines; each round's new distance rounds
+    // at 6 before the LEAST fold, mirroring the engine's per-center
+    // round-then-least.
+    "v4_kcenter_coreset" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |           FROM embeddings),
+        |s1 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+        |m1 AS (
+        |  SELECT v.vec_id, v.e,
+        |    round(list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> (v.e[i] - s1.e[i]) * (v.e[i] - s1.e[i]))), 6) AS d
+        |  FROM v, s1 WHERE v.vec_id <> s1.vec_id),
+        |s2 AS (SELECT vec_id, e, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+        |m2 AS (
+        |  SELECT m1.vec_id, m1.e,
+        |    least(m1.d, round(list_sum(list_transform(
+        |      range(1, len(m1.e) + 1),
+        |      i -> (m1.e[i] - s2.e[i]) * (m1.e[i] - s2.e[i]))), 6)) AS d
+        |  FROM m1, s2 WHERE m1.vec_id <> s2.vec_id),
+        |s3 AS (SELECT vec_id, e, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+        |m3 AS (
+        |  SELECT m2.vec_id, m2.e,
+        |    least(m2.d, round(list_sum(list_transform(
+        |      range(1, len(m2.e) + 1),
+        |      i -> (m2.e[i] - s3.e[i]) * (m2.e[i] - s3.e[i]))), 6)) AS d
+        |  FROM m2, s3 WHERE m2.vec_id <> s3.vec_id),
+        |s4 AS (SELECT vec_id, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+        |SELECT 1::INT AS rk, vec_id, 0.0::DOUBLE AS dist_sq FROM s1
+        |UNION ALL SELECT 2::INT, vec_id, d FROM s2
+        |UNION ALL SELECT 3::INT, vec_id, d FROM s3
+        |UNION ALL SELECT 4::INT, vec_id, d FROM s4
+        |ORDER BY rk""".stripMargin,
     "mm3_frames" ->
       """SELECT doc_id,
         |  ((octet_length(encode(text))::INT - 1) // 64 + 1)::INT AS n_frames

@@ -20,10 +20,13 @@ object PqProbe {
         "/root/testdata/sf0.1", "/root/repo/benchdata/sf1")
     dirs.foreach { d =>
       val emb = Tables.embeddings(spark, d)
-      val r = Similarity.recallAtK(
-        Similarity.bruteForceTopKL2(emb, 0L, 10),
+      val exact = Similarity.bruteForceTopKL2(emb, 0L, 10)
+      val r = Similarity.recallAtK(exact,
         Similarity.pqTopK(emb, 0L, 10), "pq").head()
       println(s"PROBE $d recall@10=${r.getDouble(2)}")
+      val r2 = Similarity.recallAtK(exact,
+        Similarity.ivfPqTopK(emb, 0L, 10), "ivfpq").head()
+      println(s"PROBE $d ivfpq recall@10=${r2.getDouble(2)}")
       graft.CacheRegistry.releaseAll()
     }
     spark.stop()

@@ -396,4 +396,144 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 0L, 2L), (2L, 1L, 3L)),
       s"got: ${got.toSeq}")
   }
+
+  test("dup spans: planted copy yields one maximal span per doc, unique text yields none") {
+    // Docs 0 and 1 share the 7-token run "p q r s t u v" (3 consecutive
+    // 5-windows -> ONE island spanning tokens 2..8 in doc 0, 0..6 in
+    // doc 1). Doc 2 is all-unique: no duplicated window, no span.
+    val docs = docsOf(Seq(
+      "x1 x2 p q r s t u v x3 x4",
+      "p q r s t u v y1 y2",
+      "z1 z2 z3 z4 z5 z6 z7 z8"))
+    val got = graft.pipeline.Dedup.dupSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sortBy(s => (s._1, s._2))
+    assert(got.toSeq == Seq((0L, 2, 8, 3), (1L, 0, 6, 3)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("dup spans: two separated copies stay two islands, not one merged span") {
+    // The shared 5-gram "a b c d e" sits at positions 0 AND 7 of doc 0
+    // (separated by unique filler), so the island merge must emit two
+    // single-window spans, proving adjacency means stride-1 contiguity.
+    val docs = docsOf(Seq(
+      "a b c d e f1 f2 a b c d e",
+      "a b c d e g1 g2"))
+    val got = graft.pipeline.Dedup.dupSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sortBy(s => (s._1, s._2))
+    assert(got.toSeq == Seq((0L, 0, 4, 1), (0L, 7, 11, 1), (1L, 0, 4, 1)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("span scrub: cuts exactly the spanned tokens, passes span-free docs verbatim, empties fully-covered docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = docsOf(Seq(
+      "x1 x2 p q r s t u v x3 x4",   // span 2..8 -> keep x1 x2 x3 x4
+      "p q r s t u v",                // fully covered -> ''
+      "z1 z2 z3 z4 z5 z6 z7 z8"))     // no span -> verbatim
+    val got = graft.pipeline.Dedup.scrubSpans(docs,
+        graft.pipeline.Dedup.dupSpans(docs))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 11, 7, "x1 x2 x3 x4"),
+      (1L, 7, 7, ""),
+      (2L, 8, 0, "z1 z2 z3 z4 z5 z6 z7 z8")),
+      s"got: ${got.toSeq}")
+  }
+
+  test("decontamination spans: flags only eval overlaps, never train-train duplication") {
+    // Train docs 0,1 both contain the eval 5-gram "e1 e2 e3 e4 e5";
+    // train docs 1,2 SHARE "t1 t2 t3 t4 t5" but the eval set doesn't —
+    // a train-train dup must NOT become a decontamination span (that's
+    // d37's job). Eval-internal text never emits rows.
+    val train = docsOf(Seq(
+      "x1 e1 e2 e3 e4 e5 x2",
+      "e1 e2 e3 e4 e5 t1 t2 t3 t4 t5",
+      "t1 t2 t3 t4 t5 y1"))
+    val eval_ = Seq((100L, "z e1 e2 e3 e4 e5 z2")).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination.contaminatedSpans(train, eval_)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sortBy(s => (s._1, s._2))
+    assert(got.toSeq == Seq((0L, 1, 5, 1), (1L, 0, 4, 1)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("chunk scrub: removes corpus-duplicated chunks, keeps order, survives all-boilerplate docs") {
+    // chunkWords=2: doc 0 = [a b][c d][e f], doc 1 = [c d][x y],
+    // doc 2 = [a b] — chunks "a b" and "c d" occur >=2 times corpus-wide.
+    val docs = docsOf(Seq("a b c d e f", "c d x y", "a b"))
+    val got = graft.pipeline.Dedup.chunkScrub(docs, chunkWords = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3, 2, "e f"), (1L, 2, 1, "x y"), (2L, 1, 1, "")),
+      s"got: ${got.toSeq}")
+  }
+
+  test("chunk scrub: self-repetition counts as occurrences (the C4 convention)") {
+    // Doc 0 repeats its own chunk "a b" — occurrence count 2 with only
+    // one distinct doc, so the scrub fires where d10's distinct-doc
+    // spread would not.
+    val docs = docsOf(Seq("a b a b c d", "x y"))
+    val got = graft.pipeline.Dedup.chunkScrub(docs, chunkWords = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2, "c d"), (1L, 0, "x y")),
+      s"got: ${got.toSeq}")
+  }
+
+  test("perplexity buckets: tertiles partition the corpus, rank follows the LM, keep drops the tail") {
+    // 6 docs. Under the backoff-free bigram LM a unique bigram with a
+    // unique left context has p = 1 (logp 0) — docs 3-5 are maximally
+    // "fluent" by this LM and rank top; doc 2 mixes contexts ("a" goes
+    // to both "a" and "b") and ranks below doc 0's pure repetition.
+    // Exact LM values aren't hand-pinned (the DuckDB gate does that);
+    // this pins the bucketing CONTRACT.
+    val docs = docsOf(Seq(
+      "a a a a", "a a a", "a a b", "c d e", "f g h", "i j k"))
+    val r = graft.pipeline.TextAnalysis.perplexityBuckets(docs)
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getLong(3),
+        x.getString(4), x.getBoolean(5)))
+    assert(r.length == 6)
+    assert(r.count(_._4 == "head") == 2 && r.count(_._4 == "middle") == 2
+      && r.count(_._4 == "tail") == 2)
+    r.foreach { case (_, _, _, b, k) => assert(k == (b != "tail")) }
+    // ranks are exactly the (avg_logp desc, doc_id) order.
+    val expected = r.sortBy(x => (-x._2, x._1)).map(_._1).toSeq
+    assert(r.sortBy(_._3).map(_._1).toSeq == expected)
+    // mixed-context doc 2 ranks strictly below pure-repetition doc 0.
+    assert(r.find(_._1 == 2L).get._3 > r.find(_._1 == 0L).get._3)
+  }
+
+  test("gopher rules: each rule fires independently on a crafted offender") {
+    // 50 words, mean wlen (3+4)/2 = 3.5, stop kinds {the, with} = 2.
+    val fiftyGood = Seq.fill(25)("the with").mkString(" ")
+    val docs = docsOf(Seq(
+      fiftyGood,                                    // keep
+      "the of and",                                 // too few words
+      Seq.fill(50)("abcdefghijklmnopqrstu the").mkString(" "), // mean wlen (21+3)/2 = 12 > 10
+      Seq.fill(25)("# the of #").mkString(" "),     // symbol ratio > 0.1
+      Seq.fill(25)("12 34 the of").mkString(" "),   // alpha frac 0.5 < 0.8
+      Seq.fill(50)("zz qq").mkString(" ")))         // no stop words
+    val got = graft.pipeline.TextAnalysis.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> (
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(got(0L) == ((true, true, true, true, true, true)), s"got: $got")
+    assert(!got(1L)._1 && !got(1L)._6)   // word count
+    assert(!got(2L)._2 && !got(2L)._6)   // mean word length
+    assert(!got(3L)._3 && !got(3L)._6)   // symbol ratio
+    assert(!got(4L)._4 && !got(4L)._6)   // alpha fraction
+    assert(!got(5L)._5 && !got(5L)._6)   // stop-word kinds
+  }
+
+  test("gopher rules: zero shuffles — the whole battery is scan-stage") {
+    val plan = graft.pipeline.TextAnalysis.gopherRules(
+      docsOf(Seq("the of a b"))).queryExecution.executedPlan
+    assert(collectLeaves(plan).count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+      plan.toString)
+  }
 }

@@ -193,4 +193,51 @@ class VectorOpsSpec extends AnyFunSuite {
     // Label 1: centroid (1, 2.5); both cosines < 1, ranks 1..2 emitted.
     assert(got.count(_._1 == 1) == 2)
   }
+
+  test("ivfpq: probing every list degenerates to plain PQ (same shortlist, identical result)") {
+    // With nProbe = nClusters the probe filter keeps the whole corpus,
+    // so IVF-PQ and corpus-wide PQ must emit the SAME top-k — the
+    // composition adds routing, never a different distance. A fixed
+    // shortlist removes the only other knob.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.ivfPqTopK(emb, 0L, 10, nClusters = 16,
+        nProbe = 16, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = Similarity.pqTopK(emb, 0L, 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == pq, s"ivfpq(all lists)=$full vs pq=$pq")
+    // And a narrow probe returns k valid non-query rows with ascending
+    // exact distances (the rerank contract).
+    val narrow = Similarity.ivfPqTopK(emb, 0L, 10, nProbe = 4,
+        shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(narrow.length == 10 && narrow.forall(_._1 != 0L))
+    assert(narrow.map(_._2).toSeq == narrow.map(_._2).sorted.toSeq)
+  }
+
+  test("k-center coreset: greedy farthest-point chain with deterministic tiebreak") {
+    // Seed = lowest id (1 at origin). Then: 4 is farthest (d²=101);
+    // next, 5's min-dist 25 beats 2 and 3 (both at 1); finally 2 and 3
+    // tie at min-dist 1 — the lower id must win.
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(10f, 1f)), (5L, Seq(-5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 1L, 0.0), (2, 4L, 101.0), (3, 5L, 25.0), (4, 2L, 1.0)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("k-center coreset: k=1 is just the seed; k covers all points when k=n") {
+    val vecs = Seq((7L, Seq(1f, 2f)), (9L, Seq(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val one = Similarity.kCenterCoreset(vecs, k = 1).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 7L)
+    val all = Similarity.kCenterCoreset(vecs, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(7L, 9L))
+  }
 }
