@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`).
@@ -678,6 +678,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a trained PQ index — codebooks (m × codebookSize × subDim
+    * cells) and the encoded corpus codes — as parquet, the "the index
+    * artifact is built once and stored WITH the data" claim made
+    * concrete: at scale the codes table is written next to the corpus
+    * and every query session reloads it instead of re-encoding.
+    * Layout: `<path>/codebooks` = (sub, code, sp, c),
+    * `<path>/codes` = (idCol, sub, code).
+    */
+  def pqSaveIndex(vectors: DataFrame, path: String, m: Int = 8,
+      codebookSize: Int = 16, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbs = pqCodebooks(vectors, m, codebookSize, dim, vecCol)
+    cbs.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.flatMap { case (c, kk) =>
+        c.zipWithIndex.map { case (v, p) => (s, kk, p, v) } }
+    }.toIndexedSeq.toDF("sub", "code", "sp", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    pqCodesOf(vectors, cbs, m, codebookSize, dim, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload [[pqSaveIndex]]'s codebooks into the in-memory form. */
+  def pqLoadCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("code"), col("sp"), col("c")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val sd = rows.map(_.getInt(2)).max + 1
+    val out = Array.fill(m, ks, sd)(0.0)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+      r.getDouble(3))
+    out
+  }
+
+  /** ADC scores served from a RELOADED index ([[pqSaveIndex]] output):
+    * the query builds its table against the loaded codebooks and joins
+    * the stored codes — no touch of the raw corpus beyond the one query
+    * row. The ARTIFACT is bit-identical to the in-memory index (codes
+    * and codebook cells, spec-pinned exactly); the served score matches
+    * to summation-order ulps (~1e-16 relative — the per-id m-term sum
+    * folds in partition order, and parquet round-trip re-partitions),
+    * which rounding at any output precision absorbs.
+    */
+  def pqAdcScoresFromIndex(spark: SparkSession, path: String,
+      query: DataFrame, queryId: Long, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cbs = pqLoadCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val qTable = pqQueryTable(query, queryId, cbs, m, dim, idCol, vecCol)
+    codes.join(broadcast(qTable), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("qd2")).as("adc2"))
+      .filter(col(idCol) =!= queryId)
+  }
+
   /** Exact top-k by EUCLIDEAN distance (the metric PQ-ADC approximates;
     * [[bruteForceTopK]] is its cosine sibling). */
   def bruteForceTopKL2(vectors: DataFrame, queryId: Long, k: Int,
@@ -899,11 +956,13 @@ object Similarity {
     import spark.implicits._
     val base = vectors.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val seedRow = base.orderBy(col("id")).limit(1)
-      .select(col("id"), col("v")).collect()(0)
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v")).collect()
+    require(seed.nonEmpty, "kCenterCoreset: empty corpus")
     var picked = Vector[(Long, Seq[Double], Double)](
-      (seedRow.getLong(0), seedRow.getSeq[Double](1), 0.0))
-    while (picked.length < k) {
+      (seed(0).getLong(0), seed(0).getSeq[Double](1), 0.0))
+    var exhausted = false
+    while (picked.length < k && !exhausted) {
       val minD = picked.map { case (_, c, _) =>
         round(distSq(col("v"), typedlit(c)), 6)
       }.reduce(least(_, _))
@@ -911,11 +970,14 @@ object Similarity {
         .filter(!col("id").isInCollection(picked.map(_._1)))
         .select(col("id"), minD.as("d"))
         .orderBy(col("d").desc, col("id").asc)
-        .limit(1).collect()(0)
-      val nid = next.getLong(0)
-      val nvec = base.filter(col("id") === nid)
-        .select(col("v")).collect()(0).getSeq[Double](0)
-      picked = picked :+ ((nid, nvec, next.getDouble(1)))
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true // k > corpus: emit what exists
+      else {
+        val nid = next(0).getLong(0)
+        val nvec = base.filter(col("id") === nid)
+          .select(col("v")).collect()(0).getSeq[Double](0)
+        picked = picked :+ ((nid, nvec, next(0).getDouble(1)))
+      }
     }
     picked.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1, id, d) }

@@ -322,6 +322,55 @@ object AnalyticsQueries {
           |AS (col_name, n, n_null, ndv, min_s, max_s)""".stripMargin)
       .orderBy(col("col_name"))
 
+  /** A32: PSI drift monitor (population stability index — the standard
+    * production check for "has this source's distribution moved away
+    * from the reference?"): decile bins come from the src0 REFERENCE
+    * block's exact n_chars quantiles (the d9/d35/d40 split), every
+    * source's length distribution is binned against them, and
+    * PSI = Σ (q_i − p_i)·ln(q_i / p_i) per source. Counts smooth by
+    * +0.5 per bin (n + 5 per source) so an empty bin contributes a
+    * finite term instead of ln(0) — deterministic, engine-identical,
+    * and src0 vs itself reads exactly 0. Conventional read: <0.1
+    * stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Scale shape: ONE exact-percentile aggregate over the reference
+    * (the a4 idiom) produces 9 boundaries broadcast as a 1-row array;
+    * binning is a scan-stage `filter(bs, b -> b <= x)` count; the rest
+    * is a (source × 10)-key count with map-side combine joined to a
+    * sources × bins scaffold — nothing data-sized moves after the
+    * first aggregate.
+    */
+  def a32PsiDrift(spark: SparkSession, d: String): DataFrame =
+    psiDrift(Tables.documents(spark, d)).orderBy(col("source"))
+
+  /** The a32 operator body over any (source, n_chars) frame —
+    * `refSource` is the reference block whose deciles define the bins.
+    */
+  def psiDrift(docs: DataFrame, refSource: String = "src0"): DataFrame = {
+    val bs = docs.filter(col("source") === refSource)
+      .agg(percentile(col("n_chars"), typedlit(
+        (1 to 9).map(_ / 10.0))).as("bs"))
+    val binned = docs.crossJoin(broadcast(bs))
+      .select(col("source"),
+        (size(expr("filter(bs, b -> b <= n_chars)")) + 1).as("bin"))
+    val cnts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tots = binned.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val scaffold = tots
+      .select(col("source"), col("n"),
+        explode(expr("sequence(1, 10)")).as("bin"))
+    val filled = scaffold.join(cnts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        ((coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("n").cast("double") + lit(5.0))).as("q"))
+    val ref = filled.filter(col("source") === refSource)
+      .select(col("bin"), col("q").as("p"))
+    filled.join(broadcast(ref), "bin")
+      .groupBy(col("source"))
+      .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+        .as("psi"))
+  }
+
   /** H3: declarative constraint audit (the Deequ/Great-Expectations
     * shape) — one row per data-quality rule with exact checked/violation
     * counts: range, null, domain-membership, consistency, and key-
@@ -1012,6 +1061,7 @@ object AnalyticsQueries {
     "o10_frame_bounds" -> o10FrameBounds,
     "h2_profile" -> h2Profile,
     "h3_constraints" -> h3Constraints,
+    "a32_psi_drift" -> a32PsiDrift,
     "o17_rolling_median" -> o17RollingMedian,
     "a29_entropy" -> a29Entropy,
     "a30_ks" -> a30Ks,
@@ -1412,6 +1462,31 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    // Mechanical translation of [[a32PsiDrift]]: quantile_cont deciles
+    // of the src0 reference (the proven a4 percentile-parity idiom),
+    // list_filter binning, +0.5/+5 smoothing, round-6 PSI sums.
+    "a32_psi_drift" ->
+      """WITH bs AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM documents WHERE source = 'src0'),
+        |b AS (
+        |  SELECT source,
+        |    len(list_filter(bs.bs, x -> x <= n_chars)) + 1 AS bin
+        |  FROM documents, bs),
+        |c AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS n FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT t.source, t.n, g.bin
+        |  FROM t, (SELECT unnest(generate_series(1, 10)) AS bin) g),
+        |f AS (
+        |  SELECT sc.source, sc.bin,
+        |    (COALESCE(c.c, 0) + 0.5e0) / (sc.n + 5e0) AS q
+        |  FROM sc LEFT JOIN c ON sc.source = c.source AND sc.bin = c.bin),
+        |r AS (SELECT bin, q AS p FROM f WHERE source = 'src0')
+        |SELECT f.source, round(sum((f.q - r.p) * ln(f.q / r.p)), 6) AS psi
+        |FROM f JOIN r USING (bin)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "h2_profile" ->
       """WITH s AS (
         |  SELECT count(*) AS n,

@@ -196,6 +196,34 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D44: leakage-free train/holdout split — the eval-hygiene step a
+    * plain row-hash split (d19) gets wrong: if two near-duplicate
+    * documents land on opposite sides, the holdout leaks into training
+    * and the eval is contaminated by construction. Here the unit of
+    * assignment is the NEAR-DUP COMPONENT (the d6 labels: word-set
+    * Jaccard ≥ 0.9 pairs → connected components), and the side is a
+    * pure hash of the component label (the d7 portable sha256-prefix
+    * idiom, ~80/20) — so every member of a component is on the same
+    * side by construction, membership never depends on corpus order,
+    * and singleton docs degenerate to a per-doc hash split. The spec
+    * pins the no-pair-crosses-sides invariant directly; the oracle
+    * replays labels (recursive min-label closure) + the hash split.
+    */
+  def d44LeakageFreeSplit(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val comp = Dedup.componentsAuto(
+      Dedup.ngramJaccard(docs, blockCol = "source", threshold = 0.9))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("group_id"))
+      .withColumn("split",
+        when(Sampling.hashBucket(col("group_id").cast("string")) % 10000
+            < 8000, "train")
+          .otherwise("holdout"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D7: deterministic content-hash sample (~10%) — membership is a pure
     * per-row function of the text, so the subset is reproducible across
     * runs, row orders, and partitionings. No shuffle: scan + filter.
@@ -1015,6 +1043,7 @@ object PipelineQueries {
     "d30_canonical_pick" -> d30CanonicalPick,
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
+    "d44_leakage_free_split" -> d44LeakageFreeSplit,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
@@ -1365,6 +1394,31 @@ object PipelineQueries {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(sha256(text), 1, 8))::BIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    // The d6 component closure + the d7 hash idiom on the LABEL: every
+    // near-dup component lands whole on one side.
+    "d44_leakage_free_split" ->
+      """WITH RECURSIVE sets AS (
+        |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), edges AS (
+        |  SELECT pa AS ea, pb AS eb FROM pairs
+        |  UNION SELECT pb AS ea, pa AS eb FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node
+        |), grp AS (
+        |  SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN ('0x' || substr(sha256(group_id::VARCHAR), 1, 8))::BIGINT
+        |         % 10000 < 8000
+        |       THEN 'train' ELSE 'holdout' END AS split
+        |FROM grp ORDER BY doc_id""".stripMargin,
     "d8_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, source, row_number() OVER (

@@ -396,8 +396,25 @@ object StreamQueries {
       .orderBy(col("id"))
   }
 
+  /** W13: streaming decontamination tag twin
+    * ([[graft.streaming.StreamJoins.decontaminationTags]]) — the same
+    * plan the micro-batch ingest runs (stateless window explode →
+    * stream-static semi against the broadcast eval digests → stateful
+    * dedup to one tag per doc), in batch mode under the DuckDB oracle;
+    * StreamJoinsSpec drives MemoryStream and pins streaming ≡ batch.
+    * Eval block = src0, the d9/d35/d40 split.
+    */
+  def w13DecontamTagsTwin(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.streaming.StreamJoins.decontaminationTags(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_checkpoint_resume" -> s6CheckpointResume,
+    "w13_decontam_tags_twin" -> w13DecontamTagsTwin,
     "w11_session_gaps" -> w11SessionGaps,
     "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
     "w9_window_topk" -> w9WindowTopk,
@@ -522,6 +539,22 @@ object StreamQueries {
         |  GROUP BY 1) c USING (user_id)
         |WHERE r.rn = c.n_events
         |ORDER BY user_id""".stripMargin,
+    // The d40 window CTEs collapsed to the tag set: DISTINCT training
+    // doc ids sharing any verbatim 5-gram with the src0 eval block.
+    "w13_decontam_tags_twin" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT DISTINCT doc_id
+        |FROM g JOIN ev USING (gram) WHERE source <> 'src0'
+        |ORDER BY doc_id""".stripMargin,
     "w8_stream_static_twin" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
         |    AS w_start_ms,

@@ -117,4 +117,39 @@ object StreamJoins {
       .select(unix_millis(col("window.start")).as("w_start_ms"),
         col("c_nationkey").as("nation"), col("n"))
   }
+
+  /** W13: streaming decontamination TAG stream — the ingest-time form
+    * of [[graft.pipeline.Contamination.contaminatedSpans]]: as
+    * documents arrive, emit the id of every one that shares a verbatim
+    * `k`-token window with the STATIC eval set, exactly once. A
+    * curation ingest pipeline consumes this as the quarantine topic
+    * (tag-and-route, the streaming-safe decision — dropping the
+    * complement needs the full batch pass, because "clean" can only be
+    * decided per-doc after all its windows are checked, and a
+    * stream-derived anti join is not an incremental plan).
+    *
+    * Plan: window explode (stateless projection) → stream-static
+    * LEFT SEMI against the broadcast eval digest set (no state — the
+    * static side is a build-side hash table, the w8 shape) →
+    * `dropDuplicates(id)` collapsing window hits to one emission per
+    * doc (the stateful-dedup operator w7 pins; unbounded doc-id state
+    * by design here — the tag store IS the dedup ledger at ingest; a
+    * deployment that can bound re-delivery adds an event-time
+    * watermark exactly as in [[CdcStream.statefulDedup]]'s spec).
+    * Batch-mode result is identical (`withWatermark`/dedup degenerate
+    * to DISTINCT), so the DuckDB gate hash-checks the same plan the
+    * micro-batch runtime executes; StreamJoinsSpec drives MemoryStream
+    * and pins streaming ≡ batch.
+    */
+  def decontaminationTags(docs: DataFrame, evalSet: DataFrame,
+      k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wins = graft.pipeline.Dedup.tokenWindows(docs, k, idCol, textCol)
+    val evalH = graft.pipeline.Dedup.tokenWindows(evalSet, k, idCol, textCol)
+      .select(col("h")).distinct()
+    wins.select(col(idCol), col("h"))
+      .join(broadcast(evalH), "h")
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+  }
 }

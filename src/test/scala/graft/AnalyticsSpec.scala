@@ -582,4 +582,19 @@ class AnalyticsSpec extends AnyFunSuite {
         s"event $id: rolling median $m != ${expect(id)}")
     }
   }
+
+  test("psi drift: identical source reads 0, shifted source reads large, order-of-magnitude sane") {
+    import spark.implicits._
+    // src0 and srcSame share the exact length multiset -> identical bin
+    // fractions -> every PSI term is 0. srcShift sits entirely in the
+    // top bin -> PSI far above the 0.25 'shifted' convention.
+    val lens = (1 to 100).map(_ * 10L)
+    val docs = (lens.map(("src0", _)) ++ lens.map(("srcSame", _)) ++
+        lens.map(l => ("srcShift", l + 100000L)))
+      .toDF("source", "n_chars")
+    val got = AnalyticsQueries.psiDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("src0") == 0.0 && got("srcSame") == 0.0, s"got: $got")
+    assert(got("srcShift") > 0.25, s"got: $got")
+  }
 }

@@ -485,6 +485,24 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: ${got.toSeq}")
   }
 
+  test("leakage-free split: no near-dup pair ever crosses sides, both sides populated") {
+    val sf = "/root/testdata/sf0.001"
+    val split = graft.queries.PipelineQueries
+      .d44LeakageFreeSplit(SparkTestSession.spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.pipeline.Dedup.ngramJaccard(
+        Tables.documents(SparkTestSession.spark, sf),
+        blockCol = "source", threshold = 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) crosses the split")
+    }
+    assert(split.values.toSet == Set("train", "holdout"),
+      "both sides must be populated")
+  }
+
   test("perplexity buckets: tertiles partition the corpus, rank follows the LM, keep drops the tail") {
     // 6 docs. Under the backoff-free bigram LM a unique bigram with a
     // unique left context has p = 1 (logp 0) — docs 3-5 are maximally

@@ -209,6 +209,37 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination tags: streaming equals batch, one tag per doc, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval_ = Seq((100L, "z e1 e2 e3 e4 e5 z2")).toDF("doc_id", "text")
+    // Docs 0 and 2 touch the eval 5-gram (doc 2 TWICE — still one tag);
+    // doc 1 is clean. Split across two micro-batches to prove the dedup
+    // state spans batches.
+    val batch1 = Seq(
+      (0L, "x1 e1 e2 e3 e4 e5 x2"),
+      (1L, "a b c d e f g"))
+    val batch2 = Seq(
+      (2L, "e1 e2 e3 e4 e5 w e1 e2 e3 e4 e5"),
+      (0L, "x1 e1 e2 e3 e4 e5 x2")) // redelivery of doc 0 — no second tag
+    val src = MemoryStream[(Long, String)]
+    val out = StreamJoins.decontaminationTags(
+      src.toDF().toDF("doc_id", "text"), eval_)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("w13_tags").start()
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w13_tags").as[Long].collect().sorted.toSeq
+      val batch = StreamJoins.decontaminationTags(
+        (batch1 ++ batch2).toDF("doc_id", "text"), eval_)
+        .as[Long].collect().sorted.toSeq
+      assert(streamed == Seq(0L, 2L), s"got $streamed")
+      assert(streamed == batch, "streaming and batch twins diverged")
+    } finally q.stop()
+  }
+
   test("dynamic-gap session window: streaming equals batch, boundaries pinned") {
     implicit val sqlCtx = spark.sqlContext
     def sessionize(df: org.apache.spark.sql.DataFrame) =

@@ -215,6 +215,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(narrow.map(_._2).toSeq == narrow.map(_._2).sorted.toSeq)
   }
 
+  test("pq index persists: artifact bit-identical, reloaded serve matches to sum-order ulps") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.pqSaveIndex(emb, dir)
+    // The ARTIFACT is exact: reloaded codebook cells and the stored
+    // codes table equal the in-memory index bit for bit.
+    val cbsMem = Similarity.pqCodebooks(emb, 8, 16, 64)
+    val cbsDisk = Similarity.pqLoadCodebooks(spark, dir)
+    assert(cbsMem.length == cbsDisk.length)
+    cbsMem.indices.foreach { s =>
+      cbsMem(s).indices.foreach { k =>
+        assert(cbsMem(s)(k).sameElements(cbsDisk(s)(k)),
+          s"codebook cell ($s,$k) diverged")
+      }
+    }
+    val codesDisk = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val codesMem = Similarity.pqEncode(emb, cbsMem)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codesDisk == codesMem, "stored codes diverged from a re-encode")
+    // The served score matches to summation-order ulps (the per-id
+    // 8-term sum folds in partition order; parquet re-partitions).
+    val mem = Similarity.pqAdcScores(emb, 0L, 8, 16, 64, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val disk = Similarity.pqAdcScoresFromIndex(spark, dir, emb, 0L, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(disk.size == mem.size && disk.keySet == mem.keySet)
+    mem.foreach { case (id, s) =>
+      assert(math.abs(disk(id) - s) <= math.ulp(s) * 4,
+        s"id $id: $s vs ${disk(id)}")
+    }
+  }
+
   test("k-center coreset: greedy farthest-point chain with deterministic tiebreak") {
     // Seed = lowest id (1 at origin). Then: 4 is farthest (d²=101);
     // next, 5's min-dist 25 beats 2 and 3 (both at 1); finally 2 and 3
@@ -239,5 +272,9 @@ class VectorOpsSpec extends AnyFunSuite {
     val all = Similarity.kCenterCoreset(vecs, k = 2)
       .collect().map(_.getLong(1)).toSet
     assert(all == Set(7L, 9L))
+    // k beyond the corpus emits every point once, never loops or throws.
+    val over = Similarity.kCenterCoreset(vecs, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(over.sorted == Seq(7L, 9L))
   }
 }
