@@ -224,6 +224,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S11: JSONL corpus round-trip — the interchange format LLM data
+    * pipelines actually exchange (one JSON object per line): the
+    * documents table is written as JSONL, read back with an EXPLICIT
+    * schema (inference is a second scan and a nondeterminism source —
+    * never in a production read path), and the result is checksummed
+    * per source (row count, n_chars sum, sha256-prefix content sum)
+    * against the parquet ground truth the oracle reads. Escaping,
+    * unicode, and long/str round-trip fidelity all fold into the
+    * content checksum. The write lands in the JVM temp dir, one
+    * subdirectory per corpus (re-runs overwrite, the Verify/bench cold
+    * pass stays idempotent).
+    */
+  def s11JsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_s11_" + java.lang.Integer.toHexString(d.hashCode)).toString
+    docs.write.mode("overwrite").json(path)
+    spark.read.schema(docs.schema).json(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(Sampling.hashBucket(col("text"))).cast("bigint").as("content_sum"))
+      .orderBy(col("source"))
+  }
+
   /** D7: deterministic content-hash sample (~10%) — membership is a pure
     * per-row function of the text, so the subset is reproducible across
     * runs, row orders, and partitionings. No shuffle: scan + filter.
@@ -1044,6 +1070,7 @@ object PipelineQueries {
     "d6_dedup_components" -> d6DedupComponents,
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d44_leakage_free_split" -> d44LeakageFreeSplit,
+    "s11_jsonl_roundtrip" -> s11JsonlRoundtrip,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
@@ -1394,6 +1421,15 @@ object PipelineQueries {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(sha256(text), 1, 8))::BIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    // The oracle reads the PARQUET ground truth; the engine's JSONL
+    // write→read must checksum identically (the round-trip is what's
+    // under test). BIGINT casts per the HUGEINT rule.
+    "s11_jsonl_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(('0x' || substr(sha256(text), 1, 8))::BIGINT)::BIGINT
+        |    AS content_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // The d6 component closure + the d7 hash idiom on the LABEL: every
     // near-dup component lands whole on one side.
     "d44_leakage_free_split" ->

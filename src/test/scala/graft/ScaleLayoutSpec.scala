@@ -235,6 +235,61 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"z-order must at least halve the candidate files: $zHits vs $linHits")
   }
 
+  test("parquet bloom filter prunes row groups stats and dictionary cannot") {
+    // A point lookup on a random-valued high-cardinality column is the
+    // worst case for min/max stats (every row group spans the whole
+    // value space) — and with dictionary encoding disabled (big string
+    // columns fall out of dictionary at scale anyway) nothing else can
+    // prune. A written column bloom filter restores the skip: the miss
+    // probe must decode ZERO rows where the plain file decodes ALL of
+    // them. This is the fingerprint-lookup layout for d1/d22-style
+    // exact-dedup probes against a 100 TB corpus at rest.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString
+    val df = spark.range(200000)
+      .select(col("id"), md5(col("id").cast("string")).as("fp"))
+    def write(path: String, bloom: Boolean): Unit = {
+      val w = df.coalesce(1).write
+        .option("parquet.block.size", "262144")
+        .option("parquet.enable.dictionary", "false")
+      (if (bloom)
+        w.option("parquet.bloom.filter.enabled#fp", "true")
+          .option("parquet.bloom.filter.expected.ndv#fp", "200000")
+      else w).mode("overwrite").parquet(path)
+    }
+    write(s"$dir/plain", bloom = false)
+    write(s"$dir/bloom", bloom = true)
+    def scanRowsForMiss(path: String): Long = {
+      // Mid-space 32-hex probe: lexicographically INSIDE every page's
+      // [min, max] (a low value like "0000…" lets plain column-index
+      // min/max pruning skip most pages — measured 11,912 surviving
+      // rows — which is exactly the stats path this test must deny).
+      val q = spark.read.parquet(path)
+        .filter(col("fp") === "7fffffff7fffffff7fffffff7fffffff")
+      assert(q.count() == 0)
+      q.collect() // materialize so the scan metric is populated
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => find(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => find(s.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(find)
+        }
+      find(q.queryExecution.executedPlan).head
+        .metrics("numOutputRows").value
+    }
+    val plainRows = scanRowsForMiss(s"$dir/plain")
+    val bloomRows = scanRowsForMiss(s"$dir/bloom")
+    assert(plainRows == 200000L,
+      s"plain file must decode every row group for the miss: $plainRows")
+    assert(bloomRows == 0L,
+      s"bloom-filtered file must prune every row group: $bloomRows")
+  }
+
   test("parquet aggregate pushdown: COUNT(*) becomes a metadata-only scan") {
     // The DSv2 read path can answer COUNT(*)/MIN/MAX from parquet footer
     // statistics without materializing a single row — at 100 TB that is
