@@ -966,18 +966,16 @@ object Similarity {
       val minD = picked.map { case (_, c, _) =>
         round(distSq(col("v"), typedlit(c)), 6)
       }.reduce(least(_, _))
+      // The winner's vector rides along in the argmax row — a separate
+      // fetch-by-id would cost a second corpus scan per round.
       val next = base
         .filter(!col("id").isInCollection(picked.map(_._1)))
-        .select(col("id"), minD.as("d"))
+        .select(col("id"), col("v"), minD.as("d"))
         .orderBy(col("d").desc, col("id").asc)
         .limit(1).collect()
       if (next.isEmpty) exhausted = true // k > corpus: emit what exists
-      else {
-        val nid = next(0).getLong(0)
-        val nvec = base.filter(col("id") === nid)
-          .select(col("v")).collect()(0).getSeq[Double](0)
-        picked = picked :+ ((nid, nvec, next(0).getDouble(1)))
-      }
+      else picked = picked :+ ((next(0).getLong(0),
+        next(0).getSeq[Double](1), next(0).getDouble(2)))
     }
     picked.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1, id, d) }

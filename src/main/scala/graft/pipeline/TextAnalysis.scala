@@ -289,7 +289,11 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val lp = bigramLogProb(docs, idCol, textCol)
+    // Cached (the d32 artifact discipline): the LM score table feeds the
+    // rank pass AND the tertile count — uncached, each consumer re-runs
+    // the two token-keyed LM aggregates over the corpus.
+    val lp = graft.CacheRegistry.register(
+      bigramLogProb(docs, idCol, textCol).cache())
     val ranked = graft.operators.GlobalRank.rowNumber(
       lp, Seq(col("avg_logp").desc, col(idCol)), "rn")
     val tot = lp.agg(count(lit(1)).as("n_docs"))

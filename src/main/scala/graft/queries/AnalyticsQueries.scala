@@ -353,9 +353,13 @@ object AnalyticsQueries {
     val binned = docs.crossJoin(broadcast(bs))
       .select(col("source"),
         (size(expr("filter(bs, b -> b <= n_chars)")) + 1).as("bin"))
-    val cnts = binned.groupBy(col("source"), col("bin"))
-      .agg(count(lit(1)).as("c"))
-    val tots = binned.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // Cached: sources × 10 rows — totals and the scaffold derive from
+    // it, so the corpus is binned exactly once (uncached, each consumer
+    // re-ran the scan+bin pass).
+    val cnts = graft.CacheRegistry.register(
+      binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c")).cache())
+    val tots = cnts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val scaffold = tots
       .select(col("source"), col("n"),
         explode(expr("sequence(1, 10)")).as("bin"))
