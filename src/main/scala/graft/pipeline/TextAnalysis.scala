@@ -307,6 +307,63 @@ object TextAnalysis {
         col("rn"), col("bucket"), col("keep"))
   }
 
+  /** T22: the Gopher REPETITION rule battery (Rae et al. 2021 §A1.1's
+    * other half — [[gopherRules]] covers the outlier rules): documents
+    * whose content is dominated by repeated n-grams carry little
+    * training signal and skew the loss. Per document:
+    *
+    *  - `top{2,3,4}_frac`: the fraction of the document's n-grams
+    *    taken by its single most frequent n-gram (ties break on gram
+    *    text for determinism) — Gopher bounds these at 0.20/0.18/0.16;
+    *  - `dup5_cover_frac`: the fraction of TOKENS covered by 5-gram
+    *    windows that repeat WITHIN the document (the intra-doc form of
+    *    [[Dedup.dupSpans]]' islands — coverage, not window counts, so
+    *    overlapping repeats aren't double-counted), bounded at 0.15.
+    *
+    * `keep` is the conjunction. Scale shape: three (doc, gram) counts
+    * with map-side combine + doc-keyed max/sum rollups; the coverage
+    * term windows by document for the island merge ([[Dedup.mergeSpans]]
+    * partitioned per doc). Documents shorter than an n-gram length pass
+    * that rule vacuously (no n-gram exists to repeat).
+    */
+  def gopherRepetitionRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def topFrac(n: Int, out: String): DataFrame =
+      docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(0, size(w) - $n), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as(out))
+    val wins = Dedup.tokenWindows(docs, 5, idCol, textCol)
+    val dupIn = wins.groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col(idCol), col("h"))
+    val cover = Dedup.mergeSpans(
+        wins.join(dupIn, Seq(idCol, "h")), 5, idCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+    docs.select(col(idCol), size(Dedup.words(col(textCol))).as("n_tokens"))
+      .join(topFrac(2, "t2f"), Seq(idCol), "left")
+      .join(topFrac(3, "t3f"), Seq(idCol), "left")
+      .join(topFrac(4, "t4f"), Seq(idCol), "left")
+      .join(cover, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("t2f"), lit(0.0)), 6).as("top2_frac"),
+        round(coalesce(col("t3f"), lit(0.0)), 6).as("top3_frac"),
+        round(coalesce(col("t4f"), lit(0.0)), 6).as("top4_frac"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup5_cover_frac"))
+      .withColumn("ok_top2", col("top2_frac") <= 0.2)
+      .withColumn("ok_top3", col("top3_frac") <= 0.18)
+      .withColumn("ok_top4", col("top4_frac") <= 0.16)
+      .withColumn("ok_dup5", col("dup5_cover_frac") <= 0.15)
+      .withColumn("keep", col("ok_top2") && col("ok_top3") &&
+        col("ok_top4") && col("ok_dup5"))
+  }
+
   /** Stop words for the [[gopherRules]] battery — the high-frequency
     * function words of Rae et al. 2021's rule 8, intersected with this
     * corpus's vocabulary convention (lowercase, unpunctuated).
