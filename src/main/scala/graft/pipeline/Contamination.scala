@@ -68,4 +68,55 @@ object Contamination {
       .select(col("h")).distinct()
     Dedup.mergeSpans(wins.join(broadcast(evalH), "h"), k, idCol)
   }
+
+  /** D45: per-EVAL-SAMPLE dirtiness — the direction [[overlap]] and
+    * [[contaminatedSpans]] do not report: instead of marking TRAINING
+    * documents, grade each eval/benchmark sample by how much of IT leaked
+    * into the training corpus (the GPT-3 appendix-C / Llama-2 A.6
+    * reporting form: benchmark numbers are then quoted on the clean
+    * subset). A token of an eval doc is contaminated when it lies inside
+    * some `k`-token window of that doc that occurs verbatim anywhere in
+    * the training corpus. Returns one row per eval doc: (idCol,
+    * n_tokens, n_contaminated, dirty_frac, bucket) with bucket ∈
+    * clean (no hit) / dirty (> `dirtyAbove` of tokens hit) / partial.
+    *
+    * Scale shape — the reverse of [[contaminatedSpans]]'s asymmetry,
+    * resolved the same way because the eval set is the small side in
+    * BOTH directions: the eval windows broadcast into a single corpus
+    * pass, and only corpus digests that match an eval window leave that
+    * pass (≤ |eval windows| rows, benchmark-sized), are deduped, and
+    * broadcast back over the eval windows. The 100 TB corpus is touched
+    * once, shuffles nothing but matched digests, and every later stage
+    * is eval-sized. Overlapping hit windows merge via
+    * [[Dedup.mergeSpans]] first, so a token covered by several windows
+    * counts once.
+    */
+  def evalDirtiness(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
+      dirtyAbove: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val evalWins = Dedup.tokenWindows(evalSet, k, idCol, textCol)
+    val evalH = evalWins.select(col("h")).distinct()
+    // The one corpus-wide pass: semi-join against the broadcast eval
+    // vocabulary, keep only the DISTINCT matched digests.
+    val hits = Dedup.tokenWindows(corpus, k, idCol, textCol)
+      .join(broadcast(evalH), "h").select(col("h")).distinct()
+    val spans = Dedup.mergeSpans(evalWins.join(broadcast(hits), "h"),
+      k, idCol)
+    val covered = spans.groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).cast("int")
+        .as("n_contaminated"))
+    val frac = round(col("n_contaminated").cast("double") /
+      col("n_tokens"), 6)
+    evalSet.select(col(idCol),
+        size(Dedup.words(col(textCol))).cast("int").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0)).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("n_contaminated"),
+        frac.as("dirty_frac"),
+        when(col("n_contaminated") === 0, "clean")
+          .when(frac > dirtyAbove, "dirty")
+          .otherwise("partial").as("bucket"))
+  }
 }

@@ -416,6 +416,67 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** V5: hard-negative mining for contrastive training — for every
+    * vector, the top-`k` most similar vectors of a DIFFERENT label: the
+    * negatives that sit closest to the decision boundary, the ones a
+    * contrastive or reranker training set actually wants (random
+    * negatives are trivially easy; these are the hard ones).
+    *
+    * All-pairs across labels is the n² trap, so mining routes through
+    * per-label mean prototypes first: each query picks its most-similar
+    * FOREIGN label by prototype cosine, then ranks only that label's
+    * members — candidate fan-out is bounded by one label block per
+    * query, the [[knnJoinByLabel]] blocking discipline turned
+    * cross-class. Routing stays in the [[prototypicality]] relational
+    * cell decomposition (centroid = per-(label,pos) avg, cosine from
+    * three partial sums) so the DuckDB oracle replays it exactly; the
+    * cell⋈centroid join fans out by (labels−1), fine for classifier-ish
+    * label counts — a corpus with huge L swaps the router for the d33
+    * literal-kernel or IVF form and keeps the same member-ranking tail.
+    * Both ranks follow the round-then-rank contract (prototype cosine
+    * at 6, member cosine at 4, ties on the id) so the emitted lists are
+    * engine-exact. Returns (qid, label, neg_label, rk, nid, sim).
+    */
+  def hardNegatives(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = vectors.select(col("label"), col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val centroid = cells.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .select(col("label").as("neg_label"), col("pos"), col("c"))
+    // Prototype cosine of every query against every FOREIGN centroid;
+    // the centroid table is labels×dim rows — always broadcast.
+    val pc = cells.join(broadcast(centroid), "pos")
+      .filter(col("label") =!= col("neg_label"))
+      .groupBy(col("label"), col(idCol), col("neg_label"))
+      .agg(sum(col("v") * col("c")).as("vc"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("c") * col("c")).as("cc"))
+      .select(col("label"), col(idCol), col("neg_label"),
+        round(col("vc") / (sqrt(col("vv")) * sqrt(col("cc"))), 6)
+          .as("pcos"))
+    // argmax by (pcos desc, neg_label asc) — the min(struct) idiom.
+    val routed = pc.groupBy(col(idCol), col("label"))
+      .agg(min(struct((-col("pcos")).as("np"), col("neg_label")))
+        .as("pick"))
+      .select(col(idCol).as("qid"), col("label"),
+        col("pick.neg_label").as("neg_label"))
+    val q = vectors.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .join(routed, "qid")
+    val m = vectors.select(col("label").as("neg_label"),
+      col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    q.join(m, "neg_label")
+      .select(col("qid"), col("label"), col("neg_label"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("label"), col("neg_label"),
+        col("rk"), col("nid"), col("sim"))
+  }
+
   // PQ codebooks are memoized per (corpus identity, m, codebookSize) for
   // the same reason as ivfModels: training is m small k-means fits that
   // belong out of the query path; the seeded fits are deterministic, so

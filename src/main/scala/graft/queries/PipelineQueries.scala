@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, Sampling, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, QualityClassifier, Sampling, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -194,6 +194,37 @@ object PipelineQueries {
       .select(col("doc_id"),
         coalesce(col("lab"), col("doc_id")).as("keep_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** D46: dedup savings profile — the report a curation run ships with
+    * its dedup stage: the d6 component assignment rolled into a
+    * cluster-SIZE histogram with document and token savings per size
+    * (how much of the corpus is duplicated, in how-big clusters, and
+    * how many tokens canonicalization removes). One extra groupBy pair
+    * over the already-gated d6 labels; rows are bounded by the largest
+    * cluster size, so the output is audit-sized at any corpus scale.
+    */
+  def d46DedupSavings(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val comp = Dedup.componentsAuto(
+      Dedup.ngramJaccard(docs, blockCol = "source", threshold = 0.9))
+    val assign = docs.select(col("doc_id"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("lab"), col("doc_id")).as("keep_id"))
+    val clusters = assign.groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_tokens")).as("tok"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_tokens"))
+          .otherwise(lit(0L))).as("tok_rm"))
+    clusters.groupBy(col("sz").cast("int").as("cluster_size"))
+      .agg(count(lit(1)).cast("int").as("n_clusters"),
+        sum(col("sz")).cast("int").as("n_docs"),
+        (sum(col("sz")) - count(lit(1))).cast("int").as("n_docs_removed"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("tok_rm")).cast("long").as("n_tokens_removed"))
+      .orderBy(col("cluster_size"))
   }
 
   /** D44: leakage-free train/holdout split — the eval-hygiene step a
@@ -675,6 +706,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** D45: eval-sample dirtiness ([[Contamination.evalDirtiness]]) — the
+    * reporting direction of decontamination: src0 plays the benchmark
+    * block and every sample in it is graded by the fraction of its
+    * tokens that sit inside a 5-token window leaked into the rest of
+    * the corpus, then bucketed clean / partial / dirty (> 80%) — the
+    * GPT-3/Llama-2 "quote the benchmark on its clean subset" form. The
+    * oracle replays the cross-corpus window probe, the island merge,
+    * the token-coverage sum, and the bucket thresholds in SQL.
+    */
+  def d45EvalDirtiness(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    graft.pipeline.Contamination.evalDirtiness(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T21: hashed-unigram Naive-Bayes quality classifier
+    * ([[QualityClassifier.score]]) — the fastText-style quality-filter
+    * stage: train on src0 (the trusted block, the d9/d35 split) vs the
+    * rest, score every document, and report the per-source keep rates
+    * and mean scores — the classifier-evaluation surface (src0's row is
+    * recall of the target class; the others are its false-positive
+    * profile). The oracle replays training counts, smoothing, prior,
+    * scoring, and the rounded decision boundary in SQL.
+    */
+  def t21QualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val scored = QualityClassifier.score(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), docs)
+    docs.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        round(avg(col("score")), 6).as("mean_score"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("keep_rate"), col("mean_score"))
+      .orderBy(col("source"))
+  }
+
   /** V4: greedy k-center coreset ([[Similarity.kCenterCoreset]], k = 4)
     * — the farthest-point diversity selection. Deterministic by the
     * round-then-rank contract, so the DuckDB oracle replays the greedy
@@ -683,6 +757,17 @@ object PipelineQueries {
   def v4KcenterCoreset(spark: SparkSession, d: String): DataFrame =
     Similarity.kCenterCoreset(Tables.embeddings(spark, d), k = 4)
       .orderBy(col("rk"))
+
+  /** V5: hard-negative mining ([[Similarity.hardNegatives]], k = 3) —
+    * every vector's top-3 most-similar DIFFERENT-label vectors, routed
+    * through per-label mean prototypes so the candidate set is one
+    * foreign label block, never the cross-label n². Fully oracle-green
+    * in the v1/d34 relational decomposition with round-then-rank at
+    * both stages.
+    */
+  def v5HardNegatives(spark: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(spark, d), k = 3)
+      .orderBy(col("qid"), col("rk"))
 
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
@@ -1133,7 +1218,11 @@ object PipelineQueries {
     "d41_ppl_buckets" -> d41PerplexityBuckets,
     "d42_span_scrub" -> d42SpanScrub,
     "t20_gopher_rules" -> t20GopherRules,
-    "v4_kcenter_coreset" -> v4KcenterCoreset)
+    "v4_kcenter_coreset" -> v4KcenterCoreset,
+    "d45_eval_dirtiness" -> d45EvalDirtiness,
+    "t21_quality_classifier" -> t21QualityClassifier,
+    "v5_hard_negatives" -> v5HardNegatives,
+    "d46_dedup_savings" -> d46DedupSavings)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -1333,6 +1422,45 @@ object PipelineQueries {
         |SELECT label, count(*)::BIGINT AS n_vecs,
         |  round(avg(cosv), 6) AS avg_cos
         |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    // Mechanical translation of [[Similarity.hardNegatives]] (k=3):
+    // per-label mean centroids in the v1/d34 cell decomposition,
+    // prototype-cosine routing (round 6, argmax ties on neg_label),
+    // then the v2 member ranking (round 4, ties on nid) inside the
+    // routed label block only.
+    "v5_hard_negatives" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label AS neg_label, pos, avg(v) AS c
+        |         FROM cells GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT c1.label, c1.vec_id, ct.neg_label,
+        |    round(sum(c1.v * ct.c)
+        |      / (sqrt(sum(c1.v * c1.v)) * sqrt(sum(ct.c * ct.c))), 6)
+        |      AS pcos
+        |  FROM cells c1 JOIN cent ct
+        |    ON c1.pos = ct.pos AND c1.label <> ct.neg_label
+        |  GROUP BY 1, 2, 3),
+        |routed AS (
+        |  SELECT label, vec_id, neg_label FROM (
+        |    SELECT label, vec_id, neg_label, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY pcos DESC, neg_label) AS r
+        |    FROM pc) WHERE r = 1),
+        |v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |      FROM embeddings),
+        |cand AS (
+        |  SELECT r.vec_id AS qid, r.label, r.neg_label, m.vec_id AS nid,
+        |    round(list_cosine_similarity(q.e, m.e), 4) AS sim
+        |  FROM routed r
+        |  JOIN v q ON q.vec_id = r.vec_id
+        |  JOIN v m ON m.label = r.neg_label),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM cand)
+        |SELECT qid, label, neg_label, rk::INT AS rk, nid, sim
+        |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     "v2_knn_join" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1430,6 +1558,37 @@ object PipelineQueries {
         |  sum(('0x' || substr(sha256(text), 1, 8))::BIGINT)::BIGINT
         |    AS content_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // The d6 closure rolled into the size histogram; token counts via
+    // the shared \s+ tokenizer, BIGINT sums cast per the HUGEINT rule.
+    "d46_dedup_savings" ->
+      """WITH RECURSIVE sets AS (
+        |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), edges AS (
+        |  SELECT pa AS ea, pb AS eb FROM pairs
+        |  UNION SELECT pb AS ea, pa AS eb FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node
+        |), grp AS (
+        |  SELECT node AS doc_id, min(lab) AS keep_id FROM reach GROUP BY node
+        |), tok AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+'))::BIGINT AS nt
+        |  FROM documents
+        |), cl AS (
+        |  SELECT keep_id, count(*) AS sz, sum(nt) AS tok,
+        |    sum(CASE WHEN g.doc_id <> keep_id THEN nt ELSE 0 END) AS tok_rm
+        |  FROM grp g JOIN tok USING (doc_id) GROUP BY keep_id)
+        |SELECT sz::INT AS cluster_size, count(*)::INT AS n_clusters,
+        |  sum(sz)::INT AS n_docs, (sum(sz) - count(*))::INT AS n_docs_removed,
+        |  sum(tok)::BIGINT AS n_tokens, sum(tok_rm)::BIGINT AS n_tokens_removed
+        |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin,
     // The d6 component closure + the d7 hash idiom on the LABEL: every
     // near-dup component lands whole on one side.
     "d44_leakage_free_split" ->
@@ -2238,6 +2397,82 @@ object PipelineQueries {
         |  (max(pos) + 4)::INT AS span_end, count(*)::INT AS n_windows
         |FROM m GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
+    // Mechanical translation of [[Contamination.evalDirtiness]] (k=5,
+    // eval = src0): the d40 window probe reversed — eval windows that
+    // occur in the training side, merged into islands per EVAL doc,
+    // summed into token coverage (merged spans never overlap, so the
+    // length sum counts each token once), bucketed on the ROUNDED
+    // fraction exactly as the engine does.
+    "d45_eval_dirtiness" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |hits AS (
+        |  SELECT DISTINCT gram FROM g WHERE source <> 'src0'
+        |    AND gram IN (SELECT gram FROM g WHERE source = 'src0')),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM g JOIN hits USING (gram) WHERE source = 'src0'),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |       FROM m GROUP BY doc_id, isl),
+        |cov AS (SELECT doc_id, sum(e - s + 1) AS c FROM sp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::INT AS n_tokens,
+        |  COALESCE(cov.c, 0)::INT AS n_contaminated,
+        |  round(COALESCE(cov.c, 0)::DOUBLE / len(w.ws), 6) AS dirty_frac,
+        |  CASE WHEN COALESCE(cov.c, 0) = 0 THEN 'clean'
+        |       WHEN round(COALESCE(cov.c, 0)::DOUBLE / len(w.ws), 6) > 0.8
+        |         THEN 'dirty'
+        |       ELSE 'partial' END AS bucket
+        |FROM w LEFT JOIN cov USING (doc_id)
+        |WHERE w.source = 'src0' ORDER BY w.doc_id""".stripMargin,
+    // Mechanical translation of [[QualityClassifier.score]] + the
+    // per-source rollup: same sha256-prefix unigram buckets (the d35
+    // hashing idiom), add-1 smoothing over 64 buckets, document-count
+    // prior, round-6 per-doc score, keep = score > 0 on the ROUNDED
+    // value, then count/avg per source. e-notation literals force
+    // DOUBLE division (the DuckDB decimal-literal trap).
+    "t21_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(ws) AS tok FROM w),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tk),
+        |cp AS (SELECT bucket, count(*) AS cp FROM b
+        |       WHERE source = 'src0' GROUP BY 1),
+        |cn AS (SELECT bucket, count(*) AS cn FROM b
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |np AS (SELECT count(*) AS np FROM b WHERE source = 'src0'),
+        |nn AS (SELECT count(*) AS nn FROM b WHERE source <> 'src0'),
+        |dp AS (SELECT count(*) AS dp FROM documents WHERE source = 'src0'),
+        |dn AS (SELECT count(*) AS dn FROM documents WHERE source <> 'src0'),
+        |wt AS (
+        |  SELECT bucket,
+        |    ln((COALESCE(cp, 0) + 1e0) / (np + 64e0))
+        |      - ln((COALESCE(cn, 0) + 1e0) / (nn + 64e0)) AS wv
+        |  FROM cp FULL OUTER JOIN cn USING (bucket), np, nn),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    round(ln(dp.dp::DOUBLE / dn.dn) + sum(wv), 6) AS score
+        |  FROM b JOIN wt USING (bucket), dp, dn
+        |  GROUP BY b.doc_id, dp.dp, dn.dn)
+        |SELECT d.source, count(*)::INT AS n_docs,
+        |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::INT AS n_kept,
+        |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS keep_rate,
+        |  round(avg(score), 6) AS mean_score
+        |FROM documents d JOIN sc USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mechanical translation of [[Dedup.chunkScrub]] (chunkWords=8,
     // minOccurrences=2): the d10 chunk extraction, corpus OCCURRENCE
     // counts (not distinct docs — the C4 convention), and an ordered

@@ -412,8 +412,24 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** W14: windowed PSI drift monitor ([[graft.streaming.Drift
+    * .windowedPsi]]) — per-hour-window population-stability index of the
+    * event `value` distribution against the static whole-table
+    * reference, the ingest-time sibling of a32's per-source batch PSI.
+    * One stateful aggregate (ten conditional bin counts), stateless
+    * binning against the broadcast reference row, scan-stage PSI fold;
+    * StreamJoinsSpec drives the same function through MemoryStream and
+    * pins streaming ≡ batch.
+    */
+  def w14WindowedPsi(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    graft.streaming.Drift.windowedPsi(e, e)
+      .orderBy(col("w_start_ms"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_checkpoint_resume" -> s6CheckpointResume,
+    "w14_windowed_psi" -> w14WindowedPsi,
     "w13_decontam_tags_twin" -> w13DecontamTagsTwin,
     "w11_session_gaps" -> w11SessionGaps,
     "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
@@ -614,6 +630,41 @@ object StreamQueries {
         |SELECT epoch_ms(ws) AS w_start_ms, event_type, count(*) AS n
         |FROM s GROUP BY 1, 2
         |ORDER BY w_start_ms, event_type""".stripMargin,
+    // Mechanical translation of [[graft.streaming.Drift.windowedPsi]]
+    // (reference = the whole table): a32's quantile_cont/smoothing
+    // idioms for the reference probabilities, w1's epoch-aligned hour
+    // truncation for the windows, round-6 PSI per window.
+    "w14_windowed_psi" ->
+      """WITH bs AS (
+        |  SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM events),
+        |rb AS (
+        |  SELECT len(list_filter(bs.bs, x -> x <= value)) + 1 AS bin
+        |  FROM events, bs),
+        |rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY 1),
+        |rn AS (SELECT count(*) AS n FROM rb),
+        |sc AS (SELECT g.bin, rn.n
+        |       FROM (SELECT unnest(generate_series(1, 10)) AS bin) g, rn),
+        |p AS (
+        |  SELECT sc.bin, (COALESCE(rc.c, 0) + 0.5e0) / (sc.n + 5e0) AS p
+        |  FROM sc LEFT JOIN rc USING (bin)),
+        |sb AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+        |    len(list_filter(bs.bs, x -> x <= value)) + 1 AS bin
+        |  FROM events, bs),
+        |wc AS (SELECT w, bin, count(*) AS c FROM sb GROUP BY 1, 2),
+        |wn AS (SELECT w, sum(c) AS n FROM wc GROUP BY 1),
+        |wsc AS (SELECT wn.w, wn.n, g.bin
+        |        FROM wn, (SELECT unnest(generate_series(1, 10)) AS bin) g),
+        |wf AS (
+        |  SELECT wsc.w, wsc.n, wsc.bin,
+        |    (COALESCE(wc.c, 0) + 0.5e0) / (wsc.n + 5e0) AS q
+        |  FROM wsc LEFT JOIN wc ON wc.w = wsc.w AND wc.bin = wsc.bin)
+        |SELECT epoch_ms(wf.w) AS w_start_ms, wf.n::BIGINT AS n_events,
+        |  round(sum((wf.q - p.p) * ln(wf.q / p.p)), 6) AS psi
+        |FROM wf JOIN p USING (bin)
+        |GROUP BY 1, 2 ORDER BY w_start_ms""".stripMargin,
     "w1_tumbling_counts" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start_ms,
         |  event_type, count(*) AS n

@@ -554,4 +554,92 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(collectLeaves(plan).count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
       plan.toString)
   }
+
+  test("eval dirtiness: token coverage, buckets, short docs, eval-internal dups") {
+    // Train leaks eval 100's "a1..a5" window and ALL of eval 101; eval
+    // 102 is under the window size (clean by construction); eval 103
+    // has no leak; eval 104/105 share "e1..e5" with EACH OTHER but not
+    // with the train side — eval-internal duplication must not flag.
+    val train = docsOf(Seq(
+      "x b1 b2 b3 b4 b5 b6 y",
+      "a1 a2 a3 a4 a5 z"))
+    val eval_ = Seq(
+      (100L, "a1 a2 a3 a4 a5 q1 q2"),
+      (101L, "b1 b2 b3 b4 b5 b6"),
+      (102L, "c1 c2 c3"),
+      (103L, "d1 d2 d3 d4 d5"),
+      (104L, "e1 e2 e3 e4 e5 w1"),
+      (105L, "e1 e2 e3 e4 e5 w2")).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination.evalDirtiness(train, eval_)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (100L, 7, 5, 0.714286, "partial"),
+      (101L, 6, 6, 1.0, "dirty"),
+      (102L, 3, 0, 0.0, "clean"),
+      (103L, 5, 0, 0.0, "clean"),
+      (104L, 6, 0, 0.0, "clean"),
+      (105L, 6, 0, 0.0, "clean")), s"got: ${got.toSeq}")
+  }
+
+  test("eval dirtiness: overlapping hit windows count each token once") {
+    // Train contains eval 200's whole 7-token text, so eval windows at
+    // pos 0,1,2 all hit; merged span 0..6 covers 7 tokens, not 3×5.
+    val train = docsOf(Seq("p1 p2 p3 p4 p5 p6 p7 tail"))
+    val eval_ = Seq((200L, "p1 p2 p3 p4 p5 p6 p7")).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination.evalDirtiness(train, eval_)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getString(4)))
+    assert(got.toSeq == Seq((200L, 7, 7, 1.0, "dirty")),
+      s"got: ${got.toSeq}")
+  }
+
+  test("quality classifier: separates the classes and scores every input") {
+    import graft.pipeline.QualityClassifier
+    // 1024 buckets so the toy vocabulary lands collision-free; the
+    // sha256-prefix hash is fixed, so this is deterministic forever.
+    val pos = docsOf(Seq(
+      "good clean prose with structure",
+      "clean good argument with evidence"))
+    val neg = Seq(
+      (10L, "spam junk click now"),
+      (11L, "junk spam buy buy")).toDF("doc_id", "text")
+    val toScore = Seq(
+      (20L, "good clean evidence"),
+      (21L, "spam junk buy"),
+      (22L, "good spam")).toDF("doc_id", "text")
+    val got = QualityClassifier.score(pos, neg, toScore, buckets = 1024)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.length == 3)
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(20L)._4 && byId(20L)._3 > 0, s"got: ${got.toSeq}")
+    assert(!byId(21L)._4 && byId(21L)._3 < 0, s"got: ${got.toSeq}")
+    // Mixed doc: one positive and one negative token of equal evidence
+    // (each word appears twice in its class corpus of 9-10 tokens), so
+    // the score sits near zero, strictly between the pure docs.
+    assert(byId(20L)._3 > byId(22L)._3 && byId(22L)._3 > byId(21L)._3,
+      s"got: ${got.toSeq}")
+    assert(byId(20L)._2 == 3 && byId(21L)._2 == 3 && byId(22L)._2 == 2)
+  }
+
+  test("quality classifier: the prior shifts the decision boundary") {
+    import graft.pipeline.QualityClassifier
+    // Same token stats, but positives are 4 docs vs 1 negative doc —
+    // ln(4/1) lifts every score by ~1.386 vs the balanced run.
+    val posBal = docsOf(Seq("alpha beta"))
+    val negBal = Seq((10L, "gamma delta")).toDF("doc_id", "text")
+    val toScore = Seq((20L, "alpha gamma")).toDF("doc_id", "text")
+    val balanced = QualityClassifier
+      .score(posBal, negBal, toScore, buckets = 1024)
+      .collect().head.getDouble(2)
+    val posSkew = docsOf(Seq("alpha beta", "alpha beta", "alpha beta",
+      "alpha beta"))
+    val skewed = QualityClassifier
+      .score(posSkew, negBal, toScore, buckets = 1024)
+      .collect().head.getDouble(2)
+    // Token evidence also moves (4× the positive mass), but the shift
+    // must at least include the prior's direction.
+    assert(skewed > balanced, s"skewed=$skewed balanced=$balanced")
+  }
 }

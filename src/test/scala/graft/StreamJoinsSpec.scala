@@ -298,4 +298,50 @@ class StreamJoinsSpec extends AnyFunSuite {
     // exact whole-ms session end (same latent class the long-green w2
     // fixed-gap gate carries).
   }
+
+  test("windowed PSI: streaming equals batch, matching window reads zero, shifted window reads hot") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // Static reference: 200 uniform draws in [0, 100).
+    val refVals = Seq.fill(200)(rnd.nextDouble() * 100.0)
+    val reference = refVals.map(v => (ts(0), v)).toDF("ts", "value")
+    // Hour 1 re-samples the reference distribution (PSI ≈ 0); hour 2 is
+    // shifted hard into [80, 100) (PSI large). Split mid-hour across
+    // micro-batches so window state must merge across batches.
+    // 600 draws per hour: sampling noise on a 10-bin PSI is ~(k−1)/n
+    // per side ≈ 0.03 here, comfortably under the 0.1 calm line.
+    val hour1 = (0 until 600).map(i =>
+      (ts(i % 60), refVals(rnd.nextInt(refVals.length))))
+    val hour2 = (0 until 600).map(i =>
+      (ts(60 + i % 60), 80.0 + rnd.nextDouble() * 20.0))
+    val all = hour1 ++ hour2
+    val (b1, b2) = all.splitAt(750)
+    val src = MemoryStream[(java.sql.Timestamp, Double)]
+    val out = graft.streaming.Drift.windowedPsi(
+      src.toDF().toDF("ts", "value"), reference)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("w14_psi").start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "the windowed PSI aggregate must be the one stateful operator")
+      val streamed = spark.table("w14_psi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val batch = graft.streaming.Drift.windowedPsi(
+        all.toDF("ts", "value"), reference)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch, s"streaming $streamed vs batch $batch")
+      assert(streamed.map(_._2) == Seq(600L, 600L))
+      val Seq(calm, hot) = streamed.map(_._3)
+      // The standard PSI read: < 0.1 stable, > 0.25 action. The
+      // re-sampled hour sits well under, the shifted hour far over.
+      assert(calm < 0.1, s"re-sampled window should be calm, got $calm")
+      assert(hot > 1.0, s"shifted window should scream, got $hot")
+    } finally q.stop()
+  }
 }

@@ -277,4 +277,46 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(over.sorted == Seq(7L, 9L))
   }
+
+  test("hard negatives: routes to the most-similar foreign prototype, never the own label") {
+    // Label 0 points along x, label 1 along y, label 2 on the diagonal.
+    // A label-0 query is far more similar to the label-2 prototype
+    // (cos ≈ .71) than label 1's (cos ≈ .05), so its hard negatives
+    // must come from label 2 — and symmetrically for label 1.
+    val vecs = Seq(
+      (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(0.9f, 0.1f)),
+      (1, 3L, Seq(0f, 1f)), (1, 4L, Seq(0.1f, 0.9f)),
+      (2, 5L, Seq(0.7f, 0.7f)), (2, 6L, Seq(0.6f, 0.8f)))
+      .toDF("label", "vec_id", "embedding")
+    val rows = Similarity.hardNegatives(vecs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    rows.foreach { case (_, label, negLabel, _, nid, _) =>
+      assert(negLabel != label, "a hard negative must be cross-label")
+      val nidLabel = Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+        5L -> 2, 6L -> 2)(nid)
+      assert(nidLabel == negLabel, "neighbors come from the routed label")
+    }
+    // Both axis classes route to the diagonal prototype; the diagonal
+    // class routes to whichever axis prototype edges it (deterministic
+    // either way — just not its own).
+    assert(byQ(1L).forall(_._3 == 2) && byQ(3L).forall(_._3 == 2))
+    // Ranks are contiguous from 1 and sims descend along them; block
+    // size 2 with k=2 means exactly 2 rows per query.
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to g.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._6 >= y._6
+        case _ => true
+      })
+      assert(g.length == 2)
+    }
+    // Closed form for query 1 = (1,0) against label 2's members: (.7,.7)
+    // and (.6,.8) → cos .7071 vs .6, so nid 5 outranks nid 6.
+    val q1 = byQ(1L).sortBy(_._4).map(t => (t._5, t._6)).toSeq
+    assert(q1 == Seq((5L, 0.7071), (6L, 0.6)), s"got $q1")
+  }
 }
