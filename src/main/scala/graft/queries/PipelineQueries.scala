@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, QualityClassifier, Sampling, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, QualityClassifier, Sampling, Search, Similarity, TextAnalysis, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -769,6 +769,27 @@ object PipelineQueries {
     Similarity.hardNegatives(Tables.embeddings(spark, d), k = 3)
       .orderBy(col("qid"), col("rk"))
 
+  /** T22: subword tokenization of the corpus vocabulary
+    * ([[Tokenizer.tokenizeWords]]) — a WordPiece-style top-50 subword
+    * vocabulary learned from occurrence-weighted character n-grams,
+    * then greedy longest-match-first tokenization of every DISTINCT
+    * corpus word (the production word-cache shape). The oracle replays
+    * the vocabulary rank, the best-match table, and the greedy chain as
+    * a recursive CTE — the emitted subword SEQUENCES hash-pin, not just
+    * counts.
+    */
+  def t22SubwordTokenize(spark: SparkSession, d: String): DataFrame =
+    Tokenizer.tokenizeWords(Tables.documents(spark, d))
+      .orderBy(col("word"))
+
+  /** T23: per-document tokenizer fertility ([[Tokenizer.fertility]]) —
+    * subwords per word under the t22 tokenizer, the standard
+    * tokenizer-fit metric; one broadcast map-back pass over the corpus.
+    */
+  def t23TokenizerFertility(spark: SparkSession, d: String): DataFrame =
+    Tokenizer.fertility(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** T8: BM25 relevance of every document against a fixed lexical query
     * — the retrieval baseline behind targeted corpus slicing and eval-set
     * decontamination. Two scan passes, zero token shuffle
@@ -1222,7 +1243,9 @@ object PipelineQueries {
     "d45_eval_dirtiness" -> d45EvalDirtiness,
     "t21_quality_classifier" -> t21QualityClassifier,
     "v5_hard_negatives" -> v5HardNegatives,
-    "d46_dedup_savings" -> d46DedupSavings)
+    "d46_dedup_savings" -> d46DedupSavings,
+    "t22_subword_tokenize" -> t22SubwordTokenize,
+    "t23_tokenizer_fertility" -> t23TokenizerFertility)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -2397,6 +2420,79 @@ object PipelineQueries {
         |  (max(pos) + 4)::INT AS span_end, count(*)::INT AS n_windows
         |FROM m GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
+    // Mechanical translation of [[Tokenizer.tokenizeWords]] (V=50,
+    // maxLen=4): occurrence-weighted gram frequencies, top-50 by
+    // (f DESC, gram ASC), best-match per (word, pos), then the greedy
+    // longest-match chain as a recursive CTE — one final row per word
+    // when pos walks past the end. Single chars are the fallback
+    // (COALESCE(bl, 1)), exactly the engine rule.
+    "t22_subword_tokenize" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |pp AS (
+        |  SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS p
+        |  FROM wf WHERE len(word) >= 2),
+        |pl AS (
+        |  SELECT word, cnt, p,
+        |    unnest(generate_series(2, least(4, len(word) - p + 1))) AS l
+        |  FROM pp),
+        |gf AS (SELECT substr(word, p, l) AS gram, sum(cnt) AS f
+        |       FROM pl GROUP BY 1),
+        |vocab AS (SELECT gram FROM gf ORDER BY f DESC, gram LIMIT 50),
+        |m AS (
+        |  SELECT word, p, max(l) AS bl
+        |  FROM pl JOIN vocab ON substr(word, p, l) = vocab.gram
+        |  GROUP BY 1, 2),
+        |chain(word, wl, pos, n, subwords) AS (
+        |  SELECT word, len(word), 1, 0, '' FROM wf
+        |  UNION ALL
+        |  SELECT c.word, c.wl, c.pos + COALESCE(m.bl, 1), c.n + 1,
+        |    CASE WHEN c.subwords = ''
+        |         THEN substr(c.word, c.pos, COALESCE(m.bl, 1))
+        |         ELSE c.subwords || '|'
+        |           || substr(c.word, c.pos, COALESCE(m.bl, 1)) END
+        |  FROM chain c LEFT JOIN m ON m.word = c.word AND m.p = c.pos
+        |  WHERE c.pos <= c.wl)
+        |SELECT word, n::INT AS n_subwords, subwords
+        |FROM chain WHERE pos > wl ORDER BY word""".stripMargin,
+    // The t22 chain rolled back over the corpus: per-doc word count,
+    // subword count, and fertility (round 6).
+    "t23_tokenizer_fertility" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |pp AS (
+        |  SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS p
+        |  FROM wf WHERE len(word) >= 2),
+        |pl AS (
+        |  SELECT word, cnt, p,
+        |    unnest(generate_series(2, least(4, len(word) - p + 1))) AS l
+        |  FROM pp),
+        |gf AS (SELECT substr(word, p, l) AS gram, sum(cnt) AS f
+        |       FROM pl GROUP BY 1),
+        |vocab AS (SELECT gram FROM gf ORDER BY f DESC, gram LIMIT 50),
+        |m AS (
+        |  SELECT word, p, max(l) AS bl
+        |  FROM pl JOIN vocab ON substr(word, p, l) = vocab.gram
+        |  GROUP BY 1, 2),
+        |chain(word, wl, pos, n) AS (
+        |  SELECT word, len(word), 1, 0 FROM wf
+        |  UNION ALL
+        |  SELECT c.word, c.wl, c.pos + COALESCE(m.bl, 1), c.n + 1
+        |  FROM chain c LEFT JOIN m ON m.word = c.word AND m.p = c.pos
+        |  WHERE c.pos <= c.wl),
+        |fin AS (SELECT word, n FROM chain WHERE pos > wl),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents)
+        |SELECT dw.doc_id, count(*)::INT AS n_words,
+        |  sum(fin.n)::INT AS n_subwords,
+        |  round(sum(fin.n)::DOUBLE / count(*), 6) AS fertility
+        |FROM dw JOIN fin USING (word)
+        |GROUP BY 1 ORDER BY dw.doc_id""".stripMargin,
     // Mechanical translation of [[Contamination.evalDirtiness]] (k=5,
     // eval = src0): the d40 window probe reversed — eval windows that
     // occur in the training side, merged into islands per EVAL doc,
