@@ -307,7 +307,7 @@ object TextAnalysis {
         col("rn"), col("bucket"), col("keep"))
   }
 
-  /** T22: the Gopher REPETITION rule battery (Rae et al. 2021 §A1.1's
+  /** T24: the Gopher REPETITION rule battery (Rae et al. 2021 §A1.1's
     * other half — [[gopherRules]] covers the outlier rules): documents
     * whose content is dominated by repeated n-grams carry little
     * training signal and skew the loss. Per document:

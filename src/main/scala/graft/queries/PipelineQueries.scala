@@ -681,6 +681,17 @@ object PipelineQueries {
     TextAnalysis.gopherRules(Tables.documents(spark, d))
       .orderBy(col("doc_id"))
 
+  /** T24: the Gopher REPETITION rule battery
+    * ([[TextAnalysis.gopherRepetitionRules]]) — the §A1.1 half t20's
+    * outlier rules don't cover: top-{2,3,4}-gram mass fractions and the
+    * fraction of tokens covered by WITHIN-document repeated 5-gram
+    * windows (islands merged, so overlaps count once), each against
+    * Gopher's published bound, plus the conjunction.
+    */
+  def t24GopherRepetition(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherRepetitionRules(Tables.documents(spark, d))
+      .orderBy(col("doc_id"))
+
   /** D41: CCNet perplexity buckets
     * ([[TextAnalysis.perplexityBuckets]]) — corpus-LM fluency tertiles
     * (head/middle/tail) with the CCNet keep rule. The oracle replays
@@ -757,6 +768,38 @@ object PipelineQueries {
   def v4KcenterCoreset(spark: SparkSession, d: String): DataFrame =
     Similarity.kCenterCoreset(Tables.embeddings(spark, d), k = 4)
       .orderBy(col("rk"))
+
+  /** T25: classifier calibration (reliability table) — the evaluation a
+    * production quality filter ships with: t21's scores converted to
+    * probabilities (sigmoid), the corpus ranked into score DECILES, and
+    * per decile the mean predicted probability against the observed
+    * src0 rate. A calibrated filter has mean_p ≈ frac_pos per bin; a
+    * confident-but-wrong one splits them. Binning is RANK-based through
+    * the distributed two-pass [[graft.operators.GlobalRank]] and
+    * integer arithmetic (the d41 tertile discipline — no float bin
+    * edges to disagree across engines); sigmoid/averages round at 6.
+    */
+  def t25QualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val scored = QualityClassifier.score(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), docs)
+    val j = scored.select(col("doc_id"), col("score"))
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src0").as("is_pos")), "doc_id")
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      j, Seq(col("score"), col("doc_id")), "rn")
+    val tot = j.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bin", expr("CAST(((rn - 1) * 10) DIV n AS INT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        round(avg(lit(1.0) / (lit(1.0) + exp(-col("score")))), 6)
+          .as("mean_p"),
+        round(avg(when(col("is_pos"), 1.0).otherwise(0.0)), 6)
+          .as("frac_pos"))
+      .orderBy(col("bin"))
+  }
 
   /** V5: hard-negative mining ([[Similarity.hardNegatives]], k = 3) —
     * every vector's top-3 most-similar DIFFERENT-label vectors, routed
@@ -1245,7 +1288,9 @@ object PipelineQueries {
     "v5_hard_negatives" -> v5HardNegatives,
     "d46_dedup_savings" -> d46DedupSavings,
     "t22_subword_tokenize" -> t22SubwordTokenize,
-    "t23_tokenizer_fertility" -> t23TokenizerFertility)
+    "t23_tokenizer_fertility" -> t23TokenizerFertility,
+    "t24_gopher_repetition" -> t24GopherRepetition,
+    "t25_quality_calibration" -> t25QualityCalibration)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -2569,6 +2614,50 @@ object PipelineQueries {
         |  round(avg(score), 6) AS mean_score
         |FROM documents d JOIN sc USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mechanical translation of [[t25QualityCalibration]]: the t21
+    // scoring CTEs, DuckDB's single-node row_number pinning the
+    // distributed GlobalRank (total order on (score, doc_id) — the d41
+    // discipline), integer-arithmetic decile bins, round-6 sigmoid and
+    // observed-rate means.
+    "t25_quality_calibration" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(ws) AS tok FROM w),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tk),
+        |cp AS (SELECT bucket, count(*) AS cp FROM b
+        |       WHERE source = 'src0' GROUP BY 1),
+        |cn AS (SELECT bucket, count(*) AS cn FROM b
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |np AS (SELECT count(*) AS np FROM b WHERE source = 'src0'),
+        |nn AS (SELECT count(*) AS nn FROM b WHERE source <> 'src0'),
+        |dp AS (SELECT count(*) AS dp FROM documents WHERE source = 'src0'),
+        |dn AS (SELECT count(*) AS dn FROM documents WHERE source <> 'src0'),
+        |wt AS (
+        |  SELECT bucket,
+        |    ln((COALESCE(cp, 0) + 1e0) / (np + 64e0))
+        |      - ln((COALESCE(cn, 0) + 1e0) / (nn + 64e0)) AS wv
+        |  FROM cp FULL OUTER JOIN cn USING (bucket), np, nn),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    round(ln(dp.dp::DOUBLE / dn.dn) + sum(wv), 6) AS score
+        |  FROM b JOIN wt USING (bucket), dp, dn
+        |  GROUP BY b.doc_id, dp.dp, dn.dn),
+        |j AS (
+        |  SELECT sc.doc_id, sc.score, (d.source = 'src0') AS is_pos
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM j)
+        |SELECT (((rn - 1) * 10) // n)::INT AS bin, count(*)::INT AS n_docs,
+        |  round(avg(1e0 / (1e0 + exp(-score))), 6) AS mean_p,
+        |  round(avg(CASE WHEN is_pos THEN 1e0 ELSE 0e0 END), 6)
+        |    AS frac_pos
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
     // Mechanical translation of [[Dedup.chunkScrub]] (chunkWords=8,
     // minOccurrences=2): the d10 chunk extraction, corpus OCCURRENCE
     // counts (not distinct docs — the C4 convention), and an ordered
@@ -2594,6 +2683,75 @@ object PipelineQueries {
         |    ' ' ORDER BY idx), '') AS clean_text
         |FROM ch JOIN occ USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mechanical translation of [[TextAnalysis.gopherRepetitionRules]]:
+    // top-n-gram mass = max/sum of per-(doc, gram) counts; the dup-5
+    // coverage reuses d37's island merge WITHIN the document
+    // (occurrence count >= 2, not distinct docs); round-6 fractions and
+    // the rule bounds evaluated on the rounded values, as the engine
+    // does. Docs shorter than an n-gram pass that rule vacuously
+    // (COALESCE 0).
+    "t24_gopher_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM w WHERE len(ws) >= 3)),
+        |f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g4 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 3)) AS i
+        |        FROM w WHERE len(ws) >= 4)),
+        |f4 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |dup AS (SELECT doc_id, gram FROM g5
+        |        GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT g5.doc_id, pos,
+        |    pos - row_number() OVER (
+        |      PARTITION BY g5.doc_id ORDER BY pos) AS isl
+        |  FROM g5 JOIN dup USING (doc_id, gram)),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |       FROM m GROUP BY doc_id, isl),
+        |cov AS (SELECT doc_id, sum(e - s + 1) AS covered
+        |        FROM sp GROUP BY doc_id),
+        |b AS (
+        |  SELECT w.doc_id, len(w.ws)::INT AS n_tokens,
+        |    round(COALESCE(f2.tf, 0), 6) AS top2_frac,
+        |    round(COALESCE(f3.tf, 0), 6) AS top3_frac,
+        |    round(COALESCE(f4.tf, 0), 6) AS top4_frac,
+        |    round(COALESCE(cov.covered, 0)::DOUBLE / len(w.ws), 6)
+        |      AS dup5_cover_frac
+        |  FROM w LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        |  LEFT JOIN f4 USING (doc_id) LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, n_tokens, top2_frac, top3_frac, top4_frac,
+        |  dup5_cover_frac,
+        |  top2_frac <= 0.2 AS ok_top2, top3_frac <= 0.18 AS ok_top3,
+        |  top4_frac <= 0.16 AS ok_top4,
+        |  dup5_cover_frac <= 0.15 AS ok_dup5,
+        |  (top2_frac <= 0.2 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |   AND dup5_cover_frac <= 0.15) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
     // Mechanical translation of [[TextAnalysis.gopherRules]]: same \s+
     // tokens, marker counts via the length-difference identity, the
     // stop-word KIND count over the padded text, DOUBLE ratios rounded

@@ -623,6 +623,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byId(20L)._2 == 3 && byId(21L)._2 == 3 && byId(22L)._2 == 2)
   }
 
+  test("gopher repetition rules: each rule fires on its own pathology") {
+    val docs = docsOf(Seq(
+      // 0: ten distinct words — every fraction small, all rules pass.
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      // 1: one bigram ("x y") is 5 of 9 bigrams — top2 rule fails;
+      //    the repeated "x y x y x" 5-grams also blow dup5 coverage.
+      "x y x y x y x y x y",
+      // 2: a repeated 5-gram but diverse n-grams elsewhere: only dup5
+      //    coverage is threatened.
+      "a1 a2 a3 a4 a5 m1 m2 m3 m4 m5 m6 m7 m8 a1 a2 a3 a4 a5"))
+    val got = graft.pipeline.TextAnalysis
+      .gopherRepetitionRules(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(9), r.getBoolean(10)))).toMap
+    // (ok_top2, ok_dup5, keep)
+    assert(got(0L) == ((true, true, true)), got)
+    assert(got(1L) == ((false, false, false)), got)
+    assert(got(2L)._1 && !got(2L)._2 && !got(2L)._3, got)
+  }
+
+  test("quality calibration: decile partition is exact and consistent with the corpus") {
+    val rows = graft.queries.PipelineQueries
+      .t25QualityCalibration(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0 to 9), "bins must be exactly 0..9")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val nPos = docs.filter(col("source") === "src0").count()
+    assert(rows.map(_._2.toLong).sum == n, "bins must partition the corpus")
+    // Rank-based deciles differ by at most one doc in size.
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // The bin-weighted observed rate reconstructs the corpus prior.
+    val w = rows.map(t => t._2 * t._4).sum / n
+    assert(math.abs(w - nPos.toDouble / n) < 1e-4, s"got $w")
+    // Probabilities live in (0, 1) and are non-decreasing along the
+    // score-ranked bins (sigmoid is monotone in the ranked score).
+    assert(rows.forall(t => t._3 > 0.0 && t._3 < 1.0))
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+  }
+
   test("quality classifier: the prior shifts the decision boundary") {
     import graft.pipeline.QualityClassifier
     // Same token stats, but positives are 4 docs vs 1 negative doc —
