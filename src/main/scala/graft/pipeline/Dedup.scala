@@ -132,23 +132,79 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val corpusSets = graft.CacheRegistry.register(
+      shingleSets(corpus, idCol, textCol, shingleLen).cache())
+    incrementalNearDupAgainst(corpusSets,
+      bandedBuckets(corpusSets, idCol, numHashes, bands),
+      batch, idCol, textCol, numHashes, bands, shingleLen, threshold)
+  }
+
+  /** (id, shset): the distinct-shingle sets [[incrementalNearDup]] and
+    * the near-dup index derive everything from. */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
+
+  /** (id, band, bucket): the banded-LSH bucket table over MinHash
+    * signatures — the candidate-join key of every near-dup probe. */
+  def bandedBuckets(sets: DataFrame, idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    def sets(docs: DataFrame) = graft.CacheRegistry.register(
-      docs.select(col(idCol),
-        array_distinct(shingles(col(textCol), shingleLen)).as("shset"))
-        .cache())
-    def banded(s: DataFrame) = s
-      .select(col(idCol), minhashSig(col("shset"), numHashes).as("sig"))
+    sets.select(col(idCol), minhashSig(col("shset"), numHashes).as("sig"))
       .select(col(idCol), posexplode(
           array((0 until bands).map(b =>
             xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*))
         .as(Seq("band", "bucket")))
-    val corpusSets = sets(corpus)
-    val batchSets = sets(batch)
-    val candidates = banded(batchSets)
+  }
+
+  /** Persist the corpus near-dup index — the two artifacts every
+    * incremental probe needs (banded LSH buckets + shingle sets), so a
+    * standing corpus is shingled and MinHashed ONCE and every future
+    * ingest batch probes the parquet at rest (the [[graft.pipeline
+    * .Similarity.pqSaveIndex]] discipline applied to dedup): at 100 TB
+    * the corpus-side cost of [[incrementalNearDup]] is the whole cost,
+    * and it is exactly the part that never changes between batches.
+    * The seeded MinHash kernel is deterministic, so the loaded index is
+    * bit-identical to a fresh derivation (spec-pinned).
+    */
+  def saveNearDupIndex(corpus: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): Unit = {
+    val sets = graft.CacheRegistry.register(
+      shingleSets(corpus, idCol, textCol, shingleLen).cache())
+    sets.write.mode("overwrite").parquet(s"$path/shsets")
+    bandedBuckets(sets, idCol, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** [[incrementalNearDup]] served from a persisted [[saveNearDupIndex]]
+    * artifact: the batch is shingled/banded fresh (it is the small,
+    * new thing); the corpus side is two parquet reads — bucket probe
+    * first, then shingle sets fetched ONLY for candidate ids (the scan
+    * reads the verify column for the candidate join's build side, a
+    * vanishing fraction of a healthy corpus).
+    */
+  def incrementalNearDupFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDupAgainst(
+      spark.read.parquet(s"$path/shsets"),
+      spark.read.parquet(s"$path/buckets"),
+      batch, idCol, textCol, numHashes, bands, shingleLen, threshold)
+
+  private def incrementalNearDupAgainst(corpusSets: DataFrame,
+      corpusBuckets: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, shingleLen: Int,
+      threshold: Double): DataFrame = {
+    val batchSets = graft.CacheRegistry.register(
+      shingleSets(batch, idCol, textCol, shingleLen).cache())
+    val candidates = bandedBuckets(batchSets, idCol, numHashes, bands)
       .select(col(idCol).as("batch_doc"), col("band"), col("bucket"))
-      .join(banded(corpusSets)
+      .join(corpusBuckets
         .select(col(idCol).as("corpus_doc"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("batch_doc", "corpus_doc").distinct()

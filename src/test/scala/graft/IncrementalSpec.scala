@@ -128,4 +128,44 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got.subsetOf(want), s"false positives: ${got.diff(want)}")
     assert(got.contains((10L, 1L)))
   }
+
+  test("near-dup index at rest: persisted probe equals fresh compute, artifact round-trips") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    // The planted hit is an exact copy of a real corpus doc (guaranteed
+    // LSH collision); the other batch doc shares no vocabulary.
+    val copied = corpus.orderBy(col("doc_id")).select("text")
+      .head().getString(0)
+    val batch = docs(
+      9001L -> copied,
+      9002L -> "completely novel words nothing shares these tokens")
+    val path = java.nio.file.Files
+      .createTempDirectory("neardup_idx").toString
+    try {
+      Dedup.saveNearDupIndex(corpus, path)
+      graft.CacheRegistry.releaseAll()
+      // The seeded MinHash kernel makes the artifact a pure function of
+      // the corpus: reloaded buckets equal a fresh derivation exactly.
+      val freshBuckets = Dedup.bandedBuckets(Dedup.shingleSets(corpus))
+        .as[(Long, Int, Long)].collect().toSet
+      val storedBuckets = spark.read.parquet(s"$path/buckets")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(storedBuckets == freshBuckets, "index artifact drifted")
+      // Probing the index at rest = probing the raw corpus, exactly
+      // (pairs AND verified jaccard values).
+      val fromIndex = Dedup.incrementalNearDupFromIndex(
+          spark, path, batch, threshold = 0.1)
+        .as[(Long, Long, Double)].collect().toSet
+      graft.CacheRegistry.releaseAll()
+      val fresh = Dedup.incrementalNearDup(corpus, batch, threshold = 0.1)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromIndex == fresh, s"index $fromIndex vs fresh $fresh")
+      // And the planted batch doc actually hits the corpus while the
+      // novel one stays silent.
+      assert(fromIndex.exists(_._1 == 9001L))
+      assert(!fromIndex.exists(_._1 == 9002L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
 }
