@@ -93,13 +93,13 @@ object Tokenizer {
       lit(1).as("pos"), lit(0).as("n"), lit("").as("subwords"))
     var doneAcc: DataFrame = null
     var iter = 0
-    while ({
-      val active = state.filter(col("pos") <= col("wl"))
-      !active.isEmpty
-    }) {
+    var converged = false
+    while (!converged) {
       iter += 1
       require(iter <= 10000, "tokenizer chain failed to terminate")
       val active = state.filter(col("pos") <= col("wl"))
+      if (active.isEmpty) { converged = true }
+      else {
       val finished = state.filter(col("pos") > col("wl"))
       doneAcc = if (doneAcc == null) finished else doneAcc.union(finished)
       val stepped = active
@@ -117,6 +117,7 @@ object Tokenizer {
       // materialized frontier every few hops instead of stacking joins.
       state =
         if (iter % 8 == 0) stepped.localCheckpoint(true) else stepped
+      }
     }
     val all = if (doneAcc == null) state else doneAcc.union(state)
     all.select(col("word"), col("n").as("n_subwords"), col("subwords"))

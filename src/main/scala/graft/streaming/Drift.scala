@@ -36,14 +36,18 @@ object Drift {
       windowDur: String = "1 hour"): DataFrame = {
     // Static side: decile boundaries, then the reference's own smoothed
     // bin probabilities, assembled into one ordered 10-element array —
-    // a single broadcastable row, never a driver collect.
-    val bs = reference.agg(percentile(col(valCol),
-      typedlit((1 to 9).map(_ / 10.0))).as("bs"))
+    // a single broadcastable row, never a driver collect. Both tiny
+    // tables are cached (the a32 lesson): each feeds two consumers, and
+    // uncached every consumer re-scans the reference corpus.
+    val bs = graft.CacheRegistry.register(
+      reference.agg(percentile(col(valCol),
+        typedlit((1 to 9).map(_ / 10.0))).as("bs")).cache())
     def binOf: Column =
       size(expr(s"filter(bs, b -> b <= $valCol)")) + 1
-    val refCnt = reference.crossJoin(broadcast(bs))
-      .select(binOf.as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val refCnt = graft.CacheRegistry.register(
+      reference.crossJoin(broadcast(bs))
+        .select(binOf.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c")).cache())
     val filled = refCnt.agg(sum(col("c")).as("n"))
       .select(col("n"), explode(expr("sequence(1, 10)")).as("bin"))
       .join(refCnt, Seq("bin"), "left")
