@@ -769,6 +769,75 @@ object PipelineQueries {
     Similarity.kCenterCoreset(Tables.embeddings(spark, d), k = 4)
       .orderBy(col("rk"))
 
+  /** D48: the MODERN curation funnel — the RefinedWeb/Dolma pipeline
+    * composed end-to-end from this engine's already-gated stages:
+    * Gopher outlier rules (t20) → Gopher repetition rules (t24) →
+    * CCNet LM tertile (d41) → NB quality classifier, thresholded at
+    * the corpus MEDIAN score (pipelines cut quality classifiers at a
+    * kept-fraction, not the MAP boundary — GPT-3 kept by Pareto-sampled
+    * score, CCNet by tertile; the t21 gate pins the MAP decision, this
+    * stage pins the rank cut) → exact-dup canonicalization (d30).
+    * Implemented the Dolma way: every stage is a PER-DOCUMENT FLAG
+    * computed on the full corpus (each the exact plan its own gate
+    * pins), then the funnel is cumulative conjunctions folded in ONE
+    * aggregate — no stage re-materializes the corpus, and the
+    * attrition table (stage, n_kept) is what a data card publishes.
+    * Documents the LM stage cannot score (< 2 tokens) drop at that
+    * stage, the CCNet convention.
+    */
+  def d48ModernFunnel(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val rules = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("keep").as("ok_rules"))
+    val rep = TextAnalysis.gopherRepetitionRules(docs)
+      .select(col("doc_id"), col("keep").as("ok_rep"))
+    val lm = TextAnalysis.perplexityBuckets(docs)
+      .select(col("doc_id"), col("keep").as("ok_lm"))
+    val scored = QualityClassifier.score(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), docs)
+      .select(col("doc_id"), col("score"))
+    val nDocs = scored.agg(count(lit(1)).as("n"))
+    val clf = graft.operators.GlobalRank.rowNumber(
+        scored, Seq(col("score").desc, col("doc_id")), "rn")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), (col("rn") * 2 <= col("n")).as("ok_clf"))
+    val canon = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val pick = canon.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val dedup = canon.join(pick, "h")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id"))
+        .as("ok_dedup"))
+    val flags = docs.select(col("doc_id"))
+      .join(rules, "doc_id")
+      .join(rep, "doc_id")
+      .join(lm, Seq("doc_id"), "left")
+      .join(clf, "doc_id")
+      .join(dedup, "doc_id")
+      .withColumn("ok_lm", coalesce(col("ok_lm"), lit(false)))
+    def cum(cs: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+      sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
+    flags.agg(count(lit(1)).as("n0"),
+        cum(col("ok_rules")).as("n1"),
+        cum(col("ok_rules"), col("ok_rep")).as("n2"),
+        cum(col("ok_rules"), col("ok_rep"), col("ok_lm")).as("n3"),
+        cum(col("ok_rules"), col("ok_rep"), col("ok_lm"),
+          col("ok_clf")).as("n4"),
+        cum(col("ok_rules"), col("ok_rep"), col("ok_lm"), col("ok_clf"),
+          col("ok_dedup")).as("n5"))
+      .selectExpr(
+        """stack(6,
+          |  '0_all', n0,
+          |  '1_gopher_rules', n1,
+          |  '2_repetition', n2,
+          |  '3_lm_tertile', n3,
+          |  '4_classifier', n4,
+          |  '5_exact_dedup', n5)
+          |AS (stage, n_kept)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   /** T25: classifier calibration (reliability table) — the evaluation a
     * production quality filter ships with: t21's scores converted to
     * probabilities (sigmoid), the corpus ranked into score DECILES, and
@@ -1290,7 +1359,8 @@ object PipelineQueries {
     "t22_subword_tokenize" -> t22SubwordTokenize,
     "t23_tokenizer_fertility" -> t23TokenizerFertility,
     "t24_gopher_repetition" -> t24GopherRepetition,
-    "t25_quality_calibration" -> t25QualityCalibration)
+    "t25_quality_calibration" -> t25QualityCalibration,
+    "d48_modern_funnel" -> d48ModernFunnel)
 
   /** DuckDB oracle for `d3_simhash`: mechanical translation of
     * [[Dedup.simHashFingerprint]] + [[Dedup.simHash]]. The word hash is
@@ -2614,6 +2684,179 @@ object PipelineQueries {
         |  round(avg(score), 6) AS mean_score
         |FROM documents d JOIN sc USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mechanical translation of [[d48ModernFunnel]]: the five per-doc
+    // flag fragments are the t20/t24/d41/t21/d30 oracles verbatim
+    // (reduced to their keep booleans), joined on doc_id, then the
+    // cumulative-conjunction sums — the engine's single stack()
+    // aggregate as six UNION ALL rows.
+    "d48_modern_funnel" ->
+      """WITH s20 AS (
+        |  SELECT doc_id, text AS t, ' ' || text || ' ' AS pt,
+        |    string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |b20 AS (
+        |  SELECT doc_id,
+        |    len(ws)::INT AS n_words,
+        |    round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+        |      / len(ws), 6) AS mean_wlen,
+        |    round(((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE
+        |      / len(ws), 6) AS symbol_ratio,
+        |    round(list_sum(list_transform(ws, x ->
+        |      CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END))
+        |      ::DOUBLE / len(ws), 6) AS alpha_frac,
+        |    (CASE WHEN position(' the ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' be ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' to ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' of ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' and ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' that ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' have ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' with ' IN pt) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(' a ' IN pt) > 0 THEN 1 ELSE 0 END)::INT
+        |      AS n_stop_kinds
+        |  FROM s20),
+        |f_rules AS (
+        |  SELECT doc_id,
+        |    ((n_words >= 50 AND n_words <= 100000)
+        |     AND (mean_wlen >= 3 AND mean_wlen <= 10)
+        |     AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+        |     AND (n_stop_kinds >= 2)) AS ok_rules
+        |  FROM b20),
+        |w24 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w24 WHERE len(ws) >= 2)),
+        |f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM w24 WHERE len(ws) >= 3)),
+        |f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g4 AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS g
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 3)) AS i
+        |        FROM w24 WHERE len(ws) >= 4)),
+        |f4 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS i
+        |        FROM w24 WHERE len(ws) >= 5)),
+        |dup24 AS (SELECT doc_id, gram FROM g5
+        |          GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |m24 AS (
+        |  SELECT g5.doc_id, pos,
+        |    pos - row_number() OVER (
+        |      PARTITION BY g5.doc_id ORDER BY pos) AS isl
+        |  FROM g5 JOIN dup24 USING (doc_id, gram)),
+        |sp24 AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |         FROM m24 GROUP BY doc_id, isl),
+        |cov24 AS (SELECT doc_id, sum(e - s + 1) AS covered
+        |          FROM sp24 GROUP BY doc_id),
+        |f_rep AS (
+        |  SELECT w24.doc_id,
+        |    (round(COALESCE(f2.tf, 0), 6) <= 0.2
+        |     AND round(COALESCE(f3.tf, 0), 6) <= 0.18
+        |     AND round(COALESCE(f4.tf, 0), 6) <= 0.16
+        |     AND round(COALESCE(cov24.covered, 0)::DOUBLE
+        |           / len(w24.ws), 6) <= 0.15) AS ok_rep
+        |  FROM w24 LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        |  LEFT JOIN f4 USING (doc_id) LEFT JOIN cov24 USING (doc_id)),
+        |t41 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i41 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM t41),
+        |gr41 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS w1
+        |         FROM i41),
+        |cb41 AS (SELECT g, count(*) AS cb FROM gr41 GROUP BY g),
+        |cu41 AS (SELECT w1, count(*) AS cu FROM gr41 GROUP BY w1),
+        |lp41 AS (
+        |  SELECT gr41.doc_id,
+        |    round(avg(ln(cb41.cb::DOUBLE / cu41.cu)), 4) AS avg_logp
+        |  FROM gr41 JOIN cb41 USING (g) JOIN cu41 USING (w1)
+        |  GROUP BY gr41.doc_id),
+        |r41 AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n_docs
+        |  FROM lp41),
+        |f_lm AS (SELECT doc_id, (rn * 3 <= n_docs * 2) AS ok_lm FROM r41),
+        |w21 AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |tk21 AS (SELECT doc_id, source, unnest(ws) AS tok FROM w21),
+        |b21 AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tk21),
+        |cp AS (SELECT bucket, count(*) AS cp FROM b21
+        |       WHERE source = 'src0' GROUP BY 1),
+        |cn AS (SELECT bucket, count(*) AS cn FROM b21
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |np AS (SELECT count(*) AS np FROM b21 WHERE source = 'src0'),
+        |nn AS (SELECT count(*) AS nn FROM b21 WHERE source <> 'src0'),
+        |dp AS (SELECT count(*) AS dp FROM documents WHERE source = 'src0'),
+        |dn AS (SELECT count(*) AS dn FROM documents WHERE source <> 'src0'),
+        |wt AS (
+        |  SELECT bucket,
+        |    ln((COALESCE(cp, 0) + 1e0) / (np + 64e0))
+        |      - ln((COALESCE(cn, 0) + 1e0) / (nn + 64e0)) AS wv
+        |  FROM cp FULL OUTER JOIN cn USING (bucket), np, nn),
+        |sc AS (
+        |  SELECT b21.doc_id,
+        |    round(ln(dp.dp::DOUBLE / dn.dn) + sum(wv), 6) AS score
+        |  FROM b21 JOIN wt USING (bucket), dp, dn
+        |  GROUP BY b21.doc_id, dp.dp, dn.dn),
+        |rsc AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM sc),
+        |f_clf AS (SELECT doc_id, (rn * 2 <= n) AS ok_clf FROM rsc),
+        |hsh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |pick AS (SELECT h, min(doc_id) AS keep_id FROM hsh GROUP BY h),
+        |f_dd AS (
+        |  SELECT hsh.doc_id, (hsh.doc_id = pick.keep_id) AS ok_dedup
+        |  FROM hsh JOIN pick USING (h)),
+        |flags AS (
+        |  SELECT d.doc_id, ok_rules, ok_rep,
+        |    COALESCE(ok_lm, false) AS ok_lm, ok_clf, ok_dedup
+        |  FROM documents d
+        |  JOIN f_rules USING (doc_id) JOIN f_rep USING (doc_id)
+        |  LEFT JOIN f_lm USING (doc_id)
+        |  JOIN f_clf USING (doc_id) JOIN f_dd USING (doc_id)),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN ok_rules THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN ok_rules AND ok_rep THEN 1 ELSE 0 END)::BIGINT
+        |      AS n2,
+        |    sum(CASE WHEN ok_rules AND ok_rep AND ok_lm
+        |        THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |    sum(CASE WHEN ok_rules AND ok_rep AND ok_lm AND ok_clf
+        |        THEN 1 ELSE 0 END)::BIGINT AS n4,
+        |    sum(CASE WHEN ok_rules AND ok_rep AND ok_lm AND ok_clf
+        |        AND ok_dedup THEN 1 ELSE 0 END)::BIGINT AS n5
+        |  FROM flags)
+        |SELECT '0_all' AS stage, n0 AS n_kept FROM agg
+        |UNION ALL SELECT '1_gopher_rules', n1 FROM agg
+        |UNION ALL SELECT '2_repetition', n2 FROM agg
+        |UNION ALL SELECT '3_lm_tertile', n3 FROM agg
+        |UNION ALL SELECT '4_classifier', n4 FROM agg
+        |UNION ALL SELECT '5_exact_dedup', n5 FROM agg
+        |ORDER BY stage""".stripMargin,
     // Mechanical translation of [[t25QualityCalibration]]: the t21
     // scoring CTEs, DuckDB's single-node row_number pinning the
     // distributed GlobalRank (total order on (score, doc_id) — the d41
