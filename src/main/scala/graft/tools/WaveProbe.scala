@@ -20,8 +20,15 @@ object WaveProbe {
       "d40_decontaminate_spans", "d41_ppl_buckets", "t20_gopher_rules",
       "w13_decontam_tags_twin", "a32_psi_drift", "v4_kcenter_coreset",
       "ann_ivfpq_topk")
-    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
-      "/root/repo/benchdata/sf1").filter(new java.io.File(_).isDirectory)
+    // SPARK_GRAFT_PROBE_DIRS / SPARK_GRAFT_PROBE_RUNS override the
+    // decade list and the timed-run count (e.g. the one-off sf10 probe:
+    // big decades get 3 timed runs instead of 5).
+    val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(',').toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "/root/repo/benchdata/sf1"))
+      .filter(new java.io.File(_).isDirectory)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "5").toInt
     gates.foreach { g =>
       val fn = graft.SparkEntry.queries(g)
       val cells = dirs.map { d =>
@@ -37,8 +44,8 @@ object WaveProbe {
           s
         }
         run(); run() // warm-ups
-        val ts = (1 to 5).map(_ => run()).sorted
-        d.split("/").last -> ts(2)
+        val ts = (1 to runs).map(_ => run()).sorted
+        d.split("/").last -> ts(ts.length / 2)
       }
       val line = cells.map { case (n, s) => f"$n=$s%.3f" }.mkString(" ")
       println(f"WAVEPROBE $g%-24s $line")
