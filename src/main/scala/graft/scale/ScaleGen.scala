@@ -128,12 +128,20 @@ object ScaleGen {
     // ranks 10× genuinely distinct vectors rather than tie-broken clones.
     val documents = read("documents")
     val nDoc = stride(documents, "doc_id")
+    // The copy suffix embeds the source stride (nDoc), which grows every
+    // generation — so REPEATED application (sf1 → sf10 → …) stays
+    // injective. The first cut used a bare "_c$i": applied twice, copy 3
+    // of "src5" collided with the verbatim-retained "src5_c3" block from
+    // the previous generation, merging blocks of VERBATIM-identical
+    // documents — exactly the quadratic candidate-pair artifact this
+    // block structure exists to prevent (measured: d4 at the collided
+    // sf10 read 18-21x the 10x step; 180 of 2000 blocks had merged).
     write((0 until factor).map { i =>
       documents.select(
         (col("doc_id") + lit(nDoc * i)).as("doc_id"),
         col("text"), col("lang"),
         (if (i == 0) col("source")
-         else concat(col("source"), lit(s"_c$i"))).as("source"),
+         else concat(col("source"), lit(s"_s${nDoc}c$i"))).as("source"),
         col("n_chars"))
     }.reduce(_ unionByName _), "documents", 4)
 
