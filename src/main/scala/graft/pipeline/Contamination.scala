@@ -88,8 +88,11 @@ object Contamination {
     * broadcast back over the eval windows. The 100 TB corpus is touched
     * once, shuffles nothing but matched digests, and every later stage
     * is eval-sized. Overlapping hit windows merge via
-    * [[Dedup.mergeSpans]] first, so a token covered by several windows
-    * counts once.
+    * [[Dedup.coverSpans]] first — the coverage merge, not the stride-1
+    * island merge, so two hit windows whose coverages overlap WITHOUT a
+    * bridging hit between them (e.g. positions 0 and 2, k = 5: two
+    * corpus fragments of one eval sample) still count each covered
+    * token exactly once and `dirty_frac` can never exceed 1.
     */
   def evalDirtiness(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
       dirtyAbove: Double = 0.8, idCol: String = "doc_id",
@@ -101,7 +104,7 @@ object Contamination {
     // vocabulary, keep only the DISTINCT matched digests.
     val hits = Dedup.tokenWindows(corpus, k, idCol, textCol)
       .join(broadcast(evalH), "h").select(col("h")).distinct()
-    val spans = Dedup.mergeSpans(evalWins.join(broadcast(hits), "h"),
+    val spans = Dedup.coverSpans(evalWins.join(broadcast(hits), "h"),
       k, idCol)
     val covered = spans.groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).cast("int")

@@ -168,15 +168,28 @@ object Dedup {
     * and it is exactly the part that never changes between batches.
     * The seeded MinHash kernel is deterministic, so the loaded index is
     * bit-identical to a fresh derivation (spec-pinned).
+    *
+    * The build parameters (numHashes, bands, shingleLen) are persisted
+    * WITH the artifact (`<path>/params`) and validated on every load —
+    * a probe banding a batch against buckets built under different
+    * parameters would produce silently wrong candidate pairs (bucket
+    * collisions of incomparable signatures) and wrong Jaccard values
+    * (mismatched shingle lengths), so the mismatch must be an error,
+    * never a quiet default.
     */
   def saveNearDupIndex(corpus: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sets = graft.CacheRegistry.register(
       shingleSets(corpus, idCol, textCol, shingleLen).cache())
     sets.write.mode("overwrite").parquet(s"$path/shsets")
     bandedBuckets(sets, idCol, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((numHashes, bands, shingleLen))
+      .toDF("num_hashes", "bands", "shingle_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** [[incrementalNearDup]] served from a persisted [[saveNearDupIndex]]
@@ -185,16 +198,33 @@ object Dedup {
     * first, then shingle sets fetched ONLY for candidate ids (the scan
     * reads the verify column for the candidate join's build side, a
     * vanishing fraction of a healthy corpus).
+    *
+    * The caller's (numHashes, bands, shingleLen) are validated against
+    * the tuple persisted by [[saveNearDupIndex]]; a mismatch throws
+    * instead of banding the batch against incompatible corpus buckets.
     */
   def incrementalNearDupFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5): DataFrame = {
+    val p = spark.read.parquet(s"$path/params")
+      .select(col("num_hashes"), col("bands"), col("shingle_len"))
+      .collect()
+    require(p.length == 1,
+      s"near-dup index at $path has a malformed params artifact (${p.length} rows)")
+    val (nh, bd, sl) = (p(0).getInt(0), p(0).getInt(1), p(0).getInt(2))
+    require(nh == numHashes && bd == bands && sl == shingleLen,
+      s"near-dup index at $path was built with (numHashes=$nh, bands=$bd, " +
+        s"shingleLen=$sl) but this probe asked for (numHashes=$numHashes, " +
+        s"bands=$bands, shingleLen=$shingleLen) — banding a batch against an " +
+        "incompatible index yields silently wrong candidates; rebuild the " +
+        "index or match its parameters")
     incrementalNearDupAgainst(
       spark.read.parquet(s"$path/shsets"),
       spark.read.parquet(s"$path/buckets"),
       batch, idCol, textCol, numHashes, bands, shingleLen, threshold)
+  }
 
   private def incrementalNearDupAgainst(corpusSets: DataFrame,
       corpusBuckets: DataFrame, batch: DataFrame, idCol: String,
@@ -756,6 +786,41 @@ object Dedup {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     flagged
       .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** COVERAGE merge of flagged `k`-token window starts into maximal
+    * covered spans — the companion to [[mergeSpans]] for operators that
+    * SUM span lengths into a token-coverage count. [[mergeSpans]] breaks
+    * islands on non-consecutive start positions (stride-1 adjacency),
+    * so hits at positions 0 and 2 with k = 5 yield spans [0,4] and
+    * [2,6] whose lengths double-count the shared tokens [2,4] — a
+    * summed coverage can then exceed the document length. Here an
+    * island breaks only when the next start lies BEYOND the previous
+    * window's reach (`pos − prev_pos > k`, i.e. the coverages neither
+    * overlap nor abut), so merged spans never overlap and the length
+    * sum counts every covered token exactly once. Input needs (idCol,
+    * pos) with pos unique per document; returns (idCol, span_start,
+    * span_end, n_windows), 0-based inclusive token indices.
+    *
+    * Scale shape: identical to [[mergeSpans]] — both window passes
+    * (the lag and the running sum) share one per-document ordering, so
+    * the plan carries a single hash exchange on the document id and
+    * never a global sort.
+    */
+  def coverSpans(flagged: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
       .groupBy(col(idCol), col("isl"))
       .agg(min(col("pos")).cast("int").as("span_start"),
         (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),

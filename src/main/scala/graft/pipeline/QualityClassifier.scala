@@ -51,7 +51,11 @@ object QualityClassifier {
     * Emits (idCol, n_tokens, score, keep): score = ln P(pos)/P(neg) +
     * Σ_tokens [ln p̂_pos(b) − ln p̂_neg(b)] rounded at 6, keep = score>0
     * (the MAP decision). Documents of `toScore` always appear — every
-    * non-empty text yields at least one token under `\s+`.
+    * non-empty text yields at least one token under `\s+`, and a token
+    * whose bucket NEITHER training class saw contributes zero log-odds
+    * (the scoring join is a left join, not an inner join, so a drifted
+    * corpus document made entirely of unseen buckets still scores —
+    * at the bare prior — instead of silently dropping out).
     */
   def score(positive: DataFrame, negative: DataFrame, toScore: DataFrame,
       buckets: Int = 64, idCol: String = "doc_id",
@@ -74,8 +78,9 @@ object QualityClassifier {
     // Full outer: a bucket only one class saw still gets a weight (the
     // other side sits at the smoothing floor); a bucket neither saw
     // cannot occur while scoring pos ∪ neg-distributed text, and if the
-    // scored corpus drifts beyond both, dropping its unseen tokens is
-    // the standard NB convention.
+    // scored corpus drifts beyond both, its unseen tokens carry zero
+    // log-odds via the left join + coalesce below (the NB unseen-token
+    // convention, applied per token so the DOCUMENT never drops).
     val weights = cp.join(cn, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
       .select(col("bucket"),
@@ -86,10 +91,10 @@ object QualityClassifier {
     val prior = dp.crossJoin(dn)
       .select(log(col("dp") / col("dn")).as("prior"))
     val scored = bucketed(toScore, buckets, idCol, textCol)
-      .join(broadcast(weights), "bucket")
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
-        sum(col("w")).as("sw"))
+        sum(coalesce(col("w"), lit(0.0))).as("sw"))
       .crossJoin(broadcast(prior))
       .withColumn("score", round(col("prior") + col("sw"), 6))
     scored.select(col(idCol), col("n_tokens"), col("score"),

@@ -318,11 +318,13 @@ object TextAnalysis {
     *  - `dup5_cover_frac`: the fraction of TOKENS covered by 5-gram
     *    windows that repeat WITHIN the document (the intra-doc form of
     *    [[Dedup.dupSpans]]' islands — coverage, not window counts, so
-    *    overlapping repeats aren't double-counted), bounded at 0.15.
+    *    overlapping repeats aren't double-counted: the merge is
+    *    [[Dedup.coverSpans]], which also collapses non-adjacent but
+    *    coverage-overlapping repeats), bounded at 0.15.
     *
     * `keep` is the conjunction. Scale shape: three (doc, gram) counts
     * with map-side combine + doc-keyed max/sum rollups; the coverage
-    * term windows by document for the island merge ([[Dedup.mergeSpans]]
+    * term windows by document for the island merge ([[Dedup.coverSpans]]
     * partitioned per doc). Documents shorter than an n-gram length pass
     * that rule vacuously (no n-gram exists to repeat).
     */
@@ -341,7 +343,7 @@ object TextAnalysis {
     val dupIn = wins.groupBy(col(idCol), col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col(idCol), col("h"))
-    val cover = Dedup.mergeSpans(
+    val cover = Dedup.coverSpans(
         wins.join(dupIn, Seq(idCol, "h")), 5, idCol)
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))

@@ -594,6 +594,41 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: ${got.toSeq}")
   }
 
+  test("eval dirtiness: NON-adjacent overlapping hits never exceed the doc length") {
+    // The r12 advisor case: the training corpus holds two overlapping
+    // FRAGMENTS of the eval sample — "p1..p5" and "p3..p7" — but never
+    // the bridging window "p2..p6". Eval windows at pos 0 and pos 2 hit,
+    // pos 1 does not; the stride-1 island merge made two spans [0,4] and
+    // [2,6] summing to 10 contaminated tokens out of 7 (dirty_frac 1.43).
+    // The coverage merge collapses them into one span [0,6]: 7 of 7.
+    val train = docsOf(Seq("p1 p2 p3 p4 p5 left", "right p3 p4 p5 p6 p7"))
+    val eval_ = Seq((300L, "p1 p2 p3 p4 p5 p6 p7")).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination.evalDirtiness(train, eval_)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getString(4)))
+    assert(got.toSeq == Seq((300L, 7, 7, 1.0, "dirty")),
+      s"got: ${got.toSeq}")
+  }
+
+  test("gopher repetition: non-adjacent overlapping dup-5 windows count coverage once") {
+    // One doc, 21 tokens: "a b c d e" repeats at starts {0, 8} and
+    // "c d e f g" at starts {2, 15}, but the bridging window at start 1
+    // ("b c d e f") occurs once — dup starts {0, 2, 8, 15} with 0 and 2
+    // overlapping NON-adjacently. Coverage islands: [0,6] ∪ [8,12] ∪
+    // [15,19] = 17 covered tokens; the stride-1 merge read four 5-token
+    // spans = 20, double-counting the shared tokens [2,4].
+    val docs = Seq((0L,
+      "a b c d e f g u a b c d e u v c d e f g v"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.gopherRepetitionRules(docs)
+      .select("doc_id", "n_tokens", "dup5_cover_frac").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got(0)._2 == 21, s"got: ${got.toSeq}")
+    assert(math.abs(got(0)._3 - 17.0 / 21.0) < 1e-4,
+      s"got: ${got.toSeq}")
+  }
+
   test("quality classifier: separates the classes and scores every input") {
     import graft.pipeline.QualityClassifier
     // 1024 buckets so the toy vocabulary lands collision-free; the
@@ -621,6 +656,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byId(20L)._3 > byId(22L)._3 && byId(22L)._3 > byId(21L)._3,
       s"got: ${got.toSeq}")
     assert(byId(20L)._2 == 3 && byId(21L)._2 == 3 && byId(22L)._2 == 2)
+  }
+
+  test("quality classifier: a doc of entirely-unseen buckets still appears") {
+    import graft.pipeline.QualityClassifier
+    val pos = docsOf(Seq("good clean prose"))
+    val neg = Seq((10L, "spam junk garbage")).toDF("doc_id", "text")
+    // Drifted corpus: no token shared with either training side. With
+    // 1<<20 buckets the 3+3 training tokens occupy ≤6 buckets, so the
+    // probe tokens land unseen (deterministic sha256 hash — fixed
+    // forever); the r12 advisor case was this doc silently vanishing
+    // from the inner-joined output.
+    val toScore = Seq((30L, "zzqx1 zzqx2")).toDF("doc_id", "text")
+    val got = QualityClassifier.score(pos, neg, toScore, buckets = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq.map(_._1) == Seq(30L), s"got: ${got.toSeq}")
+    assert(got(0)._2 == 2, s"got: ${got.toSeq}")
+    // Equal class doc counts -> prior = ln(1) = 0; unseen tokens carry
+    // zero log-odds -> the score is exactly the bare prior.
+    assert(got(0)._3 == 0.0, s"got: ${got.toSeq}")
   }
 
   test("gopher repetition rules: each rule fires on its own pathology") {

@@ -163,6 +163,19 @@ class IncrementalSpec extends AnyFunSuite {
       // novel one stays silent.
       assert(fromIndex.exists(_._1 == 9001L))
       assert(!fromIndex.exists(_._1 == 9002L))
+      // Parameter drift must be an ERROR, never a silent mis-banding:
+      // the artifact records (numHashes, bands, shingleLen) and the
+      // probe validates its own arguments against them (r12 advice).
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDupFromIndex(
+          spark, path, batch, numHashes = 64, bands = 16, threshold = 0.1)
+      }
+      assert(ex.getMessage.contains("incompatible"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDupFromIndex(
+          spark, path, batch, shingleLen = 5, threshold = 0.1)
+      }
+      assert(ex2.getMessage.contains("shingleLen=5"), ex2.getMessage)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(path)).deleteRecursively()
