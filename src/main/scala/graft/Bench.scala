@@ -92,6 +92,21 @@ object Bench {
     else try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1048576.0
     catch { case _: Throwable => -1.0 }
 
+  // Cache-eviction telemetry (r12 verdict #1): bytes of cached blocks
+  // currently ON DISK. The level/edge caches are pinned
+  // MEMORY_AND_DISK, so memory pressure shows up here as a nonzero
+  // disk residue instead of a silent recompute — a future flatness
+  // failure self-attributes from the evidence (disk_mb climbing across
+  // iterations = the store is evicting under pressure).
+  private def storageDiskMb(spark: SparkSession): Double =
+    if (spark.sparkContext.isStopped) -1.0
+    else try spark.sparkContext.getRDDStorageInfo.map(_.diskSize).sum / 1048576.0
+    catch { case _: Throwable => -1.0 }
+
+  private def heapUsedMb(): Double =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / 1048576.0
+
   private def processCpuNs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
@@ -107,7 +122,8 @@ object Bench {
     * machine) names external load directly.
     */
   private case class IterSample(sec: Double, gcMs: Long, gcN: Long,
-      jitMs: Long, storageMb: Double, cpuMs: Long, sysLoad: Double)
+      jitMs: Long, storageMb: Double, cpuMs: Long, sysLoad: Double,
+      diskMb: Double, heapMb: Double)
   private def timedIter(spark: SparkSession, body: () => Double): IterSample = {
     val (g0, n0) = gcStats(); val j0 = jitMs(); val c0 = processCpuNs()
     val sec = body()
@@ -116,7 +132,7 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     IterSample(sec, g1 - g0, n1 - n0, jitMs() - j0, storageMb(spark),
-      cpuMs, load)
+      cpuMs, load, storageDiskMb(spark), heapUsedMb())
   }
 
   def main(args: Array[String]): Unit = {
@@ -451,6 +467,7 @@ object Bench {
             val excess = s.sec * 1000 - p50w
             val cause =
               if (s.gcMs > 0.5 * excess) "gc"
+              else if (s.diskMb > 0) "evict" // cached blocks pushed to disk
               else if (s.cpuMs >= 0 && s.cpuMs < medCpu + 0.5 * excess)
                 "external"
               else "cpu"
@@ -467,6 +484,10 @@ object Bench {
           f""""stddev_ms":${sd * 1000}%.2f,"tps":${lat.length / total}%.3f,""" +
           s""""samples_ms":$samples,"gc_ms":$gcArr,"gc_n":$gcNArr,""" +
           s""""jit_ms":$jitArr,"cached_mb":$memArr,""" +
+          s""""cached_disk_mb":${iterSamples.map(s => f"${s.diskMb}%.1f")
+            .mkString("[", ",", "]")},""" +
+          s""""heap_mb":${iterSamples.map(s => f"${s.heapMb}%.0f")
+            .mkString("[", ",", "]")},""" +
           s""""cpu_ms":${iterSamples.map(_.cpuMs).mkString("[", ",", "]")},""" +
           s""""sys_load":${iterSamples.map(s => f"${s.sysLoad}%.1f")
             .mkString("[", ",", "]")},""" +

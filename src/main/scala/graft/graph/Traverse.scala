@@ -104,11 +104,20 @@ object Traverse {
     // on the broad walks while costing +40% on the depth-20 trust chain
     // (the exchange under the cache stays pinned at
     // spark.sql.shuffle.partitions, so 20 near-empty task waves).
+    // Storage level pinned EXPLICITLY to MEMORY_AND_DISK (the Dataset
+    // default today, but load-bearing here, so it must not drift with a
+    // spark.sql.defaultCacheStorageLevel override): under memory
+    // pressure the level caches and this edge cache are the first
+    // blocks the store evicts, and a MEMORY_ONLY eviction silently
+    // recomputes the whole per-level join prefix — the r12 driver
+    // capture saw the flagship traversal degrade 9x mid-run at 20.9 GB
+    // RSS exactly that way. Disk-backed blocks degrade to a re-read
+    // instead of a re-derivation.
     val e = graft.CacheRegistry.register(
       edges
         .withColumnRenamed(parentCol, "__parent")
         .withColumnRenamed(childCol, "__child")
-        .cache())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Carry columns pass through unchanged except `path`, which extends
     // with the newly reached node on every step.
@@ -161,7 +170,8 @@ object Traverse {
       val rawOut = joined.select(outCols: _*)
       val levelOut =
         if (tinyFrontier) rawOut
-        else graft.CacheRegistry.register(rawOut.cache())
+        else graft.CacheRegistry.register(rawOut.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       levels += levelOut
 
       if (lvl < maxDepth) {

@@ -833,11 +833,18 @@ object Similarity {
     * (idCol, vecCol, sem_cluster), one row per (vector, probed cluster).
     */
   def semanticClusters(vectors: DataFrame, nClusters: Int, probes: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(vectors, semCentroids(vectors, nClusters, vecCol),
+      probes, idCol, vecCol)
+
+  /** The fitted (seeded, memoized) SemDeDup centroid set — the
+    * index-BUILD half of [[semanticClusters]], split out so
+    * [[semSaveIndex]] can persist it and the incremental ingest path
+    * can assign new batches without refitting. */
+  private def semCentroids(vectors: DataFrame, nClusters: Int,
+      vecCol: String): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(probes >= 1 && probes <= nClusters,
-      s"probes must be in [1, $nClusters], got $probes")
     val ml = vectors.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
     def fit() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(ml)
@@ -845,10 +852,21 @@ object Similarity {
       case Some(key) => ivfModels.computeIfAbsent(s"$key:$nClusters", _ => fit())
       case None => fit()
     }
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Multi-probe assignment against a GIVEN centroid set — the
+    * query-side half of [[semanticClusters]], shared by the fresh path
+    * and the loaded-index path ([[semanticClustersFromIndex]]). */
+  private def assignToCentroids(vectors: DataFrame,
+      centroids: Array[Array[Double]], probes: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes must be in [1, ${centroids.length}], got $probes")
     // dist²(v, c_j) = v·v − 2·v·c_j + ‖c_j‖²; the v·v term is shared by
     // every candidate so it cannot change the ranking, but keeping it
     // costs one extra kernel and makes the sorted value a true distance.
-    val cents = model.clusterCenters.map(_.toArray.toIndexedSeq)
+    val cents = centroids.map(_.toIndexedSeq)
     val vv = dot(col(vecCol), col(vecCol))
     val candidates = array(cents.zipWithIndex.map { case (c, j) =>
       struct(
@@ -859,6 +877,103 @@ object Similarity {
     vectors.select(col(idCol), col(vecCol),
         explode(slice(array_sort(candidates), 1, probes)).as("__pc"))
       .select(col(idCol), col(vecCol), col("__pc.cid").as("sem_cluster"))
+  }
+
+  /** Persist the SemDeDup cluster index — centroids, the corpus's
+    * multi-probe assignments, and the build parameters — as parquet
+    * (the [[pqSaveIndex]] / `Dedup.saveNearDupIndex` discipline applied
+    * to semantic dedup). At 100 TB the k-means fit plus the
+    * corpus-wide assignment pass IS the cost of SemDeDup; both are pure
+    * functions of the corpus (seeded fit, deterministic ranking), so
+    * they are built once, stored with the data, and every later session
+    * or ingest batch reads them instead of re-deriving. Layout:
+    * `<path>/centroids` = (cid, pos, c), `<path>/assignments` =
+    * (idCol, sem_cluster), `<path>/params` = (n_clusters, probes).
+    */
+  def semSaveIndex(vectors: DataFrame, path: String, nClusters: Int = 8,
+      probes: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = semCentroids(vectors, nClusters, vecCol)
+    cents.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, p) => (j, p, v) } }
+      .toIndexedSeq.toDF("cid", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroids(vectors, cents, probes, idCol, vecCol)
+      .select(col(idCol), col("sem_cluster"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+    Seq((nClusters, probes)).toDF("n_clusters", "probes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def semLoadCentroids(spark: SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("pos"), col("c")).collect()
+    val k = rows.map(_.getInt(0)).max + 1
+    val d = rows.map(_.getInt(1)).max + 1
+    val out = Array.fill(k, d)(0.0)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** Assign a NEW batch against the persisted centroids — the
+    * incremental ingest path: the corpus-pass cost (fit + corpus
+    * assignment) happened once at [[semSaveIndex]] time; an arriving
+    * batch costs k distance kernels per row, no refit, no corpus
+    * touch. probes comes FROM the artifact (a batch probed differently
+    * from the corpus index would miss boundary pairs silently). */
+  def semanticClustersFromIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val p = spark.read.parquet(s"$path/params")
+      .select(col("n_clusters"), col("probes")).collect()
+    require(p.length == 1,
+      s"semantic index at $path has a malformed params artifact (${p.length} rows)")
+    assignToCentroids(batch, semLoadCentroids(spark, path),
+      p(0).getInt(1), idCol, vecCol)
+  }
+
+  /** [[semanticDedupPairs]] served from a persisted [[semSaveIndex]]
+    * artifact: the stored corpus assignments replace the fit+assign
+    * pass (vectors are re-joined by id for the pair verify — the one
+    * column the pair search needs). Reload ≡ fresh is spec-pinned:
+    * both the centroid set and the assignment ranking are
+    * deterministic, so the served pair set is identical. */
+  def semanticDedupPairsFromIndex(spark: SparkSession, path: String,
+      vectors: DataFrame, threshold: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosinePairsAuto(
+      spark.read.parquet(s"$path/assignments")
+        .join(vectors.select(col(idCol), col(vecCol)), idCol)
+        .select(col("sem_cluster"), col(idCol), col(vecCol)),
+      "sem_cluster", threshold, idCol, vecCol)
+      .distinct()
+
+  /** Incremental semantic near-dup: an arriving batch against the
+    * indexed corpus — batch rows are assigned via the stored centroids
+    * ([[semanticClustersFromIndex]]), candidates are only
+    * (batch × corpus) rows sharing a probed cluster (corpus-internal
+    * pairs never materialize — the `Dedup.incrementalNearDup` shape),
+    * then exact-cosine verified. Returns (batch_doc, corpus_doc, sim).
+    */
+  def incrementalSemanticDedup(spark: SparkSession, path: String,
+      corpus: DataFrame, batch: DataFrame, threshold: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpusSide = spark.read.parquet(s"$path/assignments")
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col("sem_cluster"), col(idCol).as("corpus_doc"),
+        col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    val batchSide = semanticClustersFromIndex(spark, path, batch, idCol, vecCol)
+      .select(col("sem_cluster"), col(idCol).as("batch_doc"),
+        col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    batchSide.join(corpusSide, Seq("sem_cluster"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"),
+        round(col("sim"), 4).as("sim"))
+      .distinct()
   }
 
   /** SemDeDup semantic near-duplicate pairs: cluster-then-pair — k-means

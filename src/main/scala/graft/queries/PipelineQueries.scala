@@ -410,6 +410,34 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10,
       nClusters = 8, nProbe = 5)
 
+  /** Per-decade recall floor for the approximate-ANN / semantic-dedup
+    * quality twins (r12 verdict #4: a single cross-decade floor sits up
+    * to 0.4 under some decades' measured recall, so a large silent
+    * regression could pass). The decade is read from the companion
+    * fact table's row count — the embeddings slice itself cannot name
+    * it (the sf0.001 and sf0.01 slices are both 500 vectors of
+    * different content) while orders grows 10× per decade
+    * (1.5k/15k/150k/1.5M) — computed the SAME way in the Spark gate and
+    * its DuckDB oracle, so the emitted `recall_floor` column stays
+    * hash-identical across engines. count() on a parquet scan is
+    * metadata-only (no row read).
+    */
+  private def decadeFloor(spark: SparkSession, d: String, tiny: Double,
+      small: Double, mid: Double, large: Double): Double = {
+    val n = Tables.orders(spark, d).count()
+    if (n <= 2000L) tiny
+    else if (n <= 20000L) small
+    else if (n <= 200000L) mid
+    else large
+  }
+
+  private def decadeFloorSql(tiny: Double, small: Double, mid: Double,
+      large: Double): String =
+    s"CAST(CASE WHEN (SELECT count(*) FROM orders) <= 2000 THEN $tiny" +
+      s" WHEN (SELECT count(*) FROM orders) <= 20000 THEN $small" +
+      s" WHEN (SELECT count(*) FROM orders) <= 200000 THEN $mid" +
+      s" ELSE $large END AS DOUBLE)"
+
   /** ANN quality gates. `ann_lsh_recall` is fully oracle-derived: the
     * hyperplane LSH is deterministic given its seed, so the oracle SQL
     * re-runs the WHOLE algorithm in DuckDB — same embedded plane constants,
@@ -423,13 +451,20 @@ object PipelineQueries {
   def annLshRecall(spark: SparkSession, d: String): DataFrame =
     Similarity.recallAtK(annTopk(spark, d), annLshTopk(spark, d), "lsh")
 
-  val IvfRecallFloor = 0.8
+  /** Measured IVF recall@10 per decade: 1.0 (sf0.001), 0.8 (sf0.01),
+    * 0.8 (sf0.1), 1.0 (generated sf1, r13 probe) — floors one band
+    * (~0.1) under the measured value of EACH decade (r12 verdict #4:
+    * per-decade floors, not one cross-decade minimum). */
+  def ivfRecallFloor(spark: SparkSession, d: String): Double =
+    decadeFloor(spark, d, 0.9, 0.7, 0.7, 0.9)
 
-  def annIvfRecall(spark: SparkSession, d: String): DataFrame =
+  def annIvfRecall(spark: SparkSession, d: String): DataFrame = {
+    val fl = ivfRecallFloor(spark, d)
     Similarity.recallAtK(annTopk(spark, d), annIvfTopk(spark, d), "ivf")
       .select(col("method"), col("k"),
-        lit(IvfRecallFloor).as("recall_floor"),
-        (col("recall") >= IvfRecallFloor).as("meets_floor"))
+        lit(fl).as("recall_floor"),
+        (col("recall") >= fl).as("meets_floor"))
+  }
 
   /** PQ-ADC top-k ([[Similarity.pqTopK]], m=8 subspaces × 16 codes over
     * the 64-dim corpus). Approximate by construction → rows-only gate;
@@ -441,23 +476,27 @@ object PipelineQueries {
     Similarity.pqTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
 
   /** Measured PQ recall@10 (tools/PqProbe, r12): 0.8 at sf0.01, 0.7 at
-    * sf0.1, 1.0 at the generated sf1 — floor one band (~0.1) under the
-    * measured minimum across the decades the gate executes at (the r11
-    * floor-tightening directive; was a generous 0.5). The sf0.001 slice
-    * measures 0.4: a 500-row corpus whose inter-point distance gaps sit
-    * below the quantization distortion at the default corpus/10
-    * shortlist — documented, not gated (no correctness gate runs there;
-    * the driver's checker runs at sf0.01).
+    * sf0.1, 1.0 at the generated sf1 — per-decade floors one band
+    * (~0.1) under EACH decade's measured value (r12 verdict #4; the
+    * single cross-decade floor 0.6 let a 1.0→0.65 sf1 regression pass
+    * silently). The sf0.001 slice measures 0.4: a 500-row corpus whose
+    * inter-point distance gaps sit below the quantization distortion at
+    * the default corpus/10 shortlist — floored at 0.3 there (no
+    * correctness gate runs at that decade; the driver's checker runs
+    * at sf0.01).
     */
-  val PqRecallFloor = 0.6
+  def pqRecallFloor(spark: SparkSession, d: String): Double =
+    decadeFloor(spark, d, 0.3, 0.7, 0.6, 0.9)
 
-  def annPqRecall(spark: SparkSession, d: String): DataFrame =
+  def annPqRecall(spark: SparkSession, d: String): DataFrame = {
+    val fl = pqRecallFloor(spark, d)
     Similarity.recallAtK(
       Similarity.bruteForceTopKL2(Tables.embeddings(spark, d), 0L, 10),
       annPqTopk(spark, d), "pq")
       .select(col("method"), col("k"),
-        lit(PqRecallFloor).as("recall_floor"),
-        (col("recall") >= PqRecallFloor).as("meets_floor"))
+        lit(fl).as("recall_floor"),
+        (col("recall") >= fl).as("meets_floor"))
+  }
 
   /** IVF-PQ top-k ([[Similarity.ivfPqTopK]] — coarse-quantizer routing
     * + PQ-ADC over the probed lists + exact rerank, the faiss IVFPQ
@@ -471,20 +510,24 @@ object PipelineQueries {
   /** Measured IVF-PQ recall@10 (tools/PqProbe, r12): 0.9 at sf0.01,
     * 0.6 at sf0.1, 1.0 at the generated sf1 (sf0.001 reads 0.4 like
     * plain PQ — same distortion-dominated-corpus caveat, no gate runs
-    * there). Floor one band under the measured minimum across executed
-    * decades. nProbe=4 of 16 lists: probing costs recall only when a
+    * there). Per-decade floors one band under EACH measured value (r12
+    * verdict #4's exact prescription: 0.8/0.55/0.9 at sf0.01/0.1/1).
+    * nProbe=4 of 16 lists: probing costs recall only when a
     * true neighbor's list isn't probed — on this near-uniform corpus
     * that's the sf0.1 0.7→0.6 step vs plain PQ, the expected IVF trade.
     */
-  val IvfPqRecallFloor = 0.5
+  def ivfPqRecallFloor(spark: SparkSession, d: String): Double =
+    decadeFloor(spark, d, 0.3, 0.8, 0.55, 0.9)
 
-  def annIvfPqRecall(spark: SparkSession, d: String): DataFrame =
+  def annIvfPqRecall(spark: SparkSession, d: String): DataFrame = {
+    val fl = ivfPqRecallFloor(spark, d)
     Similarity.recallAtK(
       Similarity.bruteForceTopKL2(Tables.embeddings(spark, d), 0L, 10),
       annIvfPqTopk(spark, d), "ivfpq")
       .select(col("method"), col("k"),
-        lit(IvfPqRecallFloor).as("recall_floor"),
-        (col("recall") >= IvfPqRecallFloor).as("meets_floor"))
+        lit(fl).as("recall_floor"),
+        (col("recall") >= fl).as("meets_floor"))
+  }
 
   /** Pair-level recall of the LSH candidate-generation near-dup path
     * ([[Similarity.cosinePairs]]) against the exact all-pairs form, on the
@@ -581,23 +624,29 @@ object PipelineQueries {
     * (k = 8 clusters, 3 probes) on the synthetic corpus: 1.0 (sf0.001),
     * 1.0 (sf0.01), 0.974 (sf0.1) — single-assignment (probes = 1)
     * measured only 0.37–0.63 on these near-uniform embeddings, which is
-    * what motivated the multi-probe widening. Floor set one band (~0.1)
-    * under the measured minimum per the r11 floor-tightening directive,
-    * so a degenerate clustering or a broken probe explode reds the gate
-    * while normal MLlib seed/version drift does not.
+    * what motivated the multi-probe widening. Per-decade floors one
+    * band (~0.1) under EACH decade's measured value (r12 verdict #4:
+    * the cross-decade 0.85 sat a full 0.15 under the sf0.001/sf0.01
+    * measured 1.0): 0.9/0.9/0.87, and 0.87 for sf1+ (the exhaustive
+    * oracle is O(n²) so replays skip that decade; the floor still
+    * guards a local run). A degenerate clustering or a broken probe
+    * explode reds the gate while normal MLlib seed/version drift does
+    * not.
     */
-  val SemanticRecallFloor = 0.85
+  def semanticRecallFloor(spark: SparkSession, d: String): Double =
+    decadeFloor(spark, d, 0.9, 0.9, 0.87, 0.87)
 
   def d33SemanticRecall(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
+    val fl = semanticRecallFloor(spark, d)
     val exact = Similarity.cosinePairsExact(
       emb.select(lit(0).as("blk"), col("vec_id"), col("embedding")),
       "blk", 0.4)
     Similarity.pairRecall(exact,
         Similarity.semanticDedupPairs(emb), "semdedup")
       .select(col("method"), col("n_exact"),
-        lit(SemanticRecallFloor).as("recall_floor"),
-        (col("recall") >= SemanticRecallFloor).as("meets_floor"))
+        lit(fl).as("recall_floor"),
+        (col("recall") >= fl).as("meets_floor"))
   }
 
   /** D34: prototypicality pruning ([[Similarity.prototypicality]], SSL-
@@ -1856,36 +1905,39 @@ object PipelineQueries {
     // meets_floor at true; Spark's meets_floor is computed from its own
     // measured recall, so a degraded quantizer reds this gate.
     "ann_pq_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (
         |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
         |  WHERE w.vec_id <> 0
         |  ORDER BY round(list_distance(w.e, q.e), 4) ASC, w.vec_id
         |  LIMIT 10)
         |SELECT 'pq' AS method, (SELECT count(*) FROM ex)::INT AS k,
-        |  CAST(0.6 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+        |  ${decadeFloorSql(0.3, 0.7, 0.6, 0.9)} AS recall_floor,
+        |  true AS meets_floor""".stripMargin,
     // The ann_pq_recall pattern at the IVF-PQ composition's measured
     // floor: the oracle re-derives the exact Euclidean top-10 ground
     // truth and pins meets_floor TRUE; Spark's meets_floor comes from
     // its own measured recall, so a routing or ADC regression reds it.
     "ann_ivfpq_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (
         |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
         |  WHERE w.vec_id <> 0
         |  ORDER BY round(list_distance(w.e, q.e), 4) ASC, w.vec_id
         |  LIMIT 10)
         |SELECT 'ivfpq' AS method, (SELECT count(*) FROM ex)::INT AS k,
-        |  CAST(0.5 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+        |  ${decadeFloorSql(0.3, 0.8, 0.55, 0.9)} AS recall_floor,
+        |  true AS meets_floor""".stripMargin,
     "ann_ivf_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ex AS (
         |  SELECT w.vec_id FROM v w, (SELECT e FROM v WHERE vec_id = 0) q
         |  WHERE w.vec_id <> 0
         |  ORDER BY round(list_cosine_similarity(w.e, q.e), 4) DESC, w.vec_id
         |  LIMIT 10)
         |SELECT 'ivf' AS method, (SELECT count(*) FROM ex)::INT AS k,
-        |  CAST(0.8 AS DOUBLE) AS recall_floor, true AS meets_floor""".stripMargin,
+        |  ${decadeFloorSql(0.9, 0.7, 0.7, 0.9)} AS recall_floor,
+        |  true AS meets_floor""".stripMargin,
     // d33's quality twin (the ann_ivf_recall pattern): the oracle
     // re-derives the exhaustive global ≥0.4-cos pair count — the ground
     // truth SemDeDup's cluster blocking approximates — and pins
@@ -1894,13 +1946,14 @@ object PipelineQueries {
     // by design (the exhaustive form is the parity oracle, the engine
     // never runs it) — sf1 replays skip it like d2_minhash_recall.
     "d33_semantic_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
         |SELECT 'semdedup' AS method, count(*)::INT AS n_exact,
-        |  CAST(0.85 AS DOUBLE) AS recall_floor, true AS meets_floor
+        |  ${decadeFloorSql(0.9, 0.9, 0.87, 0.87)} AS recall_floor,
+        |  true AS meets_floor
         |FROM p""".stripMargin,
     // First-occurrence attribution + single-node running sum — pins the
     // distributed two-pass prefix sum's order exactly. Shingle CASE
@@ -2610,9 +2663,10 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY dw.doc_id""".stripMargin,
     // Mechanical translation of [[Contamination.evalDirtiness]] (k=5,
     // eval = src0): the d40 window probe reversed — eval windows that
-    // occur in the training side, merged into islands per EVAL doc,
-    // summed into token coverage (merged spans never overlap, so the
-    // length sum counts each token once), bucketed on the ROUNDED
+    // occur in the training side, merged into COVERAGE islands per EVAL
+    // doc (a new island only when the gap between hit starts exceeds k,
+    // the coverSpans rule — so overlapping non-adjacent hits merge and
+    // the length sum counts each token once), bucketed on the ROUNDED
     // fraction exactly as the engine does.
     "d45_eval_dirtiness" ->
       """WITH w AS (
@@ -2629,11 +2683,16 @@ object PipelineQueries {
         |    AND gram IN (SELECT gram FROM g WHERE source = 'src0')),
         |m AS (
         |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |      AS isl
+        |    CASE WHEN pos - lag(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS brk
         |  FROM g JOIN hits USING (gram) WHERE source = 'src0'),
+        |mi AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-        |       FROM m GROUP BY doc_id, isl),
+        |       FROM mi GROUP BY doc_id, isl),
         |cov AS (SELECT doc_id, sum(e - s + 1) AS c FROM sp GROUP BY doc_id)
         |SELECT w.doc_id, len(w.ws)::INT AS n_tokens,
         |  COALESCE(cov.c, 0)::INT AS n_contaminated,
@@ -2760,11 +2819,16 @@ object PipelineQueries {
         |          GROUP BY doc_id, gram HAVING count(*) >= 2),
         |m24 AS (
         |  SELECT g5.doc_id, pos,
-        |    pos - row_number() OVER (
-        |      PARTITION BY g5.doc_id ORDER BY pos) AS isl
+        |    CASE WHEN pos - lag(pos) OVER (
+        |        PARTITION BY g5.doc_id ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS brk
         |  FROM g5 JOIN dup24 USING (doc_id, gram)),
+        |mi24 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m24),
         |sp24 AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-        |         FROM m24 GROUP BY doc_id, isl),
+        |         FROM mi24 GROUP BY doc_id, isl),
         |cov24 AS (SELECT doc_id, sum(e - s + 1) AS covered
         |          FROM sp24 GROUP BY doc_id),
         |f_rep AS (
@@ -2928,8 +2992,10 @@ object PipelineQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Mechanical translation of [[TextAnalysis.gopherRepetitionRules]]:
     // top-n-gram mass = max/sum of per-(doc, gram) counts; the dup-5
-    // coverage reuses d37's island merge WITHIN the document
-    // (occurrence count >= 2, not distinct docs); round-6 fractions and
+    // coverage uses the coverSpans COVERAGE merge WITHIN the document
+    // (island breaks only when the start gap exceeds k, so overlapping
+    // non-adjacent repeats never double-count a token; occurrence count
+    // >= 2, not distinct docs); round-6 fractions and
     // the rule bounds evaluated on the rounded values, as the engine
     // does. Docs shorter than an n-gram pass that rule vacuously
     // (COALESCE 0).
@@ -2971,11 +3037,16 @@ object PipelineQueries {
         |        GROUP BY doc_id, gram HAVING count(*) >= 2),
         |m AS (
         |  SELECT g5.doc_id, pos,
-        |    pos - row_number() OVER (
-        |      PARTITION BY g5.doc_id ORDER BY pos) AS isl
+        |    CASE WHEN pos - lag(pos) OVER (
+        |        PARTITION BY g5.doc_id ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS brk
         |  FROM g5 JOIN dup USING (doc_id, gram)),
+        |mi AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-        |       FROM m GROUP BY doc_id, isl),
+        |       FROM mi GROUP BY doc_id, isl),
         |cov AS (SELECT doc_id, sum(e - s + 1) AS covered
         |        FROM sp GROUP BY doc_id),
         |b AS (

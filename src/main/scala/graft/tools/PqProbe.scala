@@ -27,6 +27,14 @@ object PqProbe {
       val r2 = Similarity.recallAtK(exact,
         Similarity.ivfPqTopK(emb, 0L, 10), "ivfpq").head()
       println(s"PROBE $d ivfpq recall@10=${r2.getDouble(2)}")
+      // IVF recall is measured against the COSINE exact top-10 (the
+      // metric ivfTopK ranks by), at the gate parameters (8 cells,
+      // probe 5) — added r13 to calibrate the per-decade floor at sf1.
+      val exactCos = Similarity.bruteForceTopK(emb, 0L, 10)
+      val r3 = Similarity.recallAtK(exactCos,
+        Similarity.ivfTopK(emb, 0L, 10, nClusters = 8, nProbe = 5),
+        "ivf").head()
+      println(s"PROBE $d ivf recall@10=${r3.getDouble(2)}")
       graft.CacheRegistry.releaseAll()
     }
     spark.stop()

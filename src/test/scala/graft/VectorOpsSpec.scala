@@ -248,6 +248,46 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup index persists: reload equals fresh; incremental batch probe hits") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    try {
+      Similarity.semSaveIndex(emb, dir)
+      // Stored assignments are bit-identical to a fresh derivation (the
+      // seeded fit + deterministic ranking make the index a pure
+      // function of the corpus).
+      val fresh = Similarity.semanticClusters(emb, 8, 3)
+        .select("vec_id", "sem_cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val stored = spark.read.parquet(s"$dir/assignments")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(stored == fresh, "assignment artifact drifted")
+      // Pairs served from the index at rest equal the fresh pair set.
+      val freshPairs = Similarity.semanticDedupPairs(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val servedPairs = Similarity.semanticDedupPairsFromIndex(spark, dir, emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(servedPairs == freshPairs,
+        s"served ${servedPairs.size} vs fresh ${freshPairs.size}")
+      // Incremental ingest: a batch that IS two corpus vectors (under
+      // probe ids) must rediscover itself through the stored centroids
+      // — self-sim 1.0 — without any refit.
+      val batch = emb.filter(col("vec_id").isin(0L, 1L))
+        .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+      val inc = Similarity.incrementalSemanticDedup(spark, dir, emb, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(inc.exists(t => t._1 == 90000L && t._2 == 0L && t._3 == 1.0),
+        s"planted copy not found: ${inc.toSeq.take(10)}")
+      assert(inc.exists(t => t._1 == 90001L && t._2 == 1L && t._3 == 1.0),
+        s"planted copy not found: ${inc.toSeq.take(10)}")
+      // Corpus-internal pairs never appear on the batch side.
+      assert(inc.forall(_._1 >= 90000L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("k-center coreset: greedy farthest-point chain with deterministic tiebreak") {
     // Seed = lowest id (1 at origin). Then: 4 is farthest (d²=101);
     // next, 5's min-dist 25 beats 2 and 3 (both at 1); finally 2 and 3
