@@ -951,6 +951,26 @@ object Similarity {
       "sem_cluster", threshold, idCol, vecCol)
       .distinct()
 
+  /** Exact cross-side cosine pairs (left × right, sim ≥ threshold) —
+    * the ground truth [[incrementalSemanticDedup]] approximates.
+    * O(|left|·|right|) BY DESIGN: this is the parity/recall oracle
+    * form, never an execution path (the engine runs the
+    * cluster-blocked incremental probe). Output (vec_a = left id,
+    * vec_b = right id, sim) in the [[pairRecall]] column contract.
+    */
+  def crossCosinePairsExact(left: DataFrame, right: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = left.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = right.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    a.crossJoin(b)
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Incremental semantic near-dup: an arriving batch against the
     * indexed corpus — batch rows are assigned via the stored centroids
     * ([[semanticClustersFromIndex]]), candidates are only

@@ -649,6 +649,66 @@ object PipelineQueries {
         (col("recall") >= fl).as("meets_floor"))
   }
 
+  // The d49 gate's SemDeDup index artifact: built ONCE per (session,
+  // decade) into a temp directory and reused — the gate is exercising
+  // the index-at-rest path, so rebuilding per call would defeat the
+  // thing being tested (and the seeded fit makes every rebuild
+  // identical anyway, so memoization cannot change results).
+  private val semIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semIndexFor(spark: SparkSession, d: String,
+      corpus: DataFrame): String =
+    semIndexPaths.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("semidx_gate").toString
+      Similarity.semSaveIndex(corpus, p)
+      p
+    })
+
+  /** The d49 split: the standing corpus (indexed at rest) vs the
+    * arriving batch — the first 100 vector ids play the batch. */
+  private def d49Sides(spark: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, d)
+    (emb.filter(col("vec_id") >= 100L), emb.filter(col("vec_id") < 100L))
+  }
+
+  /** D49: incremental semantic dedup against the SemDeDup index AT REST
+    * ([[Similarity.incrementalSemanticDedup]]) — the production ingest
+    * shape: the corpus's k-means fit + assignments are persisted once
+    * ([[Similarity.semSaveIndex]]) and each arriving batch assigns
+    * against the stored centroids (k distance kernels per row, no
+    * refit, no corpus re-clustering) and pairs only within shared
+    * probed clusters. Rows-only by design (MLlib k-means cannot run in
+    * DuckDB); the quality twin is [[d49IncrementalRecall]].
+    */
+  def d49IncrementalSemantic(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = d49Sides(spark, d)
+    Similarity.incrementalSemanticDedup(spark,
+        semIndexFor(spark, d, corpus), corpus, batch)
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+
+  /** Measured d49 recall per decade (tools/D33Probe r13, k=8 p=3 over
+    * the stored index): 1.0 (sf0.001), 1.0 (sf0.01), 0.9881 (sf0.1) —
+    * the cluster-blocked batch×corpus probe loses only pairs sharing
+    * none of their probed clusters, same loss mode as d33. Floors one
+    * band under each measured value.
+    */
+  def d49RecallFloor(spark: SparkSession, d: String): Double =
+    decadeFloor(spark, d, 0.9, 0.9, 0.9, 0.87)
+
+  def d49IncrementalRecall(spark: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = d49Sides(spark, d)
+    val fl = d49RecallFloor(spark, d)
+    val exact = Similarity.crossCosinePairsExact(batch, corpus, 0.4)
+    val approx = d49IncrementalSemantic(spark, d)
+      .select(col("batch_doc").as("vec_a"), col("corpus_doc").as("vec_b"))
+    Similarity.pairRecall(exact, approx, "inc_semdedup")
+      .select(col("method"), col("n_exact"),
+        lit(fl).as("recall_floor"),
+        (col("recall") >= fl).as("meets_floor"))
+  }
+
   /** D34: prototypicality pruning ([[Similarity.prototypicality]], SSL-
     * prototypes data pruning) — the 5 most prototypical vectors per
     * label (highest cosine to their label centroid), the per-class drop
@@ -1391,6 +1451,8 @@ object PipelineQueries {
     "d16_incremental_recall" -> d16IncrementalRecall,
     "d33_semantic_dedup" -> d33SemanticDedup,
     "d33_semantic_recall" -> d33SemanticRecall,
+    "d49_incremental_semantic" -> d49IncrementalSemantic,
+    "d49_incremental_recall" -> d49IncrementalRecall,
     "d34_prototype_prune" -> d34PrototypePrune,
     "d35_dsir_weights" -> d35DsirWeights,
     "d36_vocab_growth" -> d36VocabGrowth,
@@ -1953,6 +2015,23 @@ object PipelineQueries {
         |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
         |SELECT 'semdedup' AS method, count(*)::INT AS n_exact,
         |  ${decadeFloorSql(0.9, 0.9, 0.87, 0.87)} AS recall_floor,
+        |  true AS meets_floor
+        |FROM p""".stripMargin,
+    // d49's quality twin (the d33 pattern on the BATCH x CORPUS
+    // direction): the oracle re-derives the exact cross-side >= 0.4-cos
+    // pair count — the ground truth the stored-index incremental probe
+    // approximates — and pins meets_floor TRUE; Spark's meets_floor
+    // comes from its own measured recall, so a drifted stored index or
+    // a broken batch assignment reds the gate. O(batch x corpus) in
+    // DuckDB by design (parity oracle, the engine never runs it).
+    "d49_incremental_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM v a JOIN v b ON a.vec_id < 100 AND b.vec_id >= 100
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
+        |SELECT 'inc_semdedup' AS method, count(*)::INT AS n_exact,
+        |  ${decadeFloorSql(0.9, 0.9, 0.9, 0.87)} AS recall_floor,
         |  true AS meets_floor
         |FROM p""".stripMargin,
     // First-occurrence attribution + single-node running sum — pins the

@@ -30,6 +30,22 @@ object D33Probe {
       println(s"PROBE $d k=$k p=$p n_exact=${r.getInt(1)} recall=${r.getDouble(2)}")
       graft.CacheRegistry.releaseAll()
     }
+    // d49 (stored-index incremental probe) recall per decade — the
+    // batch×corpus direction at the gate parameters, for the
+    // d49RecallFloor calibration (r13).
+    dirs.foreach { d =>
+      val emb = Tables.embeddings(spark, d)
+      val corpus = emb.filter(col("vec_id") >= 100L)
+      val batch = emb.filter(col("vec_id") < 100L)
+      val path = java.nio.file.Files.createTempDirectory("d49probe").toString
+      Similarity.semSaveIndex(corpus, path)
+      val exact = Similarity.crossCosinePairsExact(batch, corpus, 0.4)
+      val approx = Similarity.incrementalSemanticDedup(spark, path, corpus, batch)
+        .select(col("batch_doc").as("vec_a"), col("corpus_doc").as("vec_b"))
+      val r = Similarity.pairRecall(exact, approx, "d49").head()
+      println(s"PROBE d49 $d n_exact=${r.getInt(1)} recall=${r.getDouble(2)}")
+      graft.CacheRegistry.releaseAll()
+    }
     spark.stop()
   }
 }
