@@ -789,6 +789,15 @@ object Similarity {
       query: DataFrame, queryId: Long, m: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cbs = pqLoadCodebooks(spark, path)
+    // Caller/artifact parameter agreement is load-bearing (the r12
+    // Dedup.saveNearDupIndex advisory class): the codebook artifact
+    // fixes (m, subDim); a caller asking for different ones would
+    // subspace the query differently from the stored codes and return
+    // silently wrong ADC distances.
+    require(cbs.length == m && cbs(0)(0).length * m == dim,
+      s"PQ index at $path was built with m=${cbs.length}, " +
+        s"dim=${cbs(0)(0).length * cbs.length} but this query asked for " +
+        s"(m=$m, dim=$dim) — rebuild the index or match its parameters")
     val codes = spark.read.parquet(s"$path/codes")
     val qTable = pqQueryTable(query, queryId, cbs, m, dim, idCol, vecCol)
     codes.join(broadcast(qTable), Seq("sub", "code"))

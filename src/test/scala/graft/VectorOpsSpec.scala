@@ -246,6 +246,13 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(math.abs(disk(id) - s) <= math.ulp(s) * 4,
         s"id $id: $s vs ${disk(id)}")
     }
+    // Parameter drift vs the stored codebooks must be an ERROR (the
+    // same advisory class as the near-dup index params): m=4 would
+    // subspace the query differently from the stored codes.
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqAdcScoresFromIndex(spark, dir, emb, 0L, 4, 64)
+    }
+    assert(ex.getMessage.contains("m=8"), ex.getMessage)
   }
 
   test("semdedup index persists: reload equals fresh; incremental batch probe hits") {
