@@ -402,8 +402,9 @@ object PipelineQueries {
   /** ANN scale path 2: IVF — learned k-means clusters instead of random
     * hyperplanes, probing the 5 nearest of 8 cells (recall gated by
     * `ann_ivf_recall`; the near-uniform synthetic corpus needs most of the
-    * cells to hold the ≥0.8 floor at every test scale — measured 1.0/0.8/
-    * 0.8 at sf0.001/0.01/0.1. A clustered real corpus probes 1-2 of many
+    * cells to hold the per-decade floors — measured 1.0/0.8/0.8/1.0 at
+    * sf0.001/0.01/0.1/sf1, floors one band under via [[ivfRecallFloor]].
+    * A clustered real corpus probes 1-2 of many
     * more cells — see [[annLshTopk]]).
     */
   def annIvfTopk(spark: SparkSession, d: String): DataFrame =
@@ -444,7 +445,8 @@ object PipelineQueries {
     * same mean-centering, same multi-probe mask set, same top-k ordering —
     * and derives recall@10 independently ([[annLshRecallOracle]]). The IVF
     * path cannot be reproduced in SQL (MLlib k-means), so `ann_ivf_recall`
-    * gates the ≥0.8 quality floor as a boolean instead of pinning the
+    * gates the per-decade quality floor ([[ivfRecallFloor]]) as a boolean
+    * instead of pinning the
     * measured constant — a Spark/MLlib upgrade that shifts recall within
     * the floor no longer flips the gate.
     */
