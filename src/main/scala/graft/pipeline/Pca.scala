@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis over an embedding column —
+  * the dimensionality-reduction pass a large curation stack runs before
+  * clustering / SemDeDup-style semantic work (the SemDeDup paper itself
+  * PCA-whitens its embeddings before k-means).
+  *
+  * Shaped for 100 TB the same way the covariance algebra factors:
+  *  - The DATA-sized work is one declarative aggregate: every row
+  *    contributes its d(d+1)/2 upper-triangle second moments via a
+  *    double `posexplode`, and the groupBy(i, j) hash-aggregate
+  *    collapses them map-side — what shuffles is O(partitions · d²)
+  *    cells, never rows. CPU is honestly n·d²/2 multiply-adds (that is
+  *    PCA's arithmetic lower bound without sketching); a deployment
+  *    with very large d trades this scan for a randomized-sketch pass,
+  *    which composes on top of the same moment contract.
+  *  - The MODEL-sized work — assembling the d×d covariance and running
+  *    the eigensolve — is a bounded driver step (d ≤ a few thousand:
+  *    d² doubles, the kCenterCoreset bounded-collect discipline), cyclic
+  *    Jacobi so the result is a pure deterministic function of the
+  *    moments, no seeded/iterative-init drift.
+  *  - Projection back over the corpus is a scan-stage `zip_with` +
+  *    `aggregate` per component against literal component arrays —
+  *    whole-stage-codegen HOFs, zero shuffle.
+  *
+  * Eigenvector signs are canonicalized (the largest-|weight| coordinate
+  * is made positive, lowest index on ties) so the components — which are
+  * only defined up to sign — are reproducible across runs and engines.
+  */
+object Pca {
+
+  /** Fitted model: row count, per-coordinate population mean and
+    * variance, eigenvalues descending, and matching unit eigenvectors
+    * (one per row of `components`), sign-canonicalized.
+    */
+  final case class Model(n: Long, mean: Array[Double],
+      coordVars: Array[Double], eigenvalues: Array[Double],
+      components: Array[Array[Double]]) {
+    /** Trace of the covariance = total variance explained by all PCs. */
+    def totalVar: Double = coordVars.sum
+  }
+
+  /** Fit the full PCA model from one pass over `df`: the (i ≤ j) second
+    * moments, per-coordinate sums and the count come back as one
+    * d(d+1)/2-row aggregate; covariance is cov(i,j) = S_ij/n − m_i·m_j
+    * (population form — the var_pop the twin's oracle replays).
+    */
+  def fit(df: DataFrame, vecCol: String = "embedding"): Model = {
+    val v = df.select(col(vecCol).cast("array<double>").as("v"))
+    val rows = v
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"),
+        sum(when(col("j") === col("i"), col("xi")).otherwise(lit(0.0)))
+          .as("m"),
+        sum(when(col("j") === col("i"), 1L).otherwise(0L)).as("cnt"))
+      .collect() // bounded: d(d+1)/2 cells, never data-sized
+    require(rows.nonEmpty, "Pca.fit: empty input")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    val s = Array.ofDim[Double](d, d)
+    val m = new Array[Double](d)
+    var n = 0L
+    rows.foreach { case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long) =>
+      s(i)(j) = sij; s(j)(i) = sij
+      if (i == j) { m(i) = mi; n = c }
+    }
+    require(n > 0, "Pca.fit: zero rows")
+    val mean = m.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => s(i)(j) / n - mean(i) * mean(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    Model(n, mean, Array.tabulate(d)(i => cov(i)(i)), vals, vecs)
+  }
+
+  /** Append projection columns p1..pk = (x − mean)·v_c for the top-`k`
+    * components — per-row `zip_with`/`aggregate` against literal
+    * component arrays (codegen HOFs), the mean shift folded into one
+    * driver-computed constant per component. Zero shuffle.
+    */
+  def project(df: DataFrame, model: Model, k: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= model.components.length,
+      s"need 1 <= k <= ${model.components.length}, got $k")
+    val x = col(vecCol).cast("array<double>")
+    val projCols = (0 until k).map { c =>
+      val comp = model.components(c)
+      val shift = comp.indices.iterator.map(j => comp(j) * model.mean(j)).sum
+      (aggregate(
+        zip_with(x, typedLit(comp.toSeq), (xi, ci) => xi * ci),
+        lit(0.0), (acc, e) => acc + e) - lit(shift)).as(s"p${c + 1}")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ projCols: _*)
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: sweeps of (p, q)
+    * plane rotations until the off-diagonal Frobenius mass falls below
+    * 1e-14 of the total (or 100 sweeps — Jacobi converges quadratically,
+    * real covariances take < 15). Returns eigenvalues descending with
+    * matching unit eigenvectors, sign-canonicalized. Deterministic:
+    * fixed sweep order, no randomized init.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val frob = math.sqrt(a0.iterator.flatten.map(x => x * x).sum)
+    val tol = math.max(frob, 1e-300) * 1e-14
+    def offMass(): Double = {
+      var o = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { o += 2 * a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(o)
+    }
+    var sweep = 0
+    while (sweep < 100 && offMass() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1))
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val vec = Array.tabulate(d)(r => v(r)(c))
+      // canonical sign: the largest-|weight| coordinate positive
+      val pivot = vec.indices.maxBy(j => (math.abs(vec(j)), -j))
+      if (vec(pivot) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (vals, vecs)
+  }
+}

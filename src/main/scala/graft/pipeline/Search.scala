@@ -92,6 +92,57 @@ object Search {
       .select(col(idCol), round(termScore, 4).as("bm25"))
   }
 
+  /** Reciprocal-rank fusion of several named rankings — the standard
+    * hybrid-retrieval combiner (Cormack/Clarke/Büttcher RRF): each input
+    * is a (id, rank) frame holding one ranker's top-N, and the fused
+    * score of a document is Σ_r 1/(kConst + rank_r), with a ranker
+    * contributing 0 where the document is outside its top-N. The legs
+    * full-outer-join on the id — each leg is ≤ N rows (the rankers
+    * already did their distributed TakeOrdered), so the fusion itself
+    * is constant-sized work no matter the corpus: the 100 TB cost lives
+    * entirely in the rankers, which is where it belongs. The fused
+    * score rounds to 6 decimals before the final rank (round-then-rank,
+    * ties by id) so the emitted top-k is engine-exact.
+    *
+    * Output: (idCol, <name>_rank per leg ordered as given, rrf),
+    * the `topK` best fused documents.
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], topK: Int,
+      kConst: Int = 60, idCol: String = "doc_id"): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK >= 1 && kConst >= 1,
+      s"need topK >= 1 and kConst >= 1, got topK=$topK kConst=$kConst")
+    val named = legs.map { case (name, df) =>
+      df.select(col(idCol), col("rank").as(s"${name}_rank"))
+    }
+    val joined = named.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = legs.map { case (name, _) =>
+      val r = col(s"${name}_rank")
+      when(r.isNotNull, lit(1.0) / (lit(kConst.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _) // left-to-right, matching the oracle's add order
+    joined.withColumn("rrf", round(score, 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Rank a scored frame's top-`n`: distributed TakeOrdered down to the
+    * n survivors, THEN a row_number over that bounded set — the global
+    * window runs on ≤ n rows, never on the corpus (the GlobalRank rule:
+    * a corpus-wide Window.orderBy is a single-task cliff; a window over
+    * an already-limited frame is constant work). `scoreCol` must be
+    * pre-rounded by the caller (round-then-rank) for cross-engine rank
+    * parity; ties break by id ascending.
+    */
+  def rankTopN(scored: DataFrame, scoreCol: String, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of every document by
     * tf·idf (idf = ln(N/df); df > 0 by construction since df is counted
     * from the same corpus). The per-doc tf aggregate is ONE shuffle of

@@ -58,6 +58,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** MMR (maximal-marginal-relevance) diversified re-rank of a bounded
+    * candidate list — the standard RAG diversification pass (Carbonell &
+    * Goldstein '98): greedily select `select` documents maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate hits don't
+    * crowd the context window. Step 1's score is λ·rel (the penalty max
+    * over the empty set is 0).
+    *
+    * Scale shape: the DATA-sized work is the candidate generation — the
+    * distributed [[bruteForceTopK]] / IVF / PQ top-`candidates` scan —
+    * and the re-rank itself is greedy over that BOUNDED list (RAG
+    * rerankers run at candidates ≤ a few hundred), so it collects
+    * candidates×(dim+1) doubles and runs the O(candidates²·select) loop
+    * on the driver: the kCenterCoreset bounded-collect discipline, never
+    * a corpus-sized pull. Relevance and pairwise cosines round to 4
+    * decimals BEFORE the greedy argmax (round-then-rank, ties by id
+    * ascending) so the selection is engine-exact; emitted scores round
+    * to 6.
+    *
+    * Returns (sel_rank 1..select, id, mmr).
+    */
+  def mmrRerank(vectors: DataFrame, queryId: Long, candidates: Int,
+      select: Int, lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= 1 && select >= 1 && select <= candidates,
+      s"need 1 <= select <= candidates, got select=$select candidates=$candidates")
+    require(lambda >= 0 && lambda <= 1, s"need 0 <= lambda <= 1, got $lambda")
+    val spark = vectors.sparkSession
+    val cand = bruteForceTopK(vectors, queryId, candidates, idCol, vecCol)
+      .join(vectors.select(col(idCol),
+        col(vecCol).cast("array<double>").as("e")), idCol)
+      .select(col(idCol), col("sim"), col("e"))
+      .collect() // bounded: `candidates` rows, the re-rank working set
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy { case (id, rel, _) => (-rel, id) }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dotp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r4(dotp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    var step = 1
+    while (step <= select && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, e) =>
+        val penalty =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map { case (_, se) => cos(e, se) }.max
+        (id, lambda * rel - (1 - lambda) * penalty, e)
+      }
+      val (bid, bscore, be) =
+        scored.minBy { case (id, sc, _) => (-sc, id) }
+      selected += ((step, bid,
+        BigDecimal(bscore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      chosen += ((bid, be))
+      remaining.filterInPlace { case (id, _, _) => id != bid }
+      step += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("sel_rank", idCol, "mmr")
+  }
+
   /** Exact cosine near-duplicate pairs within a blocking column — the
     * reference all-pairs form, O(B²) per block. Kept for small-block
     * verification; [[cosinePairs]] (LSH candidate generation + exact

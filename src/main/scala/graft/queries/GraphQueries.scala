@@ -400,6 +400,45 @@ object GraphQueries {
       .orderBy(col("u"), col("v"))
   }
 
+  /** G12: Adamic–Adar link prediction over the co-supplier graph — the
+    * g8 candidate set (non-adjacent pairs sharing ≥2 neighbors) scored
+    * by Σ_w 1/ln(deg(w)) over the common neighbors w, the classic
+    * rare-neighbors-count-more refinement of the common-neighbor count.
+    * Same single wedge self-join as g8/g1 (linear in Σdeg², AQE skew
+    * split covers hub middles); the middle node's degree rides INTO the
+    * wedge join as a broadcast-sized (node, deg) attach, so the score
+    * is one map-side 1/ln(deg) sum in the same aggregate that counts
+    * the wedge — no per-pair neighborhood re-probe. Every middle has
+    * deg ≥ 2 by construction (it neighbors both endpoints), so ln(deg)
+    * is never 0. The ln-sum is rounded to 4 decimals (the t5/bm25
+    * contract: rounding absorbs last-ulp ln and summation-order
+    * differences between engines). Reference behavior: link-prediction
+    * scoring is the graph-analytics surface of the reference's AQL
+    * neighborhood queries (demo_agens_query/04_performance_test.py) —
+    * re-expressed as one declarative wedge aggregate.
+    */
+  def g12AdamicAdar(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.CacheRegistry.register(
+      coSupplierEdges(spark, d).localCheckpoint())
+    val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val x = adj.join(
+        deg.select(col("node").as("nbr"), col("deg").as("wdeg")), "nbr")
+      .select(col("node").as("u"), col("nbr").as("w"), col("wdeg"))
+    val y = adj.select(col("node").as("v"), col("nbr").as("w"))
+    val aa = x.join(y, "w").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log(col("wdeg").cast("double"))).as("aa_raw"))
+      .filter(col("cn") >= 2)
+    aa.join(edges, aa("u") === edges("src") && aa("v") === edges("dst"),
+        "left_anti")
+      .select(col("u"), col("v"), col("cn"),
+        round(col("aa_raw"), 4).as("adamic_adar"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** G7: label-propagation communities over the co-supplier graph —
     * 5 fixed synchronous rounds, most-frequent neighbor label with
     * smallest-label tie-break ([[graft.graph.GraphAlgos.labelPropagation]]).
@@ -732,6 +771,7 @@ object GraphQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_triangles" -> g1Triangles,
     "g8_common_neighbors" -> g8CommonNeighbors,
+    "g12_adamic_adar" -> g12AdamicAdar,
     "r6_subtree_rollup" -> r6SubtreeRollup,
     "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g7_label_propagation" -> g7LabelPropagation,
@@ -882,6 +922,30 @@ object GraphQueries {
         |SELECT u, v, cn,
         |  CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS jaccard
         |FROM cn JOIN d du ON du.node = u JOIN d dv ON dv.node = v
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = u AND e.t = v)
+        |ORDER BY u, v""".stripMargin,
+    // g12: the g8 wedge CTEs with the middle degree attached before the
+    // wedge join; score = sum(1/ln(deg_w)) rounded 4 (the ln-sum band).
+    "g12_adamic_adar" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 49.5),
+        |e AS (
+        |  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |adj AS (SELECT s AS node, t AS nbr FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |d AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |aa AS (
+        |  SELECT x.node AS u, y.node AS v, count(*)::BIGINT AS cn,
+        |    sum(1.0 / ln(dw.deg::DOUBLE)) AS aa_raw
+        |  FROM adj x
+        |  JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  JOIN d dw ON dw.node = x.nbr
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, cn, round(aa_raw, 4) AS adamic_adar
+        |FROM aa
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = u AND e.t = v)
         |ORDER BY u, v""".stripMargin,
     "g6_clustering_coeff" ->

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, QualityClassifier, Sampling, Search, Similarity, TextAnalysis, Tokenizer}
+import graft.pipeline.{Chunking, Dedup, Mixing, Multimodal, Novelty, Packing, Pca, QualityClassifier, Sampling, Search, Similarity, TextAnalysis, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,106 @@ object PipelineQueries {
   def v2KnnJoin(spark: SparkSession, d: String): DataFrame =
     Similarity.knnJoinByLabel(Tables.embeddings(spark, d), k = 3)
       .orderBy(col("qid"), col("rk"))
+
+  /** T27: MMR diversified re-rank — the top-20 cosine candidates for
+    * query vec 0, greedily re-ranked to 5 selections at λ = 0.7
+    * ([[Similarity.mmrRerank]]: distributed candidate top-k scan, then
+    * the bounded-candidate greedy; rel and pairwise cosines
+    * round-then-rank at 4, ties by vec_id). The oracle unrolls the SAME
+    * 5 greedy steps as chained MATERIALIZED CTEs (the g7 unroll
+    * discipline), with the penalty weight written `(1 - 0.7)` so both
+    * engines compute the identical double.
+    */
+  def t27MmrRerank(spark: SparkSession, d: String): DataFrame =
+    Similarity.mmrRerank(Tables.embeddings(spark, d), queryId = 0L,
+        candidates = 20, select = 5, lambda = 0.7)
+      .orderBy(col("sel_rank"))
+
+  /** DuckDB oracle for `t27_mmr_rerank`: greedy-step CTE unroll. */
+  private def mmrOracle(steps: Int, cands: Int): String = {
+    def selUnion(k: Int): String =
+      (1 until k).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val stepCtes = (2 to steps).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT c.vec_id,
+         |    0.7 * c.rel - (1 - 0.7) * (SELECT max(p.s) FROM ps p
+         |      WHERE p.da = c.vec_id AND p.db IN (${selUnion(k)})) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (${selUnion(k)})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val finalSel = (1 to steps).map(k =>
+      s"SELECT $k::INT AS sel_rank, vec_id, round(mmr, 6) AS mmr FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT e FROM v WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, round(list_cosine_similarity(v.e, q.e), 4) AS rel,
+       |    v.e
+       |  FROM v, q WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $cands),
+       |ps AS MATERIALIZED (
+       |  SELECT a.vec_id AS da, b.vec_id AS db,
+       |    round(list_cosine_similarity(a.e, b.e), 4) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, 0.7 * rel AS mmr FROM cand
+       |  ORDER BY mmr DESC, vec_id LIMIT 1),
+       |${stepCtes.mkString(",\n")}
+       |$finalSel
+       |ORDER BY sel_rank""".stripMargin
+  }
+
+  /** V6: PCA projection — every embedding's coordinates on the top-2
+    * principal components ([[graft.pipeline.Pca]]: ONE declarative
+    * d(d+1)/2-cell moment aggregate over the corpus, bounded driver
+    * Jacobi eigensolve, codegen zip_with/aggregate projection scan —
+    * the dimensionality-reduction pass SemDeDup-style semantic curation
+    * runs before clustering). Rows-only by design — the eigensolve
+    * cannot run in DuckDB — with `v6_pca_var` as the oracle-green twin
+    * pinning the model's invariants against exactly-replayable ground
+    * truth.
+    */
+  def v6PcaProject(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = Pca.fit(emb)
+    Pca.project(emb, model, k = 2)
+      .select(col("vec_id"), col("label"),
+        round(col("p1"), 4).as("p1"), round(col("p2"), 4).as("p2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** V6 twin: the fitted model's mathematically checkable invariants,
+    * anchored to DuckDB-exact ground truth. λ1 must (a) reproduce the
+    * distributed var_pop of the engine's own PC1 projection — two
+    * independent computation paths through moments vs. projection scan —
+    * and (b) dominate every coordinate variance (PC1 optimality: the
+    * variance along the best direction is ≥ the variance along any
+    * axis-aligned one — the oracle recomputes the max coordinate
+    * variance exactly); the top-2 components must be orthonormal. A
+    * broken moment pass, eigensolve, or projection each reds a
+    * different conjunct.
+    */
+  def v6PcaVar(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = Pca.fit(emb)
+    val l1 = model.eigenvalues(0)
+    val maxCoord = model.coordVars.max
+    val projVar = Pca.project(emb, model, k = 1)
+      .agg(var_pop(col("p1"))).head().getDouble(0)
+    def dotv(a: Array[Double], b: Array[Double]): Double =
+      a.indices.iterator.map(i => a(i) * b(i)).sum
+    val c0 = model.components(0)
+    val c1 = model.components(1)
+    val ortho = math.abs(dotv(c0, c1)) < 1e-9 &&
+      math.abs(dotv(c0, c0) - 1) < 1e-9 &&
+      math.abs(dotv(c1, c1) - 1) < 1e-9
+    val ok = ortho && l1 + 1e-9 >= maxCoord &&
+      math.abs(projVar - l1) <= 1e-8 * math.max(1.0, model.totalVar)
+    spark.range(1).select(lit("pca").as("method"),
+      round(lit(maxCoord), 6).as("max_coord_var"),
+      lit(ok).as("meets_floor"))
+  }
 
   /** T18: Zipf fit — the slope of ln(freq) on ln(rank) over the corpus
     * unigram distribution, the standard token-distribution health check
@@ -274,6 +374,28 @@ object PipelineQueries {
       "graft_s11_" + java.lang.Integer.toHexString(d.hashCode)).toString
     docs.write.mode("overwrite").json(path)
     spark.read.schema(docs.schema).json(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(Sampling.hashBucket(col("text"))).cast("bigint").as("content_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** S12: ORC sink + source round-trip — the second columnar
+    * interchange format Spark ships natively beside parquet (a corpus
+    * handed off to a Hive/Trino-side consumer travels as ORC). Same
+    * contract as s11: write the documents table as ORC, read it back
+    * under the explicit schema (no inference scan), and checksum per
+    * source; the oracle reads the PARQUET ground truth, so any
+    * write→read corruption reds the gate.
+    */
+  def s12OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_s12_" + java.lang.Integer.toHexString(d.hashCode)).toString
+    docs.write.mode("overwrite").orc(path)
+    spark.read.schema(docs.schema).orc(path)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("n_chars")).cast("bigint").as("sum_chars"),
@@ -1022,6 +1144,39 @@ object PipelineQueries {
     Search.bm25(Tables.documents(spark, d), Seq("hash", "join", "vector"))
       .orderBy(col("doc_id"))
 
+  /** T26: hybrid retrieval with reciprocal-rank fusion — the RAG-stack
+    * shape: a lexical BM25 leg and a dense cosine leg rank the SAME
+    * corpus (the documents that carry an embedding — the doc_id = vec_id
+    * join the two test tables share), and [[Search.rrfFuse]] folds the
+    * two top-50 lists into the fused top-20 by Σ 1/(60 + rank). Each
+    * leg is the already-gated exact ranker (t8's BM25 plan; ann_topk's
+    * broadcast-query cosine), each rounds-then-ranks (bm25 at 4, cosine
+    * at 4, ties by doc_id) so the rank lists are engine-exact, and the
+    * fusion itself joins two ≤50-row frames — constant-sized work: the
+    * 100 TB cost lives in the rankers' scans, not the combiner. Doc 0
+    * plays the query (its embedding is the dense query vector) and is
+    * excluded from the candidate corpus on both legs.
+    */
+  def t26HybridRrf(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .filter(docs("doc_id") =!= 0L)
+      .select(docs("doc_id"), col("text"), col("embedding"))
+    val lex = Search.rankTopN(
+      Search.bm25(corpus, Seq("hash", "join", "vector")), "bm25", n = 50)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val dense = Search.rankTopN(
+      corpus.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 4)
+            .as("sim")),
+      "sim", n = 50)
+    Search.rrfFuse(Seq("lex" -> lex, "vec" -> dense), topK = 20)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** T9: exact corpus heavy hitters — top-20 trigrams by frequency, the
     * boilerplate-vocabulary audit pass ([[graft.pipeline.Search.topNgrams]]).
     */
@@ -1393,6 +1548,9 @@ object PipelineQueries {
     "v1_centroids" -> v1Centroids,
     "v2_knn_join" -> v2KnnJoin,
     "v3_sq8_quant" -> v3Sq8Quant,
+    "v6_pca_project" -> v6PcaProject,
+    "v6_pca_var" -> v6PcaVar,
+    "t27_mmr_rerank" -> t27MmrRerank,
     "t18_zipf" -> t18Zipf,
     "t19_jaro_topk" -> t19JaroTopk,
     "d30_canonical_pick" -> d30CanonicalPick,
@@ -1400,6 +1558,8 @@ object PipelineQueries {
     "d6_dedup_components_dist" -> d6DedupComponentsDist,
     "d44_leakage_free_split" -> d44LeakageFreeSplit,
     "s11_jsonl_roundtrip" -> s11JsonlRoundtrip,
+    "s12_orc_roundtrip" -> s12OrcRoundtrip,
+    "t26_hybrid_rrf" -> t26HybridRrf,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
@@ -1809,6 +1969,100 @@ object PipelineQueries {
         |  sum(('0x' || substr(sha256(text), 1, 8))::BIGINT)::BIGINT
         |    AS content_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // s12: identical ground truth to s11 — the oracle reads the parquet
+    // source of truth; the engine's ORC write→read must checksum to it.
+    "s12_orc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(('0x' || substr(sha256(text), 1, 8))::BIGINT)::BIGINT
+        |    AS content_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // t26: both legs replayed exactly — the t8 BM25 CTE restricted to the
+    // embedded corpus (doc_id = vec_id, doc 0 excluded) and the ann_topk
+    // cosine against vec 0 — each round-then-ranked (bm25/cosine at 4,
+    // ties by doc_id), fused by 1/(60 + rank) in the same leg order as
+    // Search.rrfFuse, rounded 6, top 20 by (rrf DESC, doc_id). Rank
+    // columns cast ::INT to match Spark's row_number type.
+    "t26_hybrid_rrf" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (
+        |  SELECT d.doc_id, lower(d.text) AS t, emb.e
+        |  FROM documents d JOIN emb ON d.doc_id = emb.vec_id
+        |  WHERE d.doc_id <> 0),
+        |per AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(t, '\s+'))::DOUBLE AS dl,
+        |    len(list_filter(string_split_regex(t, '\s+'),
+        |        w -> w = 'hash'))::DOUBLE AS tf0,
+        |    len(list_filter(string_split_regex(t, '\s+'),
+        |        w -> w = 'join'))::DOUBLE AS tf1,
+        |    len(list_filter(string_split_regex(t, '\s+'),
+        |        w -> w = 'vector'))::DOUBLE AS tf2
+        |  FROM c),
+        |corpus AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM per),
+        |bm AS (
+        |  SELECT doc_id, round(
+        |      (CASE WHEN tf0 > 0 THEN
+        |        ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1)
+        |          / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+        |    + (CASE WHEN tf1 > 0 THEN
+        |        ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1)
+        |          / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+        |    + (CASE WHEN tf2 > 0 THEN
+        |        ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * (1.2 + 1)
+        |          / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END),
+        |    4) AS bm25
+        |  FROM per, corpus
+        |  WHERE tf0 + tf1 + tf2 > 0),
+        |lex AS (
+        |  SELECT doc_id, lex_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |      AS lex_rank FROM bm)
+        |  WHERE lex_rank <= 50),
+        |q AS (SELECT e FROM emb WHERE vec_id = 0),
+        |ds AS (
+        |  SELECT c.doc_id, round(list_cosine_similarity(c.e, q.e), 4) AS sim
+        |  FROM c, q),
+        |dn AS (
+        |  SELECT doc_id, vec_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+        |      AS vec_rank FROM ds)
+        |  WHERE vec_rank <= 50),
+        |f AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    l.lex_rank, v.vec_rank,
+        |    round(
+        |      (CASE WHEN l.lex_rank IS NOT NULL
+        |        THEN 1.0 / (60.0 + l.lex_rank) ELSE 0.0 END)
+        |      + (CASE WHEN v.vec_rank IS NOT NULL
+        |        THEN 1.0 / (60.0 + v.vec_rank) ELSE 0.0 END), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN dn v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, lex_rank::INT AS lex_rank,
+        |  vec_rank::INT AS vec_rank, rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // v6's quality twin (the d33 pattern): the oracle recomputes the max
+    // per-coordinate population variance EXACTLY — the axis-aligned bound
+    // PC1's eigenvalue must dominate — and pins meets_floor TRUE; Spark's
+    // meets_floor conjoins λ1 ≥ max coord var, λ1 ≡ var_pop(projection),
+    // and top-2 orthonormality, so a broken moment pass, eigensolve, or
+    // projection reds the gate. Measured margins to the 6-dp rounding
+    // boundary are ≥ 1.6e-7 at every decade (vs ~1e-13 cross-engine
+    // variance error), so the hash is stable.
+    "t27_mmr_rerank" -> mmrOracle(steps = 5, cands = 20),
+    "v6_pca_var" ->
+      """WITH x AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS xi,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT 'pca' AS method, round(max(v), 6) AS max_coord_var,
+        |  true AS meets_floor
+        |FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i)""".stripMargin,
     // The d6 closure rolled into the size histogram; token counts via
     // the shared \s+ tokenizer, BIGINT sums cast per the HUGEINT rule.
     "d46_dedup_savings" ->

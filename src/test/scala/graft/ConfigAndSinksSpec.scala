@@ -20,6 +20,20 @@ class ConfigAndSinksSpec extends AnyFunSuite {
     assert(cfg.randomSeed == 42L)  // default
   }
 
+  test("orc sink + source round-trips rows and schema exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 3.5), (2L, "beta", -1.0), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_orc_spec").toString
+    df.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(df.schema).orc(path)
+    // file sources normalize nullability to true; names+types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("truncate empties the snapshot but keeps the schema") {
     import spark.implicits._
     val snap = Seq((1, "a")).toDF("id", "v")

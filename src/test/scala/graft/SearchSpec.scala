@@ -106,4 +106,34 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must rewrite to WindowGroupLimit:\n${plan.take(600)}")
   }
+
+  test("rrfFuse: hand-checked fusion, one-leg docs contribute a single term") {
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), topK = 10)
+      .as[(Long, Option[Int], Option[Int], Double)].collect().toSeq
+    // 11: 1/62 + 1/61; 10: 1/61; 13: 1/62; 12: 1/63 — fused order.
+    assert(got.map(_._1) == Seq(11L, 10L, 13L, 12L))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(11L)._2.contains(2) && byId(11L)._3.contains(1))
+    assert(byId(10L)._3.isEmpty && byId(13L)._2.isEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(11L)._4 == r6(1.0 / 62 + 1.0 / 61))
+    assert(byId(10L)._4 == r6(1.0 / 61))
+    assert(byId(12L)._4 == r6(1.0 / 63))
+    // topK truncates on the fused order, ties broken by id.
+    val top2 = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), topK = 2)
+      .as[(Long, Option[Int], Option[Int], Double)].collect().map(_._1).toSeq
+    assert(top2 == Seq(11L, 10L))
+  }
+
+  test("rankTopN: round-then-rank contract, id ties, n-bounded output") {
+    val scored = Seq((4L, 1.0), (2L, 3.0), (3L, 3.0), (1L, 2.0))
+      .toDF("doc_id", "s")
+    val got = Search.rankTopN(scored, "s", n = 3)
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+    // ties at 3.0 break by doc_id: 2 -> rank 1, 3 -> rank 2, then 1.
+    assert(got.map(g => (g._1, g._3)) == Seq((2L, 1), (3L, 2), (1L, 3)))
+  }
 }

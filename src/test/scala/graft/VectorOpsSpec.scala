@@ -366,4 +366,53 @@ class VectorOpsSpec extends AnyFunSuite {
     val q1 = byQ(1L).sortBy(_._4).map(t => (t._5, t._6)).toSeq
     assert(q1 == Seq((5L, 0.7071), (6L, 0.6)), s"got $q1")
   }
+
+  test("mmrRerank: diversification demotes the near-duplicate runner-up") {
+    // q = (1,0); a and b nearly identical high-relevance hits, c a
+    // distinct mid-relevance one. Pure relevance orders (a, b, c); at
+    // λ = 0.3 the (1−λ)·sim(b, a) ≈ 0.7 penalty pushes b below c.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.99, 0.10)),  // a: rel .995
+      (2L, Seq(0.99, 0.11)),  // b: rel .9939, cos(b,a) ≈ 1.0
+      (3L, Seq(0.80, 0.60)))  // c: rel .8,   cos(c,a) ≈ .8563
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity
+      .mmrRerank(df, queryId = 0L, candidates = 3, select = 3, lambda = 0.3)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(1, 2, 3), "contiguous selection ranks")
+    assert(got.map(_._2) == Seq(1L, 3L, 2L),
+      s"diversified order must be (a, c, b); got ${got.map(_._2)}")
+    // Independent greedy reimplementation pins the emitted scores.
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)), 4)
+    }
+    val vecs = Map(1L -> Seq(0.99, 0.10), 2L -> Seq(0.99, 0.11),
+      3L -> Seq(0.80, 0.60))
+    val rel = vecs.view.mapValues(v => cos(v, Seq(1.0, 0.0))).toMap
+    var sel = Seq.empty[Long]
+    val want = (1 to 3).map { k =>
+      val (bid, bsc) = (vecs.keySet -- sel).toSeq.map { id =>
+        val pen = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(vecs(id), vecs(s))).max
+        (id, 0.3 * rel(id) - (1 - 0.3) * pen)
+      }.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ bid
+      (k, bid, r(bsc, 6))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("mmrRerank: select=1 returns the pure-relevance argmax at λ·rel") {
+    val df = Seq((0L, Seq(1.0, 0.0)), (7L, Seq(0.9, 0.1)),
+      (8L, Seq(0.2, 0.9))).toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity
+      .mmrRerank(df, queryId = 0L, candidates = 2, select = 1, lambda = 0.7)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((1, 7L)))
+  }
 }
