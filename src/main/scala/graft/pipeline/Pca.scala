@@ -43,12 +43,30 @@ object Pca {
     def totalVar: Double = coordVars.sum
   }
 
-  /** Fit the full PCA model from one pass over `df`: the (i ≤ j) second
-    * moments, per-coordinate sums and the count come back as one
-    * d(d+1)/2-row aggregate; covariance is cov(i,j) = S_ij/n − m_i·m_j
-    * (population form — the var_pop the twin's oracle replays).
+  /** Raw sufficient statistics of a corpus for PCA: the row count,
+    * per-coordinate sums, and the symmetric second-moment matrix. These
+    * are SUMS, so they merge exactly (`merge` is elementwise addition) —
+    * the incremental contract: an arriving ingest batch contributes one
+    * O(batch) scan and the refit is a driver-side O(d³), no corpus
+    * re-scan. Same algebra as the AggMerge operator's delta-merge ≡
+    * recompute discipline.
     */
-  def fit(df: DataFrame, vecCol: String = "embedding"): Model = {
+  final case class Stats(n: Long, sums: Array[Double],
+      prods: Array[Array[Double]]) {
+    def dim: Int = sums.length
+    def merge(o: Stats): Stats = {
+      require(o.dim == dim,
+        s"Pca.Stats.merge: dimension mismatch ($dim vs ${o.dim})")
+      Stats(n + o.n,
+        Array.tabulate(dim)(i => sums(i) + o.sums(i)),
+        Array.tabulate(dim, dim)((i, j) => prods(i)(j) + o.prods(i)(j)))
+    }
+  }
+
+  /** One pass over `df`: the (i ≤ j) second moments, per-coordinate sums
+    * and the count come back as one d(d+1)/2-row aggregate.
+    */
+  def stats(df: DataFrame, vecCol: String = "embedding"): Stats = {
     val v = df.select(col(vecCol).cast("array<double>").as("v"))
     val rows = v
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
@@ -60,7 +78,7 @@ object Pca {
           .as("m"),
         sum(when(col("j") === col("i"), 1L).otherwise(0L)).as("cnt"))
       .collect() // bounded: d(d+1)/2 cells, never data-sized
-    require(rows.nonEmpty, "Pca.fit: empty input")
+    require(rows.nonEmpty, "Pca.stats: empty input")
     val d = rows.iterator.map(_.getInt(0)).max + 1
     val s = Array.ofDim[Double](d, d)
     val m = new Array[Double](d)
@@ -69,11 +87,69 @@ object Pca {
       s(i)(j) = sij; s(j)(i) = sij
       if (i == j) { m(i) = mi; n = c }
     }
-    require(n > 0, "Pca.fit: zero rows")
-    val mean = m.map(_ / n)
-    val cov = Array.tabulate(d, d)((i, j) => s(i)(j) / n - mean(i) * mean(j))
+    require(n > 0, "Pca.stats: zero rows")
+    Stats(n, m, s)
+  }
+
+  /** Assemble the model from sufficient statistics: covariance is
+    * cov(i,j) = S_ij/n − m_i·m_j (population form — the var_pop the
+    * twin's oracle replays), then the deterministic Jacobi eigensolve.
+    */
+  def fitFromStats(st: Stats): Model = {
+    val d = st.dim
+    val mean = st.sums.map(_ / st.n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      st.prods(i)(j) / st.n - mean(i) * mean(j))
     val (vals, vecs) = jacobiEigen(cov)
-    Model(n, mean, Array.tabulate(d)(i => cov(i)(i)), vals, vecs)
+    Model(st.n, mean, Array.tabulate(d)(i => cov(i)(i)), vals, vecs)
+  }
+
+  /** Fit the full PCA model from one pass over `df`. */
+  def fit(df: DataFrame, vecCol: String = "embedding"): Model =
+    fitFromStats(stats(df, vecCol))
+
+  /** Persist sufficient statistics as a parquet artifact (the
+    * pqSaveIndex / saveNearDupIndex discipline: the moments ARE the
+    * index at rest — at 100 TB the corpus scan is the cost, and an
+    * ingest batch must update the model without repeating it). Layout:
+    * one row per (i ≤ j) cell — (i, j, s, m, cnt) with m/cnt carried on
+    * the diagonal — exactly the shape of the [[stats]] aggregate, so
+    * `loadStats(saveStats(stats(df)))` reassembles bit-identically.
+    */
+  def saveStats(spark: org.apache.spark.sql.SparkSession, st: Stats,
+      path: String): Unit = {
+    import spark.implicits._
+    val cells = for { i <- 0 until st.dim; j <- i until st.dim } yield
+      (i, j, st.prods(i)(j),
+        if (i == j) st.sums(i) else 0.0,
+        if (i == j) st.n else 0L)
+    cells.toDF("i", "j", "s", "m", "cnt")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload persisted sufficient statistics; validates the artifact is
+    * a complete (i ≤ j) triangle so a truncated/foreign parquet fails
+    * loudly instead of fitting a wrong model.
+    */
+  def loadStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Stats = {
+    val rows = spark.read.parquet(path)
+      .select(col("i"), col("j"), col("s"), col("m"), col("cnt"))
+      .collect()
+    require(rows.nonEmpty, s"Pca.loadStats: empty artifact at $path")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    require(rows.length == d * (d + 1) / 2,
+      s"Pca.loadStats: expected ${d * (d + 1) / 2} triangle cells for " +
+        s"dim $d, found ${rows.length} — artifact incomplete or foreign")
+    val s = Array.ofDim[Double](d, d)
+    val m = new Array[Double](d)
+    var n = 0L
+    rows.foreach { case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long) =>
+      s(i)(j) = sij; s(j)(i) = sij
+      if (i == j) { m(i) = mi; n = c }
+    }
+    require(n > 0, s"Pca.loadStats: zero-count artifact at $path")
+    Stats(n, m, s)
   }
 
   /** Append projection columns p1..pk = (x − mean)·v_c for the top-`k`

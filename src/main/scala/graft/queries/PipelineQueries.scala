@@ -179,6 +179,54 @@ object PipelineQueries {
       lit(ok).as("meets_floor"))
   }
 
+  // The v7 gate's persisted moment artifact: built ONCE per (session,
+  // decade) — the gate exercises the stats-at-rest path, and the
+  // moments are a pure function of the corpus so every rebuild is
+  // identical (the semIndexFor discipline).
+  private val pcaStatsPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pcaStatsFor(spark: SparkSession, d: String,
+      corpus: DataFrame): String =
+    pcaStatsPaths.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("pcastats_gate")
+        .toString
+      Pca.saveStats(spark, Pca.stats(corpus), p)
+      p
+    })
+
+  /** V7: incremental PCA against moments AT REST — the production
+    * ingest shape for [[graft.pipeline.Pca]]: the corpus's sufficient
+    * statistics (exact sums, so they merge exactly) are persisted once
+    * ([[Pca.saveStats]]) and each arriving batch contributes one
+    * O(batch) moment scan; the refit is a driver-side O(d³), with NO
+    * corpus re-scan — the delta-merge ≡ recompute discipline (AggMerge)
+    * applied to the model-fit path. The first 100 vector ids play the
+    * batch (the d49 split). meets_floor conjoins merged-vs-full-fit
+    * equality (count, means, every eigenvalue, trace) so a broken
+    * merge, persistence round-trip, or refit reds the gate; the oracle
+    * recomputes the max coordinate variance of the FULL corpus exactly
+    * — the merged model must land on the same rounded value.
+    */
+  def v7PcaMerge(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter(col("vec_id") >= 100L)
+    val batch = emb.filter(col("vec_id") < 100L)
+    val merged = Pca.loadStats(spark, pcaStatsFor(spark, d, corpus))
+      .merge(Pca.stats(batch))
+    val mm = Pca.fitFromStats(merged)
+    val full = Pca.fit(emb)
+    val tol = 1e-8 * math.max(1.0, full.totalVar)
+    val ok = mm.n == full.n &&
+      mm.mean.indices.forall(i =>
+        math.abs(mm.mean(i) - full.mean(i)) <= 1e-9) &&
+      mm.eigenvalues.indices.forall(i =>
+        math.abs(mm.eigenvalues(i) - full.eigenvalues(i)) <= tol) &&
+      math.abs(mm.totalVar - full.totalVar) <= tol
+    spark.range(1).select(lit("pca_merge").as("method"),
+      round(lit(mm.coordVars.max), 6).as("max_coord_var"),
+      lit(ok).as("meets_floor"))
+  }
+
   /** T18: Zipf fit — the slope of ln(freq) on ln(rank) over the corpus
     * unigram distribution, the standard token-distribution health check
     * (natural corpora sit near −1; synthetic/boilerplate-heavy ones
@@ -1550,6 +1598,7 @@ object PipelineQueries {
     "v3_sq8_quant" -> v3Sq8Quant,
     "v6_pca_project" -> v6PcaProject,
     "v6_pca_var" -> v6PcaVar,
+    "v7_pca_merge" -> v7PcaMerge,
     "t27_mmr_rerank" -> t27MmrRerank,
     "t18_zipf" -> t18Zipf,
     "t19_jaro_topk" -> t19JaroTopk,
@@ -2061,6 +2110,19 @@ object PipelineQueries {
         |         unnest(range(1, len(embedding) + 1)) AS i
         |  FROM embeddings)
         |SELECT 'pca' AS method, round(max(v), 6) AS max_coord_var,
+        |  true AS meets_floor
+        |FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i)""".stripMargin,
+    // v7: the incremental merged-moments model must land on the same
+    // exact full-corpus ground truth as v6 — the oracle recomputes the
+    // max coordinate variance over the WHOLE table and pins meets_floor
+    // TRUE (Spark's meets_floor is the merged-vs-full-fit equality
+    // conjunction, so a broken merge/persist/refit reds the gate).
+    "v7_pca_merge" ->
+      """WITH x AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS xi,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT 'pca_merge' AS method, round(max(v), 6) AS max_coord_var,
         |  true AS meets_floor
         |FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i)""".stripMargin,
     // The d6 closure rolled into the size histogram; token counts via

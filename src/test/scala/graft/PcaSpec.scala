@@ -91,6 +91,52 @@ class PcaSpec extends AnyFunSuite {
       .forall { case (g, w) => math.abs(g - w) < 1e-12 })
   }
 
+  test("stats merge ≡ whole-corpus fit (delta-merge == recompute)") {
+    val rows = (0 until 48).map { i =>
+      Tuple1(Seq(math.sin(0.8 * i), math.cos(1.1 * i), (i % 6).toDouble,
+        0.3 * math.sin(2.2 * i)))
+    }
+    val df = rows.toDF("embedding")
+    val partA = rows.take(31).toDF("embedding")
+    val partB = rows.drop(31).toDF("embedding")
+    val merged = Pca.fitFromStats(
+      Pca.stats(partA).merge(Pca.stats(partB)))
+    val full = Pca.fit(df)
+    assert(merged.n == full.n)
+    assert(merged.mean.zip(full.mean)
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(merged.eigenvalues.zip(full.eigenvalues)
+      .forall { case (a, b) => math.abs(a - b) < 1e-10 })
+    assert(math.abs(merged.totalVar - full.totalVar) < 1e-10)
+  }
+
+  test("stats merge rejects dimension mismatch") {
+    val a = Pca.stats(Seq(Tuple1(Seq(1.0, 2.0))).toDF("embedding"))
+    val b = Pca.stats(Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding"))
+    intercept[IllegalArgumentException] { a.merge(b) }
+  }
+
+  test("saveStats/loadStats round-trips bit-identically; validates shape") {
+    val df = (0 until 30).map(i =>
+      Tuple1(Seq(math.sin(i.toDouble), math.cos(0.4 * i), i.toDouble / 7)))
+      .toDF("embedding")
+    val st = Pca.stats(df)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pca_stats_spec").toString
+    Pca.saveStats(spark, st, path)
+    val back = Pca.loadStats(spark, path)
+    assert(back.n == st.n)
+    assert(back.sums.sameElements(st.sums))
+    assert(back.prods.zip(st.prods)
+      .forall { case (a, b) => a.sameElements(b) })
+    // a truncated artifact (missing triangle cells) must fail loudly
+    val broken = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pca_stats_broken").toString
+    spark.read.parquet(path).limit(2)
+      .write.mode("overwrite").parquet(broken)
+    intercept[IllegalArgumentException] { Pca.loadStats(spark, broken) }
+  }
+
   test("projection variance equals the eigenvalue (two paths agree)") {
     val rows = (0 until 50).map { i =>
       Tuple1(Seq(math.sin(1.3 * i), math.cos(0.9 * i), (i % 5).toDouble))
