@@ -82,12 +82,20 @@ object Pca {
     val d = rows.iterator.map(_.getInt(0)).max + 1
     val s = Array.ofDim[Double](d, d)
     val m = new Array[Double](d)
-    var n = 0L
+    val diagCnt = new Array[Long](d)
     rows.foreach { case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long) =>
       s(i)(j) = sij; s(j)(i) = sij
-      if (i == j) { m(i) = mi; n = c }
+      if (i == j) { m(i) = mi; diagCnt(i) = c }
     }
+    // A ragged corpus (mixed vector lengths) populates the high
+    // coordinates from fewer rows than the low ones — the moments would
+    // assemble into a silently wrong covariance. The per-coordinate
+    // diagonal counts detect it exactly: they must all equal n.
+    val n = diagCnt(0)
     require(n > 0, "Pca.stats: zero rows")
+    require(diagCnt.forall(_ == n),
+      s"Pca.stats: ragged input — coordinate row-counts " +
+        s"${diagCnt.distinct.mkString(",")} differ (mixed vector lengths?)")
     Stats(n, m, s)
   }
 

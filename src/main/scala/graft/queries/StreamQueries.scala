@@ -427,9 +427,42 @@ object StreamQueries {
       .orderBy(col("w_start_ms"))
   }
 
+  /** W15: streaming PCA maintenance twin
+    * ([[graft.streaming.StreamingPca.Accumulator]]) — the embeddings
+    * corpus arrives as 5 deterministic micro-batches (vec_id mod 5, the
+    * w7 batch-mode discipline; StreamingPcaSpec drives the same
+    * accumulator through a real MemoryStream foreachBatch query) and the
+    * folded sufficient statistics must refit to EXACTLY the whole-corpus
+    * model: meets_floor conjoins count, means, every eigenvalue, and
+    * trace between the streamed fold and the one-pass batch fit. The
+    * oracle recomputes the corpus's max coordinate variance exactly —
+    * the streamed model must land on the same rounded value.
+    */
+  def w15StreamingPcaTwin(spark: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Pca
+    val emb = Tables.embeddings(spark, d)
+    val accum = new graft.streaming.StreamingPca.Accumulator()
+    (0 until 5).foreach { b =>
+      accum.update(emb.filter(col("vec_id") % 5 === b))
+    }
+    val mm = accum.model.getOrElse(sys.error("w15: no batches absorbed"))
+    val full = Pca.fit(emb)
+    val tol = 1e-8 * math.max(1.0, full.totalVar)
+    val ok = mm.n == full.n &&
+      mm.mean.indices.forall(i =>
+        math.abs(mm.mean(i) - full.mean(i)) <= 1e-9) &&
+      mm.eigenvalues.indices.forall(i =>
+        math.abs(mm.eigenvalues(i) - full.eigenvalues(i)) <= tol) &&
+      math.abs(mm.totalVar - full.totalVar) <= tol
+    spark.range(1).select(lit("stream_pca").as("method"),
+      round(lit(mm.coordVars.max), 6).as("max_coord_var"),
+      lit(ok).as("meets_floor"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_checkpoint_resume" -> s6CheckpointResume,
     "w14_windowed_psi" -> w14WindowedPsi,
+    "w15_streaming_pca_twin" -> w15StreamingPcaTwin,
     "w13_decontam_tags_twin" -> w13DecontamTagsTwin,
     "w11_session_gaps" -> w11SessionGaps,
     "w10_stream_full_outer_twin" -> w10StreamFullOuterTwin,
@@ -457,6 +490,17 @@ object StreamQueries {
       """SELECT user_id AS id, count(*) AS n_events,
         |  CAST(sum(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sum_ts_ms
         |FROM events GROUP BY 1 ORDER BY id""".stripMargin,
+    // w15: the streamed moment fold must land on the exact full-corpus
+    // ground truth (the v6/v7 oracle shape); Spark's meets_floor is the
+    // streamed-vs-batch-fit equality conjunction.
+    "w15_streaming_pca_twin" ->
+      """WITH x AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS xi,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT 'stream_pca' AS method, round(max(v), 6) AS max_coord_var,
+        |  true AS meets_floor
+        |FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i)""".stripMargin,
     "w11_session_gaps" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -110,6 +110,13 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(merged.totalVar - full.totalVar) < 1e-10)
   }
 
+  test("stats rejects a ragged corpus (mixed vector lengths) loudly") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0)), Tuple1(Seq(4.0, 5.0)))
+      .toDF("embedding")
+    val e = intercept[IllegalArgumentException] { Pca.stats(df) }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("stats merge rejects dimension mismatch") {
     val a = Pca.stats(Seq(Tuple1(Seq(1.0, 2.0))).toDF("embedding"))
     val b = Pca.stats(Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding"))
