@@ -50,6 +50,15 @@ object Pca {
     * O(batch) scan and the refit is a driver-side O(d³), no corpus
     * re-scan. Same algebra as the AggMerge operator's delta-merge ≡
     * recompute discipline.
+    *
+    * Precision contract: covariance assembles as S/n − m·mᵀ (the naive
+    * moment form — the price of exact mergeability). It loses ~2·log₁₀
+    * (|mean|/stddev) decimal digits to cancellation, which is nothing
+    * for roughly unit-scale embeddings (the intended input) but matters
+    * for data whose mean dwarfs its spread — pre-shift such a corpus by
+    * a constant (any constant: the covariance is shift-invariant, so
+    * subtracting an approximate center before [[stats]] preserves the
+    * merge algebra exactly).
     */
   final case class Stats(n: Long, sums: Array[Double],
       prods: Array[Array[Double]]) {

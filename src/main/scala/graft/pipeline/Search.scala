@@ -110,6 +110,8 @@ object Search {
   def rrfFuse(legs: Seq[(String, DataFrame)], topK: Int,
       kConst: Int = 60, idCol: String = "doc_id"): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one ranking")
+    require(legs.map(_._1).distinct.length == legs.length,
+      s"rrfFuse leg names must be distinct, got ${legs.map(_._1)}")
     require(topK >= 1 && kConst >= 1,
       s"need topK >= 1 and kConst >= 1, got topK=$topK kConst=$kConst")
     val named = legs.map { case (name, df) =>
