@@ -145,6 +145,31 @@ object Search {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Keyword-in-context (KWIC) snippet extraction — the retrieval-result
+    * presentation pass: for every document containing `term`, the
+    * 1-based token position of its FIRST occurrence and the ±`window`
+    * token snippet around it, clamped at the document edges. Pure
+    * scan-stage array expressions (split / array_position / slice) —
+    * zero shuffle, codegen-resident, the same per-row shape as the
+    * text-battery operators; at 1000 executors this is one table scan.
+    * Returns (idCol, pos, snippet).
+    */
+  def kwicSnippets(docs: DataFrame, term: String, window: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(term.nonEmpty, "kwicSnippets requires a non-empty term")
+    require(window >= 0, s"need window >= 0, got $window")
+    docs.select(col(idCol), ws(textCol).as("ws"))
+      .withColumn("pos", array_position(col("ws"), lit(term)))
+      .filter(col("pos") > 0)
+      .withColumn("start", greatest(col("pos") - window, lit(1L)))
+      .withColumn("len",
+        least(col("pos") + window, size(col("ws")).cast("long"))
+          - col("start") + 1)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("ws"), col("start"), col("len")))
+          .as("snippet"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of every document by
     * tf·idf (idf = ln(N/df); df > 0 by construction since df is counted
     * from the same corpus). The per-doc tf aggregate is ONE shuffle of

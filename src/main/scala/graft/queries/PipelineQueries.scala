@@ -1225,6 +1225,17 @@ object PipelineQueries {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** T28: keyword-in-context snippets — first occurrence of "vector"
+    * per document with the ±3-token context window, edge-clamped
+    * ([[Search.kwicSnippets]]: scan-stage array expressions, zero
+    * shuffle). The retrieval-presentation pass a search surface runs
+    * over its hit list.
+    */
+  def t28KwicSnippets(spark: SparkSession, d: String): DataFrame =
+    Search.kwicSnippets(Tables.documents(spark, d), term = "vector",
+        window = 3)
+      .orderBy(col("doc_id"))
+
   /** T9: exact corpus heavy hitters — top-20 trigrams by frequency, the
     * boilerplate-vocabulary audit pass ([[graft.pipeline.Search.topNgrams]]).
     */
@@ -1609,6 +1620,7 @@ object PipelineQueries {
     "s11_jsonl_roundtrip" -> s11JsonlRoundtrip,
     "s12_orc_roundtrip" -> s12OrcRoundtrip,
     "t26_hybrid_rrf" -> t26HybridRrf,
+    "t28_kwic_snippets" -> t28KwicSnippets,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
@@ -2104,6 +2116,21 @@ object PipelineQueries {
     // boundary are ≥ 1.6e-7 at every decade (vs ~1e-13 cross-engine
     // variance error), so the hash is stable.
     "t27_mmr_rerank" -> mmrOracle(steps = 5, cands = 20),
+    // t28: list_position is 1-based with 0 for absent (the Spark
+    // array_position contract); DuckDB's inclusive ws[a:b] slice mirrors
+    // slice(ws, start, len); pos casts BIGINT to match Spark's long.
+    "t28_kwic_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, list_position(ws, 'vector')::BIGINT AS pos, ws
+        |  FROM t)
+        |SELECT doc_id, pos,
+        |  array_to_string(
+        |    ws[greatest(pos - 3, 1) : least(pos + 3, len(ws))], ' ')
+        |    AS snippet
+        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
     "v6_pca_var" ->
       """WITH x AS (
         |  SELECT unnest(embedding::DOUBLE[]) AS xi,

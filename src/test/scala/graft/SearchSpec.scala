@@ -128,6 +128,24 @@ class SearchSpec extends AnyFunSuite {
     assert(top2 == Seq(11L, 10L))
   }
 
+  test("kwicSnippets: first occurrence, edge clamping, absent docs dropped") {
+    val docs = Seq(
+      (1L, "vector a b c d"),          // term at start: clamp left
+      (2L, "a b c vector d e f"),      // interior: full ±3 window
+      (3L, "a b c d e vector"),        // term at end: clamp right
+      (4L, "x y z"),                   // absent: excluded
+      (5L, "a vector b vector c"))     // repeated: FIRST occurrence only
+      .toDF("doc_id", "text")
+    val got = Search.kwicSnippets(docs, "vector", window = 3)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, p, s) => id -> (p, s) }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == (1L, "vector a b c"))
+    assert(got(2L) == (4L, "a b c vector d e f"))
+    assert(got(3L) == (6L, "c d e vector"))
+    assert(got(5L) == (2L, "a vector b vector c"))
+  }
+
   test("rankTopN: round-then-rank contract, id ties, n-bounded output") {
     val scored = Seq((4L, 1.0), (2L, 3.0), (3L, 3.0), (1L, 2.0))
       .toDF("doc_id", "s")
