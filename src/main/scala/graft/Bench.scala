@@ -113,6 +113,25 @@ object Bench {
       case _ => -1L
     }
 
+  /** Hypervisor CPU-steal counters from /proc/stat: (steal, total)
+    * jiffies. Steal is the r14 discovery behind the "unexplained"
+    * official-to-official bands (d4 734→1133 ms with code+plan
+    * git-identical): this sandbox is a microVM whose host intermittently
+    * steals 0–9% of CPU capacity (measured minute-to-minute under a
+    * full 32-core spin), invisible to load average and to process-CPU
+    * accounting. A per-iteration steal delta names that mechanism
+    * in-band. (-1,-1) where /proc/stat is unreadable.
+    */
+  private def stealSample(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } finally src.close()
+    } catch { case _: Exception => (-1L, -1L) }
+
   /** One timed execution plus its JVM-counter deltas. cpuMs vs wall time
     * is the co-activity discriminator: a straggler iteration whose
     * process-CPU delta matches the normal iterations was descheduled by
@@ -123,16 +142,21 @@ object Bench {
     */
   private case class IterSample(sec: Double, gcMs: Long, gcN: Long,
       jitMs: Long, storageMb: Double, cpuMs: Long, sysLoad: Double,
-      diskMb: Double, heapMb: Double)
+      diskMb: Double, heapMb: Double, stealPct: Double)
   private def timedIter(spark: SparkSession, body: () => Double): IterSample = {
     val (g0, n0) = gcStats(); val j0 = jitMs(); val c0 = processCpuNs()
+    val (st0, tot0) = stealSample()
     val sec = body()
     val (g1, n1) = gcStats()
+    val (st1, tot1) = stealSample()
     val cpuMs = if (c0 < 0) -1L else (processCpuNs() - c0) / 1000000L
+    val stealPct =
+      if (st0 < 0 || st1 < 0 || tot1 <= tot0) -1.0
+      else 100.0 * (st1 - st0) / (tot1 - tot0)
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     IterSample(sec, g1 - g0, n1 - n0, jitMs() - j0, storageMb(spark),
-      cpuMs, load, storageDiskMb(spark), heapUsedMb())
+      cpuMs, load, storageDiskMb(spark), heapUsedMb(), stealPct)
   }
 
   def main(args: Array[String]): Unit = {
@@ -202,6 +226,24 @@ object Bench {
     // the process still prints a complete, parseable final contract line
     // and returns normally. The error is IN the line, not in the exit code.
     try {
+
+    // Forensic task telemetry (dev only, SPARK_GRAFT_TASK_DEBUG=1): counts
+    // completed tasks and their executor CPU so a wall/process-CPU gap
+    // between this harness and a dedicated tool JVM can be split into
+    // in-task work vs JVM overhead (JIT/GC/listeners).
+    val taskN = new java.util.concurrent.atomic.AtomicLong
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    if (sys.env.get("SPARK_GRAFT_TASK_DEBUG").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskN.incrementAndGet()
+            Option(e.taskMetrics)
+              .foreach(m => taskCpuNs.addAndGet(m.executorCpuTime))
+            ()
+          }
+        })
 
     // Failed queries record the exception class instead of a silent -1.
     val runErrors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -394,14 +436,34 @@ object Bench {
       // still names an unflat series in the evidence).
       val warmCap = if (contended || tight) 3 else 8
       val warm = scala.collection.mutable.ArrayBuffer[Double]()
+      // Forensic plan dump (dev only, never set by the driver): emits the
+      // executed physical plan of each headline query from THIS process,
+      // so a bench-vs-tool constant gap can be checked for plan drift
+      // (AQE decisions, join strategies) instead of guessed at.
+      if (sys.env.get("SPARK_GRAFT_PLAN_DUMP").contains("1")) {
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count()
+          emit(s"""{"block":"plan_dump","name":"$name"}""")
+          println(df.queryExecution.executedPlan.toString)
+        } catch { case _: Throwable => () }
+      }
       warm += run(name); warm += run(name)
       while (warm.length < warmCap && {
         val w = warm.takeRight(3)
         w.length < 3 || w.exists(_ < 0) || w.max > 1.4 * w.min
       }) warm += run(name)
 
-      def timeSeries(): Array[IterSample] = (1 to qIters)
-        .map(_ => timedIter(spark, () => run(name))).filter(_.sec >= 0).toArray
+      def timeSeries(): Array[IterSample] = (1 to qIters).map { _ =>
+        val (n0, c0) = (taskN.get(), taskCpuNs.get())
+        val s = timedIter(spark, () => run(name))
+        if (sys.env.get("SPARK_GRAFT_TASK_DEBUG").contains("1"))
+          emit(s"""{"block":"task_debug","name":"$name",""" +
+            s""""tasks":${taskN.get() - n0},""" +
+            s""""task_cpu_ms":${(taskCpuNs.get() - c0) / 1000000L},""" +
+            f""""wall_ms":${s.sec * 1000}%.0f}""")
+        s
+      }.filter(_.sec >= 0).toArray
       var iterSamples = timeSeries()
       var firstAttempt: Option[Array[Double]] = None
       // The one-retime-from-warm-state allowance costs a full series —
@@ -417,10 +479,51 @@ object Bench {
         val (h1, h2) = halves(runOrder)
         val pass = isFlat(runOrder)
         if (!pass) flatnessPass = false
+        // Self-adjudicating unflatness (r13 verdict #1): an unflat series
+        // names its own mechanism IN the flatness record — the r12/r13
+        // driver captures were unflat-under-contention and the exonerating
+        // evidence (cpu/evict attribution) lived only in the main loop's
+        // straggler records, outside the retime series. Reference point is
+        // the FAST half's p50; every iteration >= 1.5x it is attributed
+        // with the same gc/evict/external/cpu discriminator the straggler
+        // records use (gc delta explains the excess -> "gc"; cached blocks
+        // pushed to disk -> "evict"; our own process-CPU stayed at the
+        // fast-iteration level, i.e. the JVM was descheduled -> "external";
+        // we genuinely burned the cycles -> "cpu"), and the majority cause
+        // plus the series' max 1-min run-queue load ride in-band, so a
+        // contended capture reads "external" with no out-of-band rerun.
+        val ref0 = math.min(h1, h2)
+        val ref = if (ref0 > 0) ref0 else pct(lat0, 0.5)
+        val fastIters = iterSamples.filter(_.sec < 1.5 * ref)
+        val fastCpu =
+          (if (fastIters.nonEmpty) fastIters else iterSamples)
+            .map(_.cpuMs.toDouble).sorted
+        val medCpuFast = pct(fastCpu, 0.5)
+        val slowCauses = iterSamples.filter(_.sec >= 1.5 * ref).map { s =>
+          val excess = (s.sec - ref) * 1000
+          if (s.gcMs > 0.5 * excess) "gc"
+          else if (s.stealPct > 2.0) "steal" // hypervisor took the cores
+          else if (s.diskMb > 0) "evict"
+          else if (s.cpuMs >= 0 && s.cpuMs < medCpuFast + 0.5 * excess)
+            "external"
+          else "cpu"
+        }
+        val cause =
+          if (pass) "flat"
+          else if (slowCauses.isEmpty) "unknown"
+          else slowCauses.groupBy(identity)
+            .maxBy { case (c, v) => (v.length, c) }._1
+        val causesJson =
+          if (pass) "[]"
+          else slowCauses.map(c => s""""$c"""").mkString("[", ",", "]")
         flatness(name) =
           f"""{"p95_over_p50":${pct(lat0, 0.95) / pct(lat0, 0.5)}%.2f,""" +
             f""""half_ratio":${if (h2 > 0) h1 / h2 else 0.0}%.2f,""" +
             s""""retimed":${firstAttempt.nonEmpty},"warmups":${warm.length},""" +
+            s""""cause":"$cause","slow_iters":${slowCauses.length},""" +
+            s""""slow_causes":$causesJson,""" +
+            f""""sys_load_max":${iterSamples.map(_.sysLoad).max}%.1f,""" +
+            f""""steal_pct_max":${iterSamples.map(_.stealPct).max}%.1f,""" +
             s""""pass":$pass}"""
       }
       firstAttempt.foreach { fa =>
@@ -467,6 +570,7 @@ object Bench {
             val excess = s.sec * 1000 - p50w
             val cause =
               if (s.gcMs > 0.5 * excess) "gc"
+              else if (s.stealPct > 2.0) "steal" // hypervisor co-activity
               else if (s.diskMb > 0) "evict" // cached blocks pushed to disk
               else if (s.cpuMs >= 0 && s.cpuMs < medCpu + 0.5 * excess)
                 "external"
@@ -490,6 +594,8 @@ object Bench {
             .mkString("[", ",", "]")},""" +
           s""""cpu_ms":${iterSamples.map(_.cpuMs).mkString("[", ",", "]")},""" +
           s""""sys_load":${iterSamples.map(s => f"${s.sysLoad}%.1f")
+            .mkString("[", ",", "]")},""" +
+          s""""steal_pct":${iterSamples.map(s => f"${s.stealPct}%.1f")
             .mkString("[", ",", "]")},""" +
           s""""stragglers":${stragglers.mkString("[", ",", "]")}}"""
         // Compact line budget: the driver keeps only the LAST 2000 chars

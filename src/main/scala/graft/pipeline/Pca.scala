@@ -85,26 +85,37 @@ object Pca {
       .agg(sum(col("xi") * col("xj")).as("s"),
         sum(when(col("j") === col("i"), col("xi")).otherwise(lit(0.0)))
           .as("m"),
-        sum(when(col("j") === col("i"), 1L).otherwise(0L)).as("cnt"))
+        sum(when(col("j") === col("i"), 1L).otherwise(0L)).as("cnt"),
+        sum(when(col("j") === col("i") && col("xi").isNotNull, 1L)
+          .otherwise(0L)).as("nn"))
       .collect() // bounded: d(d+1)/2 cells, never data-sized
     require(rows.nonEmpty, "Pca.stats: empty input")
     val d = rows.iterator.map(_.getInt(0)).max + 1
     val s = Array.ofDim[Double](d, d)
     val m = new Array[Double](d)
     val diagCnt = new Array[Long](d)
-    rows.foreach { case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long) =>
-      s(i)(j) = sij; s(j)(i) = sij
-      if (i == j) { m(i) = mi; diagCnt(i) = c }
+    val diagNonNull = new Array[Long](d)
+    rows.foreach {
+      case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long, nn: Long) =>
+        s(i)(j) = sij; s(j)(i) = sij
+        if (i == j) { m(i) = mi; diagCnt(i) = c; diagNonNull(i) = nn }
     }
     // A ragged corpus (mixed vector lengths) populates the high
     // coordinates from fewer rows than the low ones — the moments would
     // assemble into a silently wrong covariance. The per-coordinate
-    // diagonal counts detect it exactly: they must all equal n.
+    // diagonal counts detect it exactly: they must all equal n. A NULL
+    // element inside a vector is the same hazard in disguise — sum()
+    // skips it while the position still explodes, so the presence count
+    // alone would pass; the non-null count pins it.
     val n = diagCnt(0)
     require(n > 0, "Pca.stats: zero rows")
     require(diagCnt.forall(_ == n),
       s"Pca.stats: ragged input — coordinate row-counts " +
         s"${diagCnt.distinct.mkString(",")} differ (mixed vector lengths?)")
+    require(diagNonNull.indices.forall(i => diagNonNull(i) == n),
+      s"Pca.stats: null coordinate values — non-null counts " +
+        s"${diagNonNull.distinct.mkString(",")} vs row count $n " +
+        s"(a null element would silently drop from the moments)")
     Stats(n, m, s)
   }
 
@@ -145,8 +156,11 @@ object Pca {
   }
 
   /** Reload persisted sufficient statistics; validates the artifact is
-    * a complete (i ≤ j) triangle so a truncated/foreign parquet fails
-    * loudly instead of fitting a wrong model.
+    * a complete (i ≤ j) triangle of DISTINCT cells whose diagonal counts
+    * all agree, so a truncated / duplicated / foreign parquet fails
+    * loudly instead of fitting a wrong model (a duplicate (i,j) cell
+    * plus a missing one can total the right row count — the distinct
+    * check mirrors the stats() ragged guard at load time).
     */
   def loadStats(spark: org.apache.spark.sql.SparkSession,
       path: String): Stats = {
@@ -160,12 +174,21 @@ object Pca {
         s"dim $d, found ${rows.length} — artifact incomplete or foreign")
     val s = Array.ofDim[Double](d, d)
     val m = new Array[Double](d)
-    var n = 0L
+    val diagCnt = new Array[Long](d)
+    val seen = new java.util.HashSet[Long]()
     rows.foreach { case Row(i: Int, j: Int, sij: Double, mi: Double, c: Long) =>
+      require(i >= 0 && j >= i && j < d,
+        s"Pca.loadStats: cell ($i,$j) outside the dim-$d upper triangle")
+      require(seen.add(i.toLong * d + j),
+        s"Pca.loadStats: duplicate cell ($i,$j) — artifact corrupt")
       s(i)(j) = sij; s(j)(i) = sij
-      if (i == j) { m(i) = mi; n = c }
+      if (i == j) { m(i) = mi; diagCnt(i) = c }
     }
+    val n = diagCnt(0)
     require(n > 0, s"Pca.loadStats: zero-count artifact at $path")
+    require(diagCnt.forall(_ == n),
+      s"Pca.loadStats: inconsistent diagonal counts " +
+        s"${diagCnt.distinct.mkString(",")} — artifact corrupt")
     Stats(n, m, s)
   }
 

@@ -104,6 +104,14 @@ object Search {
     * score rounds to 6 decimals before the final rank (round-then-rank,
     * ties by id) so the emitted top-k is engine-exact.
     *
+    * Each leg must carry UNIQUE ids (one row per ranked document — the
+    * natural output of [[rankTopN]]); a duplicated id would multiply
+    * rows through the full-outer join chain and fuse wrong scores, so
+    * the guard fails loudly instead. The check is free-ish: each leg is
+    * materialized once (≤ N rows via localCheckpoint — the join was
+    * going to execute it anyway) and the count/distinct run on the
+    * materialized rows, not the ranker's corpus scan.
+    *
     * Output: (idCol, <name>_rank per leg ordered as given, rrf),
     * the `topK` best fused documents.
     */
@@ -115,7 +123,15 @@ object Search {
     require(topK >= 1 && kConst >= 1,
       s"need topK >= 1 and kConst >= 1, got topK=$topK kConst=$kConst")
     val named = legs.map { case (name, df) =>
-      df.select(col(idCol), col("rank").as(s"${name}_rank"))
+      val leg = graft.CacheRegistry.register(
+        df.select(col(idCol), col("rank").as(s"${name}_rank"))
+          .localCheckpoint())
+      val rows = leg.count()
+      val ids = leg.select(col(idCol)).distinct().count()
+      require(rows == ids,
+        s"rrfFuse: leg '$name' has duplicate $idCol rows ($rows rows, " +
+          s"$ids distinct ids) — each leg must be one ranker's top-N")
+      leg
     }
     val joined = named.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score = legs.map { case (name, _) =>
@@ -152,14 +168,18 @@ object Search {
     * scan-stage array expressions (split / array_position / slice) —
     * zero shuffle, codegen-resident, the same per-row shape as the
     * text-battery operators; at 1000 executors this is one table scan.
-    * Returns (idCol, pos, snippet).
+    * Matching is case-insensitive: the tokenizer lowercases the text,
+    * so the term is lowercased to match (a mixed-case term would
+    * otherwise silently return zero rows). Returns (idCol, pos,
+    * snippet).
     */
   def kwicSnippets(docs: DataFrame, term: String, window: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(term.nonEmpty, "kwicSnippets requires a non-empty term")
     require(window >= 0, s"need window >= 0, got $window")
     docs.select(col(idCol), ws(textCol).as("ws"))
-      .withColumn("pos", array_position(col("ws"), lit(term)))
+      .withColumn("pos", array_position(col("ws"),
+        lit(term.toLowerCase(java.util.Locale.ROOT))))
       .filter(col("pos") > 0)
       .withColumn("start", greatest(col("pos") - window, lit(1L)))
       .withColumn("len",
@@ -168,6 +188,101 @@ object Search {
       .select(col(idCol), col("pos"),
         concat_ws(" ", slice(col("ws"), col("start"), col("len")))
           .as("snippet"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio-lite / RM1):
+    * the top-`relK` documents by seed-term frequency form the
+    * pseudo-relevant set, and candidate expansion terms are scored by
+    * their summed term frequency within that set weighted by corpus
+    * idf (ln(N/df)) — the classic second-pass retrieval vocabulary a
+    * RAG/eval-decontamination stack uses to widen a probe query.
+    *
+    * Scale shape: corpus-sized work is exactly two aggregates that both
+    * combine map-side — the (doc, term) tf and the per-term df (over
+    * the tf frame, vocabulary-sized, broadcast back). The
+    * pseudo-relevant set is a bounded TakeOrdered (integer tf, ties by
+    * id — exact round-then-rank), so the scoring join is
+    * broadcast-sized. Scores round to 4 decimals BEFORE the final rank
+    * (ties by term) for cross-engine rank parity.
+    * Output: (term, score, rank), the `topM` best expansion terms.
+    */
+  def expandQuery(docs: DataFrame, seedTerm: String, relK: Int = 10,
+      topM: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seedTerm.nonEmpty, "expandQuery requires a non-empty seed term")
+    require(relK >= 1 && topM >= 1, s"need relK/topM >= 1, got $relK/$topM")
+    val seed = seedTerm.toLowerCase(java.util.Locale.ROOT)
+    val tf = docs
+      .select(col(idCol), explode(ws(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val rel = rankTopN(tf.filter(col("term") === seed)
+        .select(col(idCol), col("tf").as("seed_tf")), "seed_tf", relK, idCol)
+      .select(col(idCol))
+    val scored = tf
+      .join(broadcast(rel), idCol)
+      .filter(col("term") =!= seed)
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf_rel"))
+      .join(broadcast(dfr), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf_rel").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+      .select(col("term"), col("score"))
+    rankTopN(scored, "score", topM, idCol = "term")
+  }
+
+  /** Exact two-token phrase search: every document whose lowercased
+    * token stream contains `w1` immediately followed by `w2`, with the
+    * 1-based position of the FIRST such occurrence. Pure scan-stage
+    * array HOFs (sequence/filter/element_at) — zero shuffle, the same
+    * one-table-scan shape as [[kwicSnippets]]; at 1000 executors a
+    * phrase sweep over 100 TB is one pass. Returns (idCol, pos).
+    */
+  def phraseHits(docs: DataFrame, w1: String, w2: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w1.nonEmpty && w2.nonEmpty, "phraseHits requires non-empty tokens")
+    val a = lit(w1.toLowerCase(java.util.Locale.ROOT))
+    val b = lit(w2.toLowerCase(java.util.Locale.ROOT))
+    docs.select(col(idCol), ws(textCol).as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1, 0) would run DESCENDING
+      // try_element_at: ANSI element_at throws on the empty hit list
+      .withColumn("pos", try_element_at(
+        filter(sequence(lit(1), size(col("ws")) - 1),
+          i => element_at(col("ws"), i) === a &&
+            element_at(col("ws"), i + 1) === b), lit(1)).cast("long"))
+      .filter(col("pos").isNotNull)
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Ranking-quality metrics over a ranked result list with binary
+    * relevance — the eval harness a retrieval stack runs at corpus
+    * scale: nDCG@k (ideal DCG truncated at min(k, `totalRelevant`)),
+    * MRR (reciprocal rank of the first relevant hit), and precision@k.
+    * `ranked` must carry (rank, rel) — rank 1-based dense, rel 0/1 —
+    * and is by contract a BOUNDED frame (a ranker's top-k), so the
+    * metric aggregate is constant work; `totalRelevant` is the
+    * corpus-wide relevant count the caller computed (one distributed
+    * count). Returns one row (k, ndcg, mrr, precision) rounded to 4.
+    */
+  def rankEval(ranked: DataFrame, k: Int, totalRelevant: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(totalRelevant >= 0, "totalRelevant must be >= 0")
+    val idealN = math.min(k.toLong, totalRelevant)
+    val idcg = (1L to idealN).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+    ranked.filter(col("rank") <= k)
+      .agg(
+        sum(col("rel").cast("double") /
+          (log(col("rank").cast("double") + 1) / log(lit(2.0)))).as("dcg"),
+        max(when(col("rel") === 1,
+          lit(1.0) / col("rank").cast("double")).otherwise(0.0)).as("mrr0"),
+        sum(col("rel").cast("double")).as("nrel"))
+      .select(lit(k).as("k"),
+        round(when(lit(idcg) > 0, col("dcg") / lit(idcg)).otherwise(0.0), 4)
+          .as("ndcg"),
+        round(col("mrr0"), 4).as("mrr"),
+        round(col("nrel") / lit(k.toDouble), 4).as("precision"))
   }
 
   /** TF-IDF keyword extraction: the top-`k` terms of every document by

@@ -58,6 +58,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) two-stage top-k: rank by cosine over the FIRST
+    * `prefixDims` coordinates to a `shortlist`, then rerank only the
+    * shortlist by full-dimension cosine and keep `k` — the
+    * prefix-truncation trick of Matryoshka Representation Learning
+    * (Kusupati et al., NeurIPS'22): MRL-trained embeddings front-load
+    * information, so a d/4 prefix scan buys most of the ranking at a
+    * quarter of the multiply-adds and memory bandwidth.
+    *
+    * Scale shape: stage 1 is the ONLY corpus-sized pass and it reads
+    * `prefixDims/d` of the vector bytes (columnar stores can even prune
+    * the page reads); stage 2 reranks a BOUNDED list. Both stages are
+    * round-then-rank (cosines to 4 decimals, ties by id) so the result
+    * is engine-exact and the quality loss vs the exact full-dim top-k
+    * is measurable — the v8 gate pins the overlap as a pure function
+    * of the corpus, replayed exactly by the DuckDB oracle.
+    * Returns (idCol, sim) — full-dim cosine — of the final k.
+    */
+  def matryoshkaTopK(vectors: DataFrame, queryId: Long, k: Int,
+      prefixDims: Int, shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    require(prefixDims >= 1, s"need prefixDims >= 1, got $prefixDims")
+    val q = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"),
+        slice(col(vecCol), 1, prefixDims).as("qpre"))
+    // A zero-norm prefix (information living entirely past prefixDims)
+    // must rank LAST in stage 1, not divide by zero under ANSI — the
+    // honest semantics: the prefix scan knows nothing about that vector.
+    val pre = slice(col(vecCol), 1, prefixDims)
+    val preSim = when(norm(pre) > 0 && norm(col("qpre")) > 0,
+      round(cosine(pre, col("qpre")), 4)).otherwise(lit(-2.0))
+    val stage1 = vectors.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("qvec"), preSim.as("pre_sim"))
+      .orderBy(col("pre_sim").desc, col(idCol))
+      .limit(shortlist)
+    stage1
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** MMR (maximal-marginal-relevance) diversified re-rank of a bounded
     * candidate list — the standard RAG diversification pass (Carbonell &
     * Goldstein '98): greedily select `select` documents maximizing
@@ -965,7 +1008,11 @@ object Similarity {
     * they are built once, stored with the data, and every later session
     * or ingest batch reads them instead of re-deriving. Layout:
     * `<path>/centroids` = (cid, pos, c), `<path>/assignments` =
-    * (idCol, sem_cluster), `<path>/params` = (n_clusters, probes).
+    * (idCol, vecCol) PARTITIONED BY sem_cluster — the vector rides in
+    * the posting list (the IVF trade: `probes`× vector storage) so an
+    * ingest batch reads ONLY the probed clusters' partitions, never the
+    * corpus — batch-ingest cost is ∝ probed-cluster mass, independent
+    * of corpus size. `<path>/params` = (n_clusters, probes).
     */
   def semSaveIndex(vectors: DataFrame, path: String, nClusters: Int = 8,
       probes: Int = 3, idCol: String = "vec_id",
@@ -978,8 +1025,9 @@ object Similarity {
       .toIndexedSeq.toDF("cid", "pos", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCentroids(vectors, cents, probes, idCol, vecCol)
-      .select(col(idCol), col("sem_cluster"))
-      .write.mode("overwrite").parquet(s"$path/assignments")
+      .select(col(idCol), col(vecCol), col("sem_cluster"))
+      .write.mode("overwrite").partitionBy("sem_cluster")
+      .parquet(s"$path/assignments")
     Seq((nClusters, probes)).toDF("n_clusters", "probes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
@@ -1014,16 +1062,15 @@ object Similarity {
 
   /** [[semanticDedupPairs]] served from a persisted [[semSaveIndex]]
     * artifact: the stored corpus assignments replace the fit+assign
-    * pass (vectors are re-joined by id for the pair verify — the one
-    * column the pair search needs). Reload ≡ fresh is spec-pinned:
-    * both the centroid set and the assignment ranking are
-    * deterministic, so the served pair set is identical. */
+    * pass, and since r14 the posting lists carry the vectors at rest,
+    * so the pair verify needs NO join back to the corpus. Reload ≡
+    * fresh is spec-pinned: both the centroid set and the assignment
+    * ranking are deterministic, so the served pair set is identical. */
   def semanticDedupPairsFromIndex(spark: SparkSession, path: String,
-      vectors: DataFrame, threshold: Double = 0.4,
+      threshold: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     cosinePairsAuto(
       spark.read.parquet(s"$path/assignments")
-        .join(vectors.select(col(idCol), col(vecCol)), idCol)
         .select(col("sem_cluster"), col(idCol), col(vecCol)),
       "sem_cluster", threshold, idCol, vecCol)
       .distinct()
@@ -1053,19 +1100,31 @@ object Similarity {
     * ([[semanticClustersFromIndex]]), candidates are only
     * (batch × corpus) rows sharing a probed cluster (corpus-internal
     * pairs never materialize — the `Dedup.incrementalNearDup` shape),
-    * then exact-cosine verified. Returns (batch_doc, corpus_doc, sim).
+    * then exact-cosine verified. The corpus side comes entirely from
+    * the index at rest: the posting lists carry the vectors and are
+    * partitioned by `sem_cluster`, and the explicit isin-filter on the
+    * batch's probed cluster ids prunes at the parquet-partition level —
+    * batch-ingest cost is ∝ the probed clusters' mass, INDEPENDENT of
+    * corpus size (pinned by tools/IngestProbe across decades). Returns
+    * (batch_doc, corpus_doc, sim).
     */
   def incrementalSemanticDedup(spark: SparkSession, path: String,
-      corpus: DataFrame, batch: DataFrame, threshold: Double = 0.4,
+      batch: DataFrame, threshold: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val batchSide = graft.CacheRegistry.register(
+      semanticClustersFromIndex(spark, path, batch, idCol, vecCol)
+        .select(col("sem_cluster"), col(idCol).as("batch_doc"),
+          col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+        .localCheckpoint())
+    // Bounded collect: ≤ nClusters distinct ids — a literal partition
+    // filter prunes at plan time (no reliance on runtime DPP).
+    val probed = batchSide.select(col("sem_cluster"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val corpusSide = spark.read.parquet(s"$path/assignments")
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .filter(col("sem_cluster").isin(probed.map(Integer.valueOf): _*))
       .select(col("sem_cluster"), col(idCol).as("corpus_doc"),
         col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    val batchSide = semanticClustersFromIndex(spark, path, batch, idCol, vecCol)
-      .select(col("sem_cluster"), col(idCol).as("batch_doc"),
-        col(vecCol).as("va"), norm(col(vecCol)).as("na"))
-    batchSide.join(corpusSide, Seq("sem_cluster"))
+    batchSide.hint("broadcast").join(corpusSide, Seq("sem_cluster"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"),

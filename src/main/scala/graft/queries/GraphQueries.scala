@@ -414,8 +414,9 @@ object GraphQueries {
     * contract: rounding absorbs last-ulp ln and summation-order
     * differences between engines). Reference behavior: link-prediction
     * scoring is the graph-analytics surface of the reference's AQL
-    * neighborhood queries (demo_agens_query/04_performance_test.py) —
-    * re-expressed as one declarative wedge aggregate.
+    * 1-hop neighborhood traversal (demo_offline/06_arango/02initdb.py:
+    * 46-52, `FOR v,e,p IN 1..1 OUTBOUND ... RETURN v`) — re-expressed
+    * as one declarative wedge aggregate.
     */
   def g12AdamicAdar(spark: SparkSession, d: String): DataFrame = {
     val edges = graft.CacheRegistry.register(

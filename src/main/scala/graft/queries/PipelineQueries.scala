@@ -179,6 +179,42 @@ object PipelineQueries {
       lit(ok).as("meets_floor"))
   }
 
+  /** V6 invariants twin (r13 verdict #5): pins the PROJECTION itself —
+    * not just the model — against DuckDB-exact ground truth, upgrading
+    * the v6 family beyond the rows-only `v6_pca_project`. Per component
+    * c, the population variance of the engine's own projected column
+    * must equal the eigenvalue (var_pop(p_c) − λ_c = 0 to 6 decimals —
+    * two independent computation paths: the distributed projection scan
+    * vs the moment-pass eigensolve) and the cross-component covariance
+    * must vanish (covar_pop(p1,p2) = 0 to 6 decimals — PC directions
+    * are orthogonal under the data's own inner product). Both rounded
+    * values are constants DuckDB replays literally; `total_var` anchors
+    * the gate to decade-varying exact ground truth (the covariance
+    * trace = Σ per-coordinate var_pop, which the oracle recomputes from
+    * the source table). A broken moment pass, eigensolve, or projection
+    * each moves a different column off its pinned value.
+    */
+  def v6PcaInvariants(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = Pca.fit(emb)
+    val r = Pca.project(emb, model, k = 2)
+      .agg(var_pop(col("p1")).as("v1"), var_pop(col("p2")).as("v2"),
+        covar_pop(col("p1"), col("p2")).as("c12")).head()
+    val projVar = Array(r.getDouble(0), r.getDouble(1))
+    val c12 = r.getDouble(2)
+    import spark.implicits._
+    Seq(1, 2).map { c =>
+      (c, projVar(c - 1) - model.eigenvalues(c - 1), c12, model.totalVar)
+    }.toDF("component", "var_minus_eig", "cross_cov", "total_var")
+      .select(col("component"),
+        // + 0.0 normalizes IEEE −0.0 (a hair-negative diff rounded to
+        // zero) to +0.0 so the hash matches the oracle's literal 0.0
+        (round(col("var_minus_eig"), 6) + lit(0.0)).as("var_minus_eig"),
+        (round(col("cross_cov"), 6) + lit(0.0)).as("cross_cov"),
+        round(col("total_var"), 6).as("total_var"))
+      .orderBy(col("component"))
+  }
+
   // The v7 gate's persisted moment artifact: built ONCE per (session,
   // decade) — the gate exercises the stats-at-rest path, and the
   // moments are a pure function of the corpus so every rebuild is
@@ -856,7 +892,7 @@ object PipelineQueries {
   def d49IncrementalSemantic(spark: SparkSession, d: String): DataFrame = {
     val (corpus, batch) = d49Sides(spark, d)
     Similarity.incrementalSemanticDedup(spark,
-        semIndexFor(spark, d, corpus), corpus, batch)
+        semIndexFor(spark, d, corpus), batch)
       .orderBy(col("batch_doc"), col("corpus_doc"))
   }
 
@@ -1236,6 +1272,78 @@ object PipelineQueries {
         window = 3)
       .orderBy(col("doc_id"))
 
+  /** T29: pseudo-relevance-feedback query expansion
+    * ([[Search.expandQuery]]): the top-10 docs by seed-term frequency
+    * form the pseudo-relevant set; expansion terms score by summed tf
+    * within it × corpus idf. Two map-side-combined aggregates over the
+    * corpus, bounded TakeOrdered pseudo-rel set, broadcast joins —
+    * retrieval's classic second pass, corpus cost = the tf/df passes
+    * the index build already pays.
+    */
+  def t29QueryExpansion(spark: SparkSession, d: String): DataFrame =
+    Search.expandQuery(Tables.documents(spark, d), seedTerm = "query",
+        relK = 10, topM = 10)
+      .select(col("term"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** T30: exact two-token phrase search ([[Search.phraseHits]]) — the
+    * first "data window" adjacency per document; zero-shuffle
+    * scan-stage array HOFs, the contamination/boilerplate phrase sweep
+    * shape.
+    */
+  def t30PhraseSearch(spark: SparkSession, d: String): DataFrame =
+    Search.phraseHits(Tables.documents(spark, d), "data", "window")
+      .orderBy(col("doc_id"))
+
+  /** T31: ranking-quality eval ([[Search.rankEval]]) — nDCG@10 / MRR /
+    * precision@10 of the exact cosine top-10 for query vector 0, with
+    * binary relevance = label match (the retrieval-eval harness shape:
+    * ranker output bounded, relevance totals one distributed count).
+    * Fully oracle-replayable: the ranking is round-then-rank exact and
+    * the metrics are closed-form over it.
+    */
+  def t31RankEval(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val qLabel = emb.filter(col("vec_id") === 0L)
+      .select(col("label")).head().getInt(0)
+    val totalRel = emb
+      .filter(col("vec_id") =!= 0L && col("label") === qLabel).count()
+    val ranked = Search.rankTopN(
+        Similarity.bruteForceTopK(emb, queryId = 0L, k = 10),
+        "sim", 10, idCol = "vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .withColumn("rel", when(col("label") === qLabel, 1).otherwise(0))
+    Search.rankEval(ranked, k = 10, totalRelevant = totalRel)
+  }
+
+  /** V8: Matryoshka two-stage top-k ([[Similarity.matryoshkaTopK]]) —
+    * prefix-16-dim cosine shortlist (50) then full-dim rerank to 10.
+    * The MRL trick: stage 1, the only corpus-sized pass, reads a
+    * quarter of the vector bytes. Deterministic end to end
+    * (round-then-rank at both stages), so the full list replays in
+    * DuckDB — no recall floor needed, the oracle pins the exact output.
+    */
+  def v8MatryoshkaTopk(spark: SparkSession, d: String): DataFrame =
+    Similarity.matryoshkaTopK(Tables.embeddings(spark, d), queryId = 0L,
+      k = 10, prefixDims = 16, shortlist = 50)
+
+  /** V8 overlap twin: |matryoshka top-10 ∩ exact full-dim top-10| / 10
+    * — the quality loss of the prefix shortlist as a pure function of
+    * the corpus, exactly replayed by the oracle (both rankings are
+    * deterministic), so prefix-truncation quality drift reds a hash.
+    */
+  def v8MatryoshkaOverlap(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val mk = Similarity.matryoshkaTopK(emb, queryId = 0L, k = 10,
+      prefixDims = 16, shortlist = 50).select(col("vec_id"))
+    val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+      .select(col("vec_id"))
+    mk.join(exact, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), lit(16).as("prefix_dims"),
+        round(col("hits").cast("double") / lit(10.0), 4).as("overlap"))
+  }
+
   /** T9: exact corpus heavy hitters — top-20 trigrams by frequency, the
     * boilerplate-vocabulary audit pass ([[graft.pipeline.Search.topNgrams]]).
     */
@@ -1609,6 +1717,7 @@ object PipelineQueries {
     "v3_sq8_quant" -> v3Sq8Quant,
     "v6_pca_project" -> v6PcaProject,
     "v6_pca_var" -> v6PcaVar,
+    "v6_pca_invariants" -> v6PcaInvariants,
     "v7_pca_merge" -> v7PcaMerge,
     "t27_mmr_rerank" -> t27MmrRerank,
     "t18_zipf" -> t18Zipf,
@@ -1621,6 +1730,11 @@ object PipelineQueries {
     "s12_orc_roundtrip" -> s12OrcRoundtrip,
     "t26_hybrid_rrf" -> t26HybridRrf,
     "t28_kwic_snippets" -> t28KwicSnippets,
+    "t29_query_expansion" -> t29QueryExpansion,
+    "t30_phrase_search" -> t30PhraseSearch,
+    "t31_rank_eval" -> t31RankEval,
+    "v8_matryoshka_topk" -> v8MatryoshkaTopk,
+    "v8_matryoshka_overlap" -> v8MatryoshkaOverlap,
     "d7_hash_sample" -> d7HashSample,
     "d8_stratified_sample" -> d8StratifiedSample,
     "d18_seeded_shuffle" -> d18SeededShuffle,
@@ -2139,6 +2253,117 @@ object PipelineQueries {
         |SELECT 'pca' AS method, round(max(v), 6) AS max_coord_var,
         |  true AS meets_floor
         |FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i)""".stripMargin,
+    // t29: the pseudo-rel set is an exact integer-tf TakeOrdered (ties by
+    // doc_id); scores round-then-rank; ln is natural log on both engines.
+    "t29_query_expansion" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+        |rel AS (SELECT doc_id FROM tf WHERE term = 'query'
+        |        ORDER BY tf DESC, doc_id LIMIT 10),
+        |sc AS (SELECT tf.term, sum(tf.tf)::DOUBLE AS tf_rel
+        |       FROM tf JOIN rel USING (doc_id)
+        |       WHERE tf.term <> 'query' GROUP BY 1),
+        |scored AS (SELECT sc.term, round(tf_rel * ln(n_docs / df), 4) AS score
+        |           FROM sc JOIN dfr USING (term), n)
+        |SELECT term, score,
+        |  row_number() OVER (ORDER BY score DESC, term) AS rank
+        |FROM scored ORDER BY score DESC, term LIMIT 10""".stripMargin,
+    // t30: 1-based token index; range(1, len) yields i in [1, len-1] so
+    // ws[i+1] never overruns; list_filter lambda mirrors Spark's
+    // filter(sequence(...)) HOF; first hit via [1].
+    "t30_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, list_filter(range(1, len(ws)),
+        |    i -> ws[i] = 'data' AND ws[i + 1] = 'window') AS hits
+        |  FROM t WHERE len(ws) >= 2)
+        |SELECT doc_id, hits[1]::BIGINT AS pos
+        |FROM p WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+    // t31: the ranking replays exactly (round-then-rank, ties by vec_id);
+    // nDCG's ideal truncates at min(k, corpus-wide relevant); log2 on
+    // both engines; metrics round to 4.
+    "t31_rank_eval" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |           FROM embeddings),
+        |q AS (SELECT label, e FROM v WHERE vec_id = 0),
+        |top AS (
+        |  SELECT v.vec_id, v.label,
+        |    row_number() OVER (
+        |      ORDER BY round(list_cosine_similarity(v.e, q.e), 4) DESC,
+        |        v.vec_id) AS rank
+        |  FROM v, q WHERE v.vec_id <> 0
+        |  QUALIFY rank <= 10),
+        |r AS (SELECT count(*)::BIGINT AS total_rel
+        |      FROM v, q WHERE v.vec_id <> 0 AND v.label = q.label),
+        |i AS (SELECT sum(CASE WHEN x <= least(10, (SELECT total_rel FROM r))
+        |        THEN 1.0 / log2(x + 1) ELSE 0 END) AS idcg
+        |      FROM range(1, 11) t(x)),
+        |m AS (SELECT
+        |    sum(CASE WHEN t.label = q.label
+        |        THEN 1.0 / log2(t.rank + 1) ELSE 0 END) AS dcg,
+        |    max(CASE WHEN t.label = q.label
+        |        THEN 1.0 / t.rank ELSE 0 END) AS mrr0,
+        |    sum(CASE WHEN t.label = q.label THEN 1 ELSE 0 END)::DOUBLE
+        |      AS nrel
+        |  FROM top t, q)
+        |SELECT 10 AS k, round(dcg / idcg, 4) AS ndcg,
+        |  round(mrr0, 4) AS mrr, round(nrel / 10, 4) AS precision
+        |FROM m, i""".stripMargin,
+    // v8: both stages replay literally — e[1:16] is DuckDB's inclusive
+    // slice of the first 16 coords (Spark slice(e, 1, 16)).
+    "v8_matryoshka_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e FROM v WHERE vec_id = 0),
+        |s1 AS (
+        |  SELECT v.vec_id, v.e FROM v, q WHERE v.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(v.e[1:16], q.e[1:16]), 4)
+        |    DESC, v.vec_id
+        |  LIMIT 50)
+        |SELECT s1.vec_id,
+        |  round(list_cosine_similarity(s1.e, q.e), 4) AS sim
+        |FROM s1, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v8_matryoshka_overlap" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e FROM v WHERE vec_id = 0),
+        |ex AS (
+        |  SELECT v.vec_id FROM v, q WHERE v.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(v.e, q.e), 4) DESC, v.vec_id
+        |  LIMIT 10),
+        |s1 AS (
+        |  SELECT v.vec_id, v.e FROM v, q WHERE v.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(v.e[1:16], q.e[1:16]), 4)
+        |    DESC, v.vec_id
+        |  LIMIT 50),
+        |mk AS (
+        |  SELECT s1.vec_id FROM s1, q
+        |  ORDER BY round(list_cosine_similarity(s1.e, q.e), 4) DESC, s1.vec_id
+        |  LIMIT 10)
+        |SELECT 10 AS k, 16 AS prefix_dims,
+        |  round((SELECT count(*) FROM mk JOIN ex USING (vec_id))::DOUBLE
+        |    / 10, 4) AS overlap""".stripMargin,
+    // v6 invariants: var_pop(p_c) − λ_c and covar_pop(p1,p2) are pinned
+    // ZEROS (engine-verified to 6 decimals — DuckDB cannot replay the
+    // eigensolve, but it CAN hold the engine to the invariant's exact
+    // rounded value); total_var is the covariance trace, which DuckDB
+    // recomputes exactly as Σ per-coordinate var_pop — the decade-varying
+    // anchor that keeps the gate from being a constant tautology.
+    "v6_pca_invariants" ->
+      """WITH x AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS xi,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |tv AS (
+        |  SELECT round(sum(v), 6) AS total_var
+        |  FROM (SELECT i, var_pop(xi) AS v FROM x GROUP BY i))
+        |SELECT c AS component, 0.0::DOUBLE AS var_minus_eig,
+        |  0.0::DOUBLE AS cross_cov, total_var
+        |FROM tv, (VALUES (1), (2)) t(c) ORDER BY component""".stripMargin,
     // v7: the incremental merged-moments model must land on the same
     // exact full-corpus ground truth as v6 — the oracle recomputes the
     // max coordinate variance over the WHOLE table and pins meets_floor

@@ -41,6 +41,25 @@ object CryptoProf {
       val s = CryptoFunctions.sign("Ed25519", priv, payloads(i % 256))
       CryptoFunctions.verify("Ed25519", pub, payloads(i % 256), s): Unit
     })
-    println(s"CRYPTOPROF sig_len=${sig0.length}")
+
+    // The u2 path (r13 verdict #3): verifyVc = JSON parse + strip proof +
+    // canonical serialize + hex-decode + Ed25519 verify, per row. Pinning
+    // each stage separately classifies a u2 p50 swing as kernel drift
+    // (tink_verify_raw moved), canonicalization drift (vc_parse_serialize
+    // moved), or environment (neither moved).
+    import graft.functions.{DidVc, JsonCanon}
+    val vcs = (0 until 256).map { i =>
+      DidVc.signVc(
+        DidVc.buildVcDoc(s"vc:$i", "did:example:issuer",
+          s"did:example:drone$i", s"M-$i", s"D-$i", "2024-01-01T00:00:00Z"),
+        priv, "2024-01-01T00:00:00Z", "did:example:issuer#key-1")
+    }.toArray
+    time("vc_parse_only")(i => { JsonCanon.parse(vcs(i % 256)): Unit })
+    time("vc_parse_serialize")(i =>
+      { JsonCanon.serialize(JsonCanon.parse(vcs(i % 256))): Unit })
+    time("cf_verify_vc")(i => {
+      require(DidVc.verifyVc(vcs(i % 256), pub), "verifyVc returned false")
+    })
+    println(s"CRYPTOPROF sig_len=${sig0.length} vc_len=${vcs(0).length}")
   }
 }

@@ -40,7 +40,7 @@ object D33Probe {
       val path = java.nio.file.Files.createTempDirectory("d49probe").toString
       Similarity.semSaveIndex(corpus, path)
       val exact = Similarity.crossCosinePairsExact(batch, corpus, 0.4)
-      val approx = Similarity.incrementalSemanticDedup(spark, path, corpus, batch)
+      val approx = Similarity.incrementalSemanticDedup(spark, path, batch)
         .select(col("batch_doc").as("vec_a"), col("corpus_doc").as("vec_b"))
       val r = Similarity.pairRecall(exact, approx, "d49").head()
       println(s"PROBE d49 $d n_exact=${r.getInt(1)} recall=${r.getDouble(2)}")

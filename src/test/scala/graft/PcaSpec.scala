@@ -154,4 +154,44 @@ class PcaSpec extends AnyFunSuite {
       .agg(var_pop(col("p1"))).head().getDouble(0)
     assert(math.abs(vp - model.eigenvalues(0)) < 1e-9)
   }
+
+  test("stats rejects a null coordinate value loudly (ADVICE r13)") {
+    // Equal-length vectors, one interior null: sum() would silently skip
+    // it while the presence counts still agree — the non-null diagonal
+    // count is what reds the guard.
+    val df = spark.sql(
+      """SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS embedding
+        |UNION ALL SELECT array(4.0D, 5.0D, 6.0D)
+        |UNION ALL SELECT array(7.0D, 8.0D, 9.0D)""".stripMargin)
+    val e = intercept[IllegalArgumentException] { Pca.stats(df) }
+    assert(e.getMessage.contains("null coordinate"))
+  }
+
+  test("loadStats rejects duplicated cells and inconsistent diag counts") {
+    val df = (0 until 20).map(i =>
+      Tuple1(Seq(math.sin(i.toDouble), math.cos(0.7 * i), i.toDouble / 3)))
+      .toDF("embedding")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pca_stats_adv").toString
+    Pca.saveStats(spark, Pca.stats(df), path)
+    val art = spark.read.parquet(path)
+    // Duplicate (0,0) and drop (0,1): the triangle COUNT still totals
+    // d(d+1)/2, so only the distinct-cell check can catch it.
+    val dup = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pca_stats_dup").toString
+    art.filter(!(col("i") === 0 && col("j") === 1))
+      .unionByName(art.filter(col("i") === 0 && col("j") === 0))
+      .write.mode("overwrite").parquet(dup)
+    val e1 = intercept[IllegalArgumentException] { Pca.loadStats(spark, dup) }
+    assert(e1.getMessage.contains("duplicate cell"))
+    // One diagonal cnt nudged: same shape, inconsistent n.
+    val skew = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pca_stats_skew").toString
+    art.withColumn("cnt",
+        when(col("i") === 1 && col("j") === 1, col("cnt") + 1)
+          .otherwise(col("cnt")))
+      .write.mode("overwrite").parquet(skew)
+    val e2 = intercept[IllegalArgumentException] { Pca.loadStats(spark, skew) }
+    assert(e2.getMessage.contains("inconsistent diagonal"))
+  }
 }

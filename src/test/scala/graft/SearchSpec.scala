@@ -146,6 +146,74 @@ class SearchSpec extends AnyFunSuite {
     assert(got(5L) == (2L, "a vector b vector c"))
   }
 
+  test("rrfFuse rejects a leg with duplicate ids loudly (ADVICE r13)") {
+    val lex = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rank")
+    val dup = Seq((11L, 1), (11L, 2), (13L, 3)).toDF("doc_id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq("lex" -> lex, "vec" -> dup), topK = 5)
+    }
+    assert(e.getMessage.contains("duplicate doc_id"))
+  }
+
+  test("kwicSnippets matches a mixed-case term against lowercased tokens") {
+    val docs = Seq((1L, "The Vector sum"), (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val got = Search.kwicSnippets(docs, "Vector", window = 1)
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq((1L, 2L, "the vector sum")))
+  }
+
+  test("expandQuery: hand-checked pseudo-relevance expansion") {
+    // seed "q": docs 1 (tf 2) and 2 (tf 1) are the pseudo-relevant set
+    // (relK 2); doc 3 never enters. Candidate terms: "alpha" (tf_rel 3,
+    // df 2), "beta" (tf_rel 1, df 3 -> idf smallest), "rare" (tf_rel 1,
+    // df 1 -> idf ln(3)).
+    val docs = Seq(
+      (1L, "q q alpha alpha rare"),
+      (2L, "q alpha beta"),
+      (3L, "beta beta alpha common"))
+      .toDF("doc_id", "text")
+    val got = Search.expandQuery(docs, "q", relK = 2, topM = 3)
+      .as[(String, Double, Int)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scores: alpha 3*ln(3/3)=0, rare 1*ln(3/1)=1.0986, beta 1*ln(3/2)
+    assert(got.map(_._1) == Seq("rare", "beta", "alpha"))
+    assert(got(0)._2 == r4(math.log(3.0)))
+    assert(got(1)._2 == r4(math.log(1.5)))
+    assert(got(2)._2 == 0.0)
+    assert(got.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("phraseHits: adjacency only, first hit, case-insensitive, edge-safe") {
+    val docs = Seq(
+      (1L, "Data Window opens"),        // hit at 1 (case folded)
+      (2L, "the data window data window"), // first hit at 2
+      (3L, "data x window"),            // non-adjacent: no hit
+      (4L, "window data"),              // wrong order: no hit
+      (5L, "data"))                     // single token: filtered pre-HOF
+      .toDF("doc_id", "text")
+    val got = Search.phraseHits(docs, "data", "window")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("rankEval: hand-checked nDCG/MRR/precision") {
+    // ranks 1..4, relevant at 2 and 4; corpus has 3 relevant total.
+    val ranked = Seq((1, 0), (2, 1), (3, 0), (4, 1)).toDF("rank", "rel")
+    val got = Search.rankEval(ranked, k = 4, totalRelevant = 3L)
+      .as[(Int, Double, Double, Double)].head()
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dcg = 1 / log2(3) + 1 / log2(5)
+    val idcg = 1 / log2(2) + 1 / log2(3) + 1 / log2(4) // min(k=4, R=3) terms
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 4)
+    assert(got._2 == r4(dcg / idcg))
+    assert(got._3 == 0.5)     // first relevant at rank 2
+    assert(got._4 == 0.5)     // 2 of 4
+  }
+
   test("rankTopN: round-then-rank contract, id ties, n-bounded output") {
     val scored = Seq((4L, 1.0), (2L, 3.0), (3L, 3.0), (1L, 2.0))
       .toDF("doc_id", "s")

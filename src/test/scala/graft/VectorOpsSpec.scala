@@ -267,12 +267,13 @@ class VectorOpsSpec extends AnyFunSuite {
         .select("vec_id", "sem_cluster")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       val stored = spark.read.parquet(s"$dir/assignments")
+        .select("vec_id", "sem_cluster")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(stored == fresh, "assignment artifact drifted")
       // Pairs served from the index at rest equal the fresh pair set.
       val freshPairs = Similarity.semanticDedupPairs(emb)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val servedPairs = Similarity.semanticDedupPairsFromIndex(spark, dir, emb)
+      val servedPairs = Similarity.semanticDedupPairsFromIndex(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(servedPairs == freshPairs,
         s"served ${servedPairs.size} vs fresh ${freshPairs.size}")
@@ -281,7 +282,7 @@ class VectorOpsSpec extends AnyFunSuite {
       // — self-sim 1.0 — without any refit.
       val batch = emb.filter(col("vec_id").isin(0L, 1L))
         .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
-      val inc = Similarity.incrementalSemanticDedup(spark, dir, emb, batch)
+      val inc = Similarity.incrementalSemanticDedup(spark, dir, batch)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(inc.exists(t => t._1 == 90000L && t._2 == 0L && t._3 == 1.0),
         s"planted copy not found: ${inc.toSeq.take(10)}")
@@ -414,5 +415,29 @@ class VectorOpsSpec extends AnyFunSuite {
       .mmrRerank(df, queryId = 0L, candidates = 2, select = 1, lambda = 0.7)
       .as[(Int, Long, Double)].collect().toSeq
     assert(got.map(g => (g._1, g._2)) == Seq((1, 7L)))
+  }
+
+  test("matryoshkaTopK: prefix shortlist can exclude a full-dim winner; " +
+      "wide shortlist recovers it") {
+    // Query = (1,0 | 0,0). Vector 10 matches ONLY in the suffix dims
+    // (prefix cosine 0) — a tight shortlist of 2 keeps 11 and 12 (both
+    // prefix-aligned) and never sees 10; the full-dim rerank then
+    // cannot recover it. Widening the shortlist to all 3 does.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (10L, Seq(0.0, 0.0, 1.0, 0.0)),  // suffix-only: prefix sim 0
+      (11L, Seq(1.0, 0.0, 0.0, 0.0)),  // exact prefix+full match
+      (12L, Seq(0.9, 0.1, 0.0, 0.0)))  // strong prefix match
+      .toDF("vec_id", "embedding")
+    val tight = graft.pipeline.Similarity
+      .matryoshkaTopK(df, queryId = 0L, k = 2, prefixDims = 2, shortlist = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(tight.keySet == Set(11L, 12L))
+    assert(tight(11L) == 1.0)
+    val wide = graft.pipeline.Similarity
+      .matryoshkaTopK(df, queryId = 0L, k = 3, prefixDims = 2, shortlist = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(wide.keySet == Set(10L, 11L, 12L))
+    assert(wide(10L) == 0.0) // full-dim cosine of the suffix-only vector
   }
 }
