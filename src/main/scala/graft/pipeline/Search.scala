@@ -212,9 +212,13 @@ object Search {
     require(seedTerm.nonEmpty, "expandQuery requires a non-empty seed term")
     require(relK >= 1 && topM >= 1, s"need relK/topM >= 1, got $relK/$topM")
     val seed = seedTerm.toLowerCase(java.util.Locale.ROOT)
-    val tf = docs
+    // tf feeds three consumers (the seed ranking, the df aggregate, and
+    // the expansion scoring) — cached so the corpus tokenize+aggregate
+    // runs once, not three times (the d4 sets-cache discipline).
+    val tf = graft.CacheRegistry.register(docs
       .select(col(idCol), explode(ws(textCol)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .cache())
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val rel = rankTopN(tf.filter(col("term") === seed)
@@ -235,26 +239,42 @@ object Search {
 
   /** Exact two-token phrase search: every document whose lowercased
     * token stream contains `w1` immediately followed by `w2`, with the
-    * 1-based position of the FIRST such occurrence. Pure scan-stage
-    * array HOFs (sequence/filter/element_at) — zero shuffle, the same
-    * one-table-scan shape as [[kwicSnippets]]; at 1000 executors a
-    * phrase sweep over 100 TB is one pass. Returns (idCol, pos).
+    * 1-based token position of the FIRST such occurrence. Zero shuffle,
+    * one table scan — and, deliberately, NO array HOFs: the first cut
+    * (filter over sequence(1, size−1) with element_at probes) allocated
+    * an O(len) index array per row through an interpreted lambda and
+    * read 220 s at sf10 (superlinear — WaveProbe r14); this form is
+    * three whole-stage-codegen string kernels. The text is canonicalized
+    * to single spaces and space-padded, the phrase becomes the literal
+    * `" w1 w2 "` found by instr (first occurrence, no regex), and the
+    * token position is recovered by counting the spaces in the prefix:
+    * split(prefix, " ") has (pos + 1) elements — the leading "" plus the
+    * pos−1 tokens before the hit plus the trailing "" of the matched
+    * space. Token-exact equal to the HOF form (spec + oracle pinned).
+    * Returns (idCol, pos).
     */
   def phraseHits(docs: DataFrame, w1: String, w2: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w1.nonEmpty && w2.nonEmpty, "phraseHits requires non-empty tokens")
-    val a = lit(w1.toLowerCase(java.util.Locale.ROOT))
-    val b = lit(w2.toLowerCase(java.util.Locale.ROOT))
-    docs.select(col(idCol), ws(textCol).as("ws"))
-      .filter(size(col("ws")) >= 2) // sequence(1, 0) would run DESCENDING
-      // try_element_at: ANSI element_at throws on the empty hit list
-      .withColumn("pos", try_element_at(
-        filter(sequence(lit(1), size(col("ws")) - 1),
-          i => element_at(col("ws"), i) === a &&
-            element_at(col("ws"), i + 1) === b), lit(1)).cast("long"))
-      .filter(col("pos").isNotNull)
-      .select(col(idCol), col("pos"))
+    require(!w1.exists(_.isWhitespace) && !w2.exists(_.isWhitespace),
+      "phraseHits tokens must not contain whitespace")
+    val needle = " " + w1.toLowerCase(java.util.Locale.ROOT) +
+      " " + w2.toLowerCase(java.util.Locale.ROOT) + " "
+    docs.select(col(idCol),
+        concat(lit(" "),
+          regexp_replace(lower(col(textCol)), "\\s+", " "),
+          lit(" ")).as("norm"))
+      .withColumn("off", instr(col("norm"), needle))
+      .filter(col("off") > 0)
+      .select(col(idCol),
+        (size(split(substring_index_safe(col("norm"), col("off")), " "))
+          - 1).cast("long").as("pos"))
   }
+
+  // substring(str, 1, off) with a Column length — the functions API only
+  // takes Int literals, so route through expr-free Column arithmetic.
+  private def substring_index_safe(strCol: Column, offCol: Column): Column =
+    strCol.substr(lit(1), offCol)
 
   /** Ranking-quality metrics over a ranked result list with binary
     * relevance — the eval harness a retrieval stack runs at corpus
