@@ -290,7 +290,8 @@ object Search {
     require(k >= 1, s"need k >= 1, got $k")
     require(totalRelevant >= 0, "totalRelevant must be >= 0")
     val idealN = math.min(k.toLong, totalRelevant)
-    val idcg = (1L to idealN).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+    val idcg = (1L to idealN)
+      .map(i => 1.0 / (math.log((i + 1).toDouble) / math.log(2))).sum
     ranked.filter(col("rank") <= k)
       .agg(
         sum(col("rel").cast("double") /

@@ -147,7 +147,8 @@ object Similarity {
     }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Double, Array[Double])] ++ cand
     var step = 1
     while (step <= select && remaining.nonEmpty) {
       val scored = remaining.map { case (id, rel, e) =>
@@ -1121,7 +1122,7 @@ object Similarity {
     val probed = batchSide.select(col("sem_cluster"))
       .distinct().collect().map(_.getInt(0)).sorted
     val corpusSide = spark.read.parquet(s"$path/assignments")
-      .filter(col("sem_cluster").isin(probed.map(Integer.valueOf): _*))
+      .filter(col("sem_cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("sem_cluster"), col(idCol).as("corpus_doc"),
         col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
     batchSide.hint("broadcast").join(corpusSide, Seq("sem_cluster"))
