@@ -190,6 +190,56 @@ object Search {
           .as("snippet"))
   }
 
+  /** PMI-scored collocations: the top-`k` adjacent bigrams by pointwise
+    * mutual information ln(p(ab) / (p(a)·p(b))) with a `minCount`
+    * support floor (the rare-pair PMI explosion guard) — the standard
+    * corpus-statistics pass for multiword-expression discovery and
+    * boilerplate phrase auditing. p(ab) over the bigram total, p(a)
+    * over the unigram total.
+    *
+    * Scale shape: two map-side-combined aggregates (bigram counts,
+    * unigram counts — the [[topNgrams]] shapes), one 1-row totals
+    * aggregate broadcast back, and the unigram table joins twice as a
+    * vocabulary-sized broadcast. PMI rounds to 4 BEFORE the final rank
+    * (ties by bigram text) — round-then-rank. The division association
+    * `(cab/Nbi) / ((ca/Nuni) * (cb/Nuni))` is part of the oracle's
+    * float contract — do not refactor the algebra on one side only.
+    * Output: (gram, n, pmi, rank).
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 10, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"need k >= 1 and minCount >= 1, got k=$k minCount=$minCount")
+    val toks = graft.CacheRegistry.register(
+      docs.select(ws(textCol).as("ws")).cache())
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // biAll cached: it feeds both the totals (p(ab)'s denominator is the
+    // WHOLE bigram mass, not just the frequent survivors) and the floor.
+    val biAll = graft.CacheRegistry.register(toks
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .cache())
+    val bi = biAll.filter(col("n") >= minCount)
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      .crossJoin(biAll.agg(sum(col("n")).cast("double").as("n_bi")))
+    val scored = bi
+      .withColumn("wa", split(col("gram"), " ").getItem(0))
+      .withColumn("wb", split(col("gram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") / col("n_bi")) /
+          ((col("ca").cast("double") / col("n_uni")) *
+            (col("cb").cast("double") / col("n_uni")))), 4))
+      .select(col("gram"), col("n"), col("pmi"))
+    rankTopN(scored, "pmi", k, idCol = "gram")
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio-lite / RM1):
     * the top-`relK` documents by seed-term frequency form the
     * pseudo-relevant set, and candidate expansion terms are scored by

@@ -1295,6 +1295,17 @@ object PipelineQueries {
     Search.phraseHits(Tables.documents(spark, d), "data", "window")
       .orderBy(col("doc_id"))
 
+  /** T32: PMI collocations ([[Search.pmiCollocations]]) — top-10
+    * adjacent bigrams by pointwise mutual information with a count-5
+    * support floor over the whole-bigram-mass denominator; two
+    * map-side-combined aggregates + a vocabulary broadcast, the
+    * multiword-expression / boilerplate-phrase audit pass.
+    */
+  def t32PmiCollocations(spark: SparkSession, d: String): DataFrame =
+    Search.pmiCollocations(Tables.documents(spark, d), k = 10, minCount = 5)
+      .select(col("gram"), col("n"), col("pmi"), col("rank"))
+      .orderBy(col("rank"))
+
   /** T31: ranking-quality eval ([[Search.rankEval]]) — nDCG@10 / MRR /
     * precision@10 of the exact cosine top-10 for query vector 0, with
     * binary relevance = label match (the retrieval-eval harness shape:
@@ -1733,6 +1744,7 @@ object PipelineQueries {
     "t29_query_expansion" -> t29QueryExpansion,
     "t30_phrase_search" -> t30PhraseSearch,
     "t31_rank_eval" -> t31RankEval,
+    "t32_pmi_collocations" -> t32PmiCollocations,
     "v8_matryoshka_topk" -> v8MatryoshkaTopk,
     "v8_matryoshka_overlap" -> v8MatryoshkaOverlap,
     "d7_hash_sample" -> d7HashSample,
@@ -2285,6 +2297,37 @@ object PipelineQueries {
         |  FROM t WHERE len(ws) >= 2)
         |SELECT doc_id, hits[1]::BIGINT AS pos
         |FROM p WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+    // t32: division association (cab/Nbi) / ((ca/Nuni)*(cb/Nuni)) is the
+    // float contract (mirrored verbatim); Nbi sums the WHOLE bigram mass,
+    // not just the >= 5 survivors; round-then-rank ties by gram.
+    "t32_pmi_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |uni AS (
+        |  SELECT unnest(ws) AS w FROM w),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(ws) >= 2
+        |    THEN list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i + 1])
+        |    ELSE []::VARCHAR[] END) AS gram
+        |  FROM w),
+        |bc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+        |tot AS (
+        |  SELECT (SELECT sum(c) FROM uc)::DOUBLE AS n_uni,
+        |         (SELECT sum(n) FROM bc)::DOUBLE AS n_bi),
+        |scored AS (
+        |  SELECT bc.gram, bc.n,
+        |    round(ln((bc.n::DOUBLE / n_bi) /
+        |      ((ca.c::DOUBLE / n_uni) * (cb.c::DOUBLE / n_uni))), 4) AS pmi
+        |  FROM bc, tot,
+        |    uc ca, uc cb
+        |  WHERE bc.n >= 5
+        |    AND ca.w = string_split(bc.gram, ' ')[1]
+        |    AND cb.w = string_split(bc.gram, ' ')[2])
+        |SELECT gram, n, pmi,
+        |  row_number() OVER (ORDER BY pmi DESC, gram) AS rank
+        |FROM scored ORDER BY pmi DESC, gram LIMIT 10""".stripMargin,
     // t31: the ranking replays exactly (round-then-rank, ties by vec_id);
     // nDCG's ideal truncates at min(k, corpus-wide relevant); log2 on
     // both engines; metrics round to 4.

@@ -163,6 +163,34 @@ class SearchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, "the vector sum")))
   }
 
+  test("pmiCollocations: hand-checked PMI, support floor, whole-mass denominator") {
+    // Corpus tokens: "a b" x3 (always adjacent), plus "a", "b", and "c d"
+    // fillers. Bigrams: (a b) x3, (b a) x2, (b c), (c d) x2, (d a), (a c),
+    // (c b) ... build a corpus small enough to count by hand:
+    // doc1: a b a b  -> bigrams: ab, ba, ab
+    // doc2: a b c d  -> ab, bc, cd
+    // doc3: c d      -> cd
+    val docs = Seq((1L, "a b a b"), (2L, "a b c d"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=2 d=2 (N_uni=10); bigrams: ab=3 ba=1 bc=1 cd=2
+    // — total bigram mass N_bi=7.
+    val got = graft.pipeline.Search
+      .pmiCollocations(docs, k = 10, minCount = 2)
+      .as[(String, Long, Double, Int)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // survivors at minCount=2: "a b" (3) and "c d" (2); PMI over the
+    // WHOLE mass 7: ab = ln((3/7)/((3/10)*(3/10))), cd = ln((2/7)/((2/10)*(2/10)))
+    val pmiAb = r4(math.log((3.0 / 7) / ((3.0 / 10) * (3.0 / 10))))
+    val pmiCd = r4(math.log((2.0 / 7) / ((2.0 / 10) * (2.0 / 10))))
+    assert(got.map(_._1).toSet == Set("a b", "c d"))
+    val m = got.map(g => g._1 -> g).toMap
+    assert(m("a b")._2 == 3L && m("a b")._3 == pmiAb)
+    assert(m("c d")._2 == 2L && m("c d")._3 == pmiCd)
+    // cd has higher PMI (rarer parts): rank 1
+    assert(pmiCd > pmiAb && m("c d")._4 == 1 && m("a b")._4 == 2)
+  }
+
   test("expandQuery: hand-checked pseudo-relevance expansion") {
     // seed "q": docs 1 (tf 2) and 2 (tf 1) are the pseudo-relevant set
     // (relK 2); doc 3 never enters. Candidate terms: "alpha" (tf_rel 3,
