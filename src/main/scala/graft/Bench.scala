@@ -1230,12 +1230,25 @@ object Bench {
     val latDir = new java.io.File(dir, "lat")
     // 1 Hz resource sampler (reference MONITOR_FREQ = 1.0).
     val samples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val stealSamples = scala.collection.mutable.ArrayBuffer[Double]()
     @volatile var stopSampling = false
     val sampler = new Thread(() => {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      // Steal rides along at 1 Hz: the e2e latency percentiles were the
+      // OTHER surface the r12/r13 contended driver captures inflated
+      // (p95 1749 vs official 1035 ms), and steal is the mechanism the
+      // guest cannot otherwise see (r14 forensics).
+      var lastSteal = stealSample()
       while (!stopSampling) {
         val cpu = math.max(0.0, os.getProcessCpuLoad * 100)
+        val nowSteal = stealSample()
+        val stealPct =
+          if (lastSteal._1 < 0 || nowSteal._1 < 0 ||
+            nowSteal._2 <= lastSteal._2) -1.0
+          else 100.0 * (nowSteal._1 - lastSteal._1) /
+            (nowSteal._2 - lastSteal._2)
+        lastSteal = nowSteal
         val rssMb = try {
           val src = scala.io.Source.fromFile("/proc/self/status")
           try src.getLines().find(_.startsWith("VmRSS"))
@@ -1245,6 +1258,7 @@ object Bench {
         } catch { case _: Exception =>
           Runtime.getRuntime.totalMemory / 1048576.0 }
         samples.synchronized { samples += ((cpu, rssMb)) }
+        stealSamples.synchronized { stealSamples += stealPct }
         Thread.sleep(1000)
       }
     })
@@ -1360,6 +1374,12 @@ object Bench {
       val rssMax = if (mems.isEmpty) 0.0 else mems.last
       val rssCapMb = sys.env.getOrElse("SPARK_GRAFT_RSS_CAP_MB", "24576").toDouble
       val rssAlert = rssMax > rssCapMb
+      val stealArr = stealSamples.synchronized {
+        stealSamples.filter(_ >= 0).toArray
+      }
+      val stealAvg = if (stealArr.isEmpty) -1.0
+        else stealArr.sum / stealArr.length
+      val stealMax = if (stealArr.isEmpty) -1.0 else stealArr.max
       val res =
         f""""resource":{"samples":${snap.length},""" +
           f""""cpu_avg_pct":${mean(cpus)}%.1f,"cpu_max_pct":${if (cpus.isEmpty) 0.0 else cpus.last}%.1f,""" +
@@ -1368,7 +1388,8 @@ object Bench {
           f""""rss_p95_mb":${pct(mems, 0.95)}%.1f,""" +
           f""""rss_anon_mb":$anonMb%.1f,"rss_file_mapped_mb":$fileMb%.1f,""" +
           f""""heap_max_mb":${Runtime.getRuntime.maxMemory / 1048576}%d,""" +
-          f""""rss_cap_mb":$rssCapMb%.0f,"rss_alert":$rssAlert}"""
+          f""""rss_cap_mb":$rssCapMb%.0f,"rss_alert":$rssAlert,""" +
+          f""""steal_pct_avg":$stealAvg%.1f,"steal_pct_max":$stealMax%.1f}"""
       // Compact form for the tail-capped final line: per-segment arrays in
       // the order capture_to_broker, broker_to_apply, end_to_end.
       def arr(off: Int): String =
