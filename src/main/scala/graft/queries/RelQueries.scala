@@ -306,6 +306,30 @@ object RelQueries {
     * exchange, so the shuffle carries O(groups × k) rows instead of the
     * table. Ties break on the unique key for engine-independent output.
     */
+  /** O21: ROLLUP aggregate — revenue and order counts at every level of
+    * the region → nation hierarchy plus the grand total, in ONE pass:
+    * Spark's `rollup` expands to grouping sets inside a single
+    * hash-aggregate (Expand + partial agg — map-side combined, one
+    * shuffle), exactly the OLAP subtotal cube a reporting layer asks
+    * for. `lvl` = grouping_id() (0 = leaf, 1 = nation rolled, 3 = grand
+    * total — the same bitmask DuckDB's GROUPING returns) disambiguates
+    * rolled-up NULLs from data NULLs. Decimal-sum contract as q1.
+    */
+  def o21RollupRevenue(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("lvl"))
+      .orderBy(col("lvl"), col("r_name"), col("n_name"))
+
+
   def o5TopkPerGroup(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -980,6 +1004,7 @@ object RelQueries {
     "j14_anti_join" -> j14AntiJoin,
     "j15_semi_join" -> j15SemiJoin,
     "o5_topk_per_group" -> o5TopkPerGroup,
+    "o21_rollup_revenue" -> o21RollupRevenue,
     "j16_interval_overlap" -> j16IntervalOverlap,
     "a8_cube" -> a8Cube,
     "a9_having" -> a9Having,
@@ -1276,6 +1301,19 @@ object RelQueries {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
         |ORDER BY p_partkey""".stripMargin,
+    // o21: GROUPING() bitmask is identical in Spark (grouping_id)
+    // and DuckDB (GROUPING(a, b)); counts cast per the HUGEINT rule.
+    "o21_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*)::BIGINT AS n_orders,
+        |  GROUPING(r_name, n_name)::BIGINT AS lvl
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin,
     "o5_topk_per_group" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(row_number() OVER (

@@ -252,4 +252,27 @@ class RelOpsSpec extends AnyFunSuite {
     assert(!fromGenerate.contains("Exchange"),
       "generator must run in the scan stage, shuffle-free")
   }
+
+  test("o21 rollup: subtotal algebra — levels 0/1/3, margins sum to the total") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.RelQueries.o21RollupRevenue(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).toSet == Set(0L, 1L, 3L))
+    val total = rows.filter(_._5 == 3)
+    assert(total.length == 1 && total.head._1.isEmpty && total.head._2.isEmpty)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(total.head._4 == nOrders, s"grand total ${total.head._4} != $nOrders")
+    // each region subtotal (lvl 1) equals the sum of its leaf rows
+    rows.filter(_._5 == 1).foreach { case (region, _, rev, n, _) =>
+      val leaves = rows.filter(r => r._5 == 0 && r._1 == region)
+      assert(leaves.map(_._4).sum == n, s"region $region order count")
+      assert(math.abs(leaves.map(_._3).sum - rev) < 1e-6,
+        s"region $region revenue subtotal")
+    }
+    // lvl 3 revenue equals the sum of lvl 1 subtotals
+    assert(math.abs(rows.filter(_._5 == 1).map(_._3).sum
+      - total.head._3) < 1e-6)
+  }
+
 }
