@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond reachability (Traverse/Closure):
@@ -420,5 +420,197 @@ object GraphAlgos {
       labels = next
     }
     graft.CacheRegistry.register(labels)
+  }
+
+  /** Exact betweenness centrality on a rooted forest. On a tree the
+    * unique-path structure collapses Brandes' algorithm to subtree-size
+    * algebra: removing node v splits its component (size `Nc`) into its
+    * child subtrees (sizes `s_i`) and the remainder (`Nc − size(v)`), and
+    * the number of unordered endpoint pairs {s,t}, s ≠ v ≠ t, whose path
+    * crosses v is
+    *
+    *   C(Nc−1, 2) − Σ_i C(s_i, 2) − C(Nc − size(v), 2)
+    *
+    * (pairs not avoiding v = all pairs minus pairs confined to one side).
+    * All-integer arithmetic — an exact hash-pinnable result with no
+    * sampling and no per-pair work, where general-graph betweenness
+    * needs |V| BFS sweeps.
+    *
+    * Plan shape: `maxDepth` bottom-up rounds compute subtree sizes (one
+    * groupBy(parent) + left join per round, localCheckpointed so lineage
+    * stays shallow), `maxDepth` top-down rounds propagate each
+    * component's root, then the formula is one child-side aggregate plus
+    * keyed joins. Work is O(E) per round for `2·maxDepth` rounds — at
+    * 100 TB the edge set shuffles on node keys a bounded number of
+    * times and no path set ever materializes.
+    *
+    * Duplicate identical edges normalize away (the pageRank input
+    * contract — the driver testdata's lineitem carries repeated
+    * (orderkey, linenumber) pairs). Loud guards for everything else:
+    * every child must have exactly one DISTINCT parent, and every node
+    * must reach a root within `maxDepth` hops — a cycle or an
+    * undersized `maxDepth` reds the require instead of silently
+    * dropping nodes through the inner joins.
+    */
+  /** Shared forest prelude for the tree-centrality family: normalized
+    * (parent, child) edges, the node set, exact bottom-up subtree sizes,
+    * and per-node component root — plus the forest/height guards. All
+    * four frames are checkpointed so callers iterate over shallow
+    * lineage.
+    */
+  private final case class ForestFrames(e: DataFrame, nodes: DataFrame,
+      size: DataFrame, comp: DataFrame)
+
+  private def forestFrames(edges: DataFrame, maxDepth: Int,
+      parentCol: String, childCol: String, who: String): ForestFrames = {
+    require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
+    val e = graft.CacheRegistry.register(edges
+      .select(col(parentCol).as("parent"), col(childCol).as("child"))
+      .distinct()
+      .localCheckpoint())
+    val nChildren = e.select(col("child")).distinct().count()
+    require(e.count() == nChildren,
+      s"$who input is not a forest: some child has > 1 parent")
+    val nodes = graft.CacheRegistry.register(
+      e.select(col("parent").as("node"))
+        .unionByName(e.select(col("child").as("node")))
+        .distinct().localCheckpoint())
+    val nNodes = nodes.count()
+
+    // Bottom-up subtree sizes: size_k(v) = nodes within k levels below v
+    // (plus v); exact once k >= subtree height, so maxDepth rounds pin it.
+    var size = nodes.withColumn("size", lit(1L)).localCheckpoint()
+    (1 to maxDepth).foreach { _ =>
+      val childSum = e
+        .join(size.withColumnRenamed("node", "child"), "child")
+        .groupBy(col("parent")).agg(sum(col("size")).as("csum"))
+      val next = nodes
+        .join(childSum.withColumnRenamed("parent", "node"), Seq("node"),
+          "left")
+        .select(col("node"),
+          (lit(1L) + coalesce(col("csum"), lit(0L))).as("size"))
+        .localCheckpoint()
+      size.unpersist()
+      size = next
+    }
+
+    // Top-down component-root propagation from the roots (parents that
+    // never appear as a child).
+    val roots = nodes.join(e.select(col("child").as("node")), Seq("node"),
+      "left_anti")
+    var comp = roots.withColumn("root", col("node")).localCheckpoint()
+    var frontier = comp
+    (1 to maxDepth).foreach { _ =>
+      val next = e
+        .join(frontier.withColumnRenamed("node", "parent"), "parent")
+        .select(col("child").as("node"), col("root"))
+        .localCheckpoint()
+      comp = comp.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    require(comp.count() == nNodes,
+      s"$who: some node has no root within $maxDepth hops " +
+        "(cycle, or maxDepth smaller than the forest height)")
+    ForestFrames(e, nodes,
+      graft.CacheRegistry.register(size),
+      graft.CacheRegistry.register(comp))
+  }
+
+  // C(n,2) in pure LONG arithmetic: `/` on Columns is DOUBLE division
+  // (lossy past 2^53 — real at 100 TB component sizes), so halve the
+  // always-even product with an integer shift instead.
+  private def c2(n: Column): Column = shiftright(n * (n - lit(1L)), 1)
+
+  def treeBetweenness(edges: DataFrame, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child"): DataFrame = {
+    val f = forestFrames(edges, maxDepth, parentCol, childCol,
+      "treeBetweenness")
+    val (e, size, comp) = (f.e, f.size, f.comp)
+
+    // Per-parent sum of C(child_subtree, 2); component size attached via
+    // the root's own subtree size.
+    val childSq = e
+      .join(size.withColumnRenamed("node", "child"), "child")
+      .groupBy(col("parent")).agg(sum(c2(col("size"))).as("childsq"))
+    val compSize = comp
+      .join(size.select(col("node").as("root"), col("size").as("nc")),
+        "root")
+      .select(col("node"), col("nc"))
+    size
+      .join(compSize, "node")
+      .join(childSq.withColumnRenamed("parent", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (c2(col("nc") - lit(1L)) - coalesce(col("childsq"), lit(0L))
+          - c2(col("nc") - col("size"))).cast("long").as("btw"))
+  }
+
+  /** Per-node sum of tree distances to every other node in its component
+    * — the denominator of closeness centrality, exact. The classic
+    * re-rooting DP: a bottom-up pass computes D(v) = Σ_c (D(c) +
+    * size(c)) (distances confined to v's subtree), then a top-down pass
+    * shifts the root across each edge with
+    *
+    *   S(child) = S(parent) + Nc − 2·size(child)
+    *
+    * (moving the root one hop toward `child` brings its size(child)
+    * descendants one step closer and pushes the other Nc − size(child)
+    * nodes one step away). Two `maxDepth`-round sweeps of keyed
+    * joins — O(E) per round, all-integer — where textbook closeness
+    * needs a BFS per node. Returns (node, dist_sum: long, nc: long)
+    * with nc the node's component size, so closeness (Nc−1)/dist_sum
+    * is one division downstream. Same input contract and guards as
+    * [[treeBetweenness]].
+    */
+  def treeDistanceSums(edges: DataFrame, maxDepth: Int,
+      parentCol: String = "parent", childCol: String = "child"): DataFrame = {
+    val f = forestFrames(edges, maxDepth, parentCol, childCol,
+      "treeDistanceSums")
+    val (e, nodes, size, comp) = (f.e, f.nodes, f.size, f.comp)
+
+    // Bottom-up subtree distance sums: D_k exact once k >= height (the
+    // size-pass induction — each round folds one more level of exact
+    // child values).
+    var down = nodes.withColumn("dsub", lit(0L)).localCheckpoint()
+    (1 to maxDepth).foreach { _ =>
+      val childSum = e
+        .join(down.withColumnRenamed("node", "child"), "child")
+        .join(size.withColumnRenamed("node", "child"), "child")
+        .groupBy(col("parent"))
+        .agg(sum(col("dsub") + col("size")).as("csum"))
+      val next = nodes
+        .join(childSum.withColumnRenamed("parent", "node"), Seq("node"),
+          "left")
+        .select(col("node"), coalesce(col("csum"), lit(0L)).as("dsub"))
+        .localCheckpoint()
+      down.unpersist()
+      down = next
+    }
+
+    val compSize = comp
+      .join(size.select(col("node").as("root"), col("size").as("nc")),
+        "root")
+      .select(col("node"), col("nc"))
+    val roots = nodes.join(e.select(col("child").as("node")), Seq("node"),
+      "left_anti")
+
+    // Top-down re-rooting from S(root) = D(root).
+    var s = roots.join(down, "node").join(compSize, "node")
+      .select(col("node"), col("dsub").as("dist_sum"), col("nc"))
+      .localCheckpoint()
+    var frontier = s
+    (1 to maxDepth).foreach { _ =>
+      val next = e
+        .join(frontier.withColumnRenamed("node", "parent"), "parent")
+        .select(col("child").as("node"), col("dist_sum").as("sp"))
+        .join(size, "node")
+        .join(compSize, "node")
+        .select(col("node"),
+          (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
+          col("nc"))
+        .localCheckpoint()
+      s = s.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    s
   }
 }

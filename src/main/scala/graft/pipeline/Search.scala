@@ -240,6 +240,48 @@ object Search {
     rankTopN(scored, "pmi", k, idCol = "gram")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are
+    * nodes, adjacent co-occurrence (window 2) is an undirected edge, and
+    * PageRank over that graph surfaces the corpus's load-bearing
+    * vocabulary — the graph-ranking alternative to frequency/tf-idf
+    * keywords (a hub term that glues many contexts outranks a merely
+    * frequent one). Edges below `minCount` unordered-pair support are
+    * dropped — the same floor discipline as [[pmiCollocations]], which
+    * also bounds the vocabulary graph far below corpus size.
+    *
+    * Scale shape: one tokenize scan feeds a canonical-pair count that
+    * combines map-side (pair space = observed adjacencies, not
+    * vocabulary²); PageRank then iterates over the vocabulary-sized
+    * edge list ([[graft.graph.GraphAlgos.pageRank]] — edges partitioned
+    * once, rank table moves per round), and the result is a bounded
+    * round-then-rank top-k. Scores round to 6 decimals before ranking
+    * (the g2 PageRank contract: identical arithmetic, only float
+    * summation order differs cross-engine).
+    * Output: (token, score, rank).
+    */
+  def textRankKeywords(docs: DataFrame, k: Int = 20, minCount: Long = 3,
+      iterations: Int = 10, textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minCount >= 1 && iterations >= 1,
+      s"need k, minCount, iterations >= 1, got $k/$minCount/$iterations")
+    val toks = docs.select(ws(textCol).as("ws"))
+    val edges = toks
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', " +
+          "least(ws[i], ws[i + 1]), greatest(ws[i], ws[i + 1])))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("u", split(col("gram"), " ").getItem(0))
+      .withColumn("v", split(col("gram"), " ").getItem(1))
+      .filter(col("u") =!= col("v"))
+    val ranks = graft.graph.GraphAlgos.pageRank(
+      edges.select(col("u").as("src"), col("v").as("dst")), iterations)
+    rankTopN(
+      ranks.select(col("node").as("token"),
+        round(col("rank"), 6).as("score")),
+      "score", k, idCol = "token")
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio-lite / RM1):
     * the top-`relK` documents by seed-term frequency form the
     * pseudo-relevant set, and candidate expansion terms are scored by

@@ -440,6 +440,61 @@ object GraphQueries {
       .orderBy(col("u"), col("v"))
   }
 
+  /** G13: exact betweenness centrality over the delegation hierarchy
+    * ([[graft.graph.GraphAlgos.treeBetweenness]]) — for every node, the
+    * number of unordered endpoint pairs whose unique tree path crosses
+    * it, the load/chokepoint measure of a command hierarchy (which
+    * relay concentrates the most pair traffic). On a forest Brandes
+    * collapses to subtree-size algebra — C(Nc−1,2) − Σ C(child,2) −
+    * C(Nc−size,2) — so the result is exact integer arithmetic, no
+    * sampling, no per-pair work: 2·depth keyed rounds over the edge
+    * set where general-graph betweenness needs |V| BFS sweeps. Output
+    * is the per-level profile (count / max / sum of betweenness by
+    * node type): leaves pin at 0, the R/N/C strata expose the
+    * concentration gradient. Sums accumulate in DECIMAL(38,0) (they
+    * pass 2^63 at planet scale) and present as DOUBLE — the o21/q1
+    * decimal contract. Reference behavior: the centrality view of the
+    * same delegation hierarchy the reference expands level-by-level
+    * (demo_did_graph/01_multi_layer/benchmark_scenario_a.py:48-66);
+    * the oracle recomputes the algebra level-structured in DuckDB.
+    */
+  def g13TreeBetweenness(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.treeBetweenness(
+        GraphData.hierarchyEdges(spark, d).drop("child_type"), maxDepth = 4)
+      .withColumn("node_type", substring(col("node"), 1, 1))
+      .groupBy(col("node_type"))
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("btw")).as("max_btw"),
+        sum(col("btw").cast("decimal(38,0)")).cast("double").as("sum_btw"))
+      .orderBy(col("node_type"))
+
+  /** G14: exact closeness centrality over the delegation hierarchy
+    * ([[graft.graph.GraphAlgos.treeDistanceSums]]) — per-node sums of
+    * tree distances via the O(n) re-rooting DP (bottom-up subtree
+    * distance sums, then S(child) = S(parent) + Nc − 2·size(child)
+    * across each edge), where textbook closeness needs a BFS per node.
+    * The complement of g13: betweenness measures pair traffic THROUGH a
+    * relay, closeness measures how near a node sits to its whole
+    * component (dispatch latency of a command node). Output is the
+    * per-level profile: count, max/decimal-sum of the exact integer
+    * distance sums, and the best closeness (Nc−1)/S rounded at 6 — the
+    * g2 double contract. Reference behavior: the centrality view of the
+    * delegation hierarchy the reference expands level-by-level
+    * (demo_did_graph/01_multi_layer/benchmark_scenario_a.py:48-66).
+    */
+  def g14Closeness(spark: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgos.treeDistanceSums(
+        GraphData.hierarchyEdges(spark, d).drop("child_type"), maxDepth = 4)
+      .withColumn("node_type", substring(col("node"), 1, 1))
+      .groupBy(col("node_type"))
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("dist_sum")).as("max_dist"),
+        sum(col("dist_sum").cast("decimal(38,0)")).cast("double")
+          .as("sum_dist"),
+        round(max((col("nc") - lit(1L)).cast("double") / col("dist_sum")), 6)
+          .as("max_closeness"))
+      .orderBy(col("node_type"))
+
   /** G7: label-propagation communities over the co-supplier graph —
     * 5 fixed synchronous rounds, most-frequent neighbor label with
     * smallest-label tie-break ([[graft.graph.GraphAlgos.labelPropagation]]).
@@ -773,6 +828,8 @@ object GraphQueries {
     "g1_triangles" -> g1Triangles,
     "g8_common_neighbors" -> g8CommonNeighbors,
     "g12_adamic_adar" -> g12AdamicAdar,
+    "g13_tree_betweenness" -> g13TreeBetweenness,
+    "g14_closeness" -> g14Closeness,
     "r6_subtree_rollup" -> r6SubtreeRollup,
     "g6_clustering_coeff" -> g6ClusteringCoeff,
     "g7_label_propagation" -> g7LabelPropagation,
@@ -827,6 +884,108 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // g13: the subtree-size algebra recomputed level-structured on the
+    // raw tables (sizes bottom-up via LEFT JOINs so childless customers
+    // and orders keep size 1; C(n,2) spelled n*(n-1)//2 — DuckDB `//`
+    // is integer division, `/` is float). lx dedupes the testdata's
+    // repeated (orderkey, linenumber) pairs, mirroring the engine's
+    // edge normalization. Sums go HUGEINT (exact) and present as
+    // DOUBLE, mirroring the Spark DECIMAL(38,0)->DOUBLE leg.
+    "g13_tree_betweenness" ->
+      """WITH lx AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+        |osz AS MATERIALIZED (
+        |  SELECT o.o_orderkey, o.o_custkey, 1 + count(l.l_orderkey) AS sz
+        |  FROM orders o LEFT JOIN lx l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderkey, o.o_custkey),
+        |csz AS MATERIALIZED (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    1 + coalesce(sum(o.sz), 0) AS sz,
+        |    coalesce(sum(o.sz * (o.sz - 1) // 2), 0) AS childsq
+        |  FROM customer c LEFT JOIN osz o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey),
+        |nsz AS MATERIALIZED (
+        |  SELECT n.n_nationkey, n.n_regionkey,
+        |    1 + coalesce(sum(c.sz), 0) AS sz,
+        |    coalesce(sum(c.sz * (c.sz - 1) // 2), 0) AS childsq
+        |  FROM nation n LEFT JOIN csz c ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_nationkey, n.n_regionkey),
+        |rsz AS MATERIALIZED (
+        |  SELECT n.n_regionkey, 1 + sum(n.sz) AS nc,
+        |    sum(n.sz * (n.sz - 1) // 2) AS childsq
+        |  FROM nsz n GROUP BY n.n_regionkey),
+        |btw AS (
+        |  SELECT 'L' AS node_type, 0 AS btw FROM lx
+        |  UNION ALL
+        |  SELECT 'O', (r.nc - 1) * (r.nc - 2) // 2
+        |    - (r.nc - o.sz) * (r.nc - o.sz - 1) // 2
+        |  FROM osz o JOIN csz c ON o.o_custkey = c.c_custkey
+        |    JOIN nsz n ON c.c_nationkey = n.n_nationkey
+        |    JOIN rsz r ON n.n_regionkey = r.n_regionkey
+        |  UNION ALL
+        |  SELECT 'C', (r.nc - 1) * (r.nc - 2) // 2 - c.childsq
+        |    - (r.nc - c.sz) * (r.nc - c.sz - 1) // 2
+        |  FROM csz c JOIN nsz n ON c.c_nationkey = n.n_nationkey
+        |    JOIN rsz r ON n.n_regionkey = r.n_regionkey
+        |  UNION ALL
+        |  SELECT 'N', (r.nc - 1) * (r.nc - 2) // 2 - n.childsq
+        |    - (r.nc - n.sz) * (r.nc - n.sz - 1) // 2
+        |  FROM nsz n JOIN rsz r ON n.n_regionkey = r.n_regionkey
+        |  UNION ALL
+        |  SELECT 'R', (r.nc - 1) * (r.nc - 2) // 2 - r.childsq FROM rsz r)
+        |SELECT node_type, count(*)::BIGINT AS n_nodes,
+        |  max(btw)::BIGINT AS max_btw, CAST(sum(btw) AS DOUBLE) AS sum_btw
+        |FROM btw GROUP BY node_type ORDER BY node_type""".stripMargin,
+    // g14: the re-rooting DP replayed level-structured — D bottom-up
+    // (dsub = Σ_child dsub + sz), then S shifted down one level at a
+    // time with S(child) = S(parent) + nc − 2·sz(child). Same lx dedupe
+    // and decimal-sum presentation as g13; closeness division done in
+    // DOUBLE on both sides before the round-6.
+    "g14_closeness" ->
+      """WITH lx AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+        |osz AS MATERIALIZED (
+        |  SELECT o.o_orderkey, o.o_custkey, 1 + count(l.l_orderkey) AS sz,
+        |    count(l.l_orderkey) AS dsub
+        |  FROM orders o LEFT JOIN lx l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderkey, o.o_custkey),
+        |csz AS MATERIALIZED (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    1 + coalesce(sum(o.sz), 0) AS sz,
+        |    coalesce(sum(o.dsub + o.sz), 0) AS dsub
+        |  FROM customer c LEFT JOIN osz o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey),
+        |nsz AS MATERIALIZED (
+        |  SELECT n.n_nationkey, n.n_regionkey,
+        |    1 + coalesce(sum(c.sz), 0) AS sz,
+        |    coalesce(sum(c.dsub + c.sz), 0) AS dsub
+        |  FROM nation n LEFT JOIN csz c ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_nationkey, n.n_regionkey),
+        |rsz AS MATERIALIZED (
+        |  SELECT n.n_regionkey, 1 + sum(n.sz) AS nc,
+        |    sum(n.dsub + n.sz) AS s
+        |  FROM nsz n GROUP BY n.n_regionkey),
+        |sn AS MATERIALIZED (
+        |  SELECT n.n_nationkey, r.n_regionkey, r.nc,
+        |    r.s + r.nc - 2 * n.sz AS s
+        |  FROM nsz n JOIN rsz r ON n.n_regionkey = r.n_regionkey),
+        |sc AS MATERIALIZED (
+        |  SELECT c.c_custkey, sn.nc, sn.s + sn.nc - 2 * c.sz AS s
+        |  FROM csz c JOIN sn ON c.c_nationkey = sn.n_nationkey),
+        |so AS MATERIALIZED (
+        |  SELECT o.o_orderkey, sc.nc, sc.s + sc.nc - 2 * o.sz AS s
+        |  FROM osz o JOIN sc ON o.o_custkey = sc.c_custkey),
+        |dist AS (
+        |  SELECT 'L' AS node_type, so.s + so.nc - 2 AS s, so.nc
+        |  FROM lx l JOIN so ON l.l_orderkey = so.o_orderkey
+        |  UNION ALL SELECT 'O', s, nc FROM so
+        |  UNION ALL SELECT 'C', s, nc FROM sc
+        |  UNION ALL SELECT 'N', s, nc FROM sn
+        |  UNION ALL SELECT 'R', s, nc FROM rsz)
+        |SELECT node_type, count(*)::BIGINT AS n_nodes,
+        |  max(s)::BIGINT AS max_dist, CAST(sum(s) AS DOUBLE) AS sum_dist,
+        |  round(max((nc - 1)::DOUBLE / s), 6) AS max_closeness
+        |FROM dist GROUP BY node_type ORDER BY node_type""".stripMargin,
     "g2_pagerank" -> g2Oracle(20),
     "g9_ppr" -> g9Oracle(15),
     "g11_hits" -> g11Oracle(8),

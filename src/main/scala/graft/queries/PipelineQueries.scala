@@ -1306,6 +1306,18 @@ object PipelineQueries {
       .select(col("gram"), col("n"), col("pmi"), col("rank"))
       .orderBy(col("rank"))
 
+  /** T33: TextRank keywords ([[Search.textRankKeywords]]) — PageRank
+    * over the adjacent-token co-occurrence graph, top 20 at support
+    * floor 3, 10 iterations. The graph-ranking keyword pass (hub terms
+    * over merely frequent ones); oracle unrolls the same 10 PageRank
+    * rounds as materialized CTEs over the identically-built edge list —
+    * the g2 contract at round-6.
+    */
+  def t33TextRank(spark: SparkSession, d: String): DataFrame =
+    Search.textRankKeywords(Tables.documents(spark, d), k = 20,
+        minCount = 3, iterations = 10)
+      .orderBy(col("rank"))
+
   /** T31: ranking-quality eval ([[Search.rankEval]]) — nDCG@10 / MRR /
     * precision@10 of the exact cosine top-10 for query vector 0, with
     * binary relevance = label match (the retrieval-eval harness shape:
@@ -1745,6 +1757,7 @@ object PipelineQueries {
     "t30_phrase_search" -> t30PhraseSearch,
     "t31_rank_eval" -> t31RankEval,
     "t32_pmi_collocations" -> t32PmiCollocations,
+    "t33_textrank" -> t33TextRank,
     "v8_matryoshka_topk" -> v8MatryoshkaTopk,
     "v8_matryoshka_overlap" -> v8MatryoshkaOverlap,
     "d7_hash_sample" -> d7HashSample,
@@ -1933,7 +1946,52 @@ object PipelineQueries {
       |  CAST((len(text) - len(replace(text, '的', ''))) / 1 AS INT) * 100 / 1.0 AS s_zh
       |FROM documents""".stripMargin
 
+  /** DuckDB oracle for `t33_textrank`: the identically-built adjacency
+    * edge list (t32's tokenize/bigram CTEs, canonical least/greatest
+    * pair, support floor, self-pairs dropped) under the g2 PageRank
+    * chain — `iters` rounds unrolled, round-6, row_number rank with the
+    * same (score DESC, token) tie-break. Hot CTEs MATERIALIZED (the g5
+    * inline-unroll lesson).
+    */
+  private def t33Oracle(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    0.15 / (SELECT count(*) FROM deg)
+         |      + 0.85 * sum(r${i - 1}.rank / deg.deg) AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT unnest(CASE WHEN len(ws) >= 2
+       |    THEN list_transform(range(1, len(ws)),
+       |      i -> least(ws[i], ws[i + 1]) || ' ' || greatest(ws[i], ws[i + 1]))
+       |    ELSE []::VARCHAR[] END) AS gram
+       |  FROM w),
+       |ec AS MATERIALIZED (
+       |  SELECT string_split(gram, ' ')[1] AS u, string_split(gram, ' ')[2] AS v
+       |  FROM (SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 3)
+       |  WHERE string_split(gram, ' ')[1] <> string_split(gram, ' ')[2]),
+       |e AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM ec UNION ALL SELECT v, u FROM ec),
+       |deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS node, 1.0 / (SELECT count(*) FROM deg) AS rank
+       |  FROM deg),
+       |$chain
+       |SELECT token, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, token) AS INT) AS rank
+       |FROM (SELECT node AS token, round(rank, 6) AS score FROM r$iters)
+       |ORDER BY score DESC, token LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t33_textrank" -> t33Oracle(10),
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

@@ -394,4 +394,142 @@ class GraphAlgosSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0)).toSet
     assert(got2 == Set(1L, 2L, 3L), "walk must not invent island mass")
   }
+
+  private def treeBtw(edges: Seq[(String, String)],
+      depth: Int): Map[String, Long] =
+    GraphAlgos.treeBetweenness(edges.toDF("parent", "child"), depth)
+      .as[(String, Long)].collect().toMap
+
+  /** Brute-force tree betweenness: for every unordered pair, walk both
+    * ancestor chains to the LCA and count the interior nodes.
+    */
+  private def bruteTreeBtw(edges: Seq[(String, String)]): Map[String, Long] = {
+    val parent = edges.map { case (p, c) => c -> p }.toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def chain(v: String): List[String] =
+      v :: parent.get(v).map(chain).getOrElse(Nil)
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      ci = chain(nodes(i)); cj = chain(nodes(j))
+      if ci.last == cj.last // same component
+    } {
+      val shared = ci.reverse.zip(cj.reverse).takeWhile(p => p._1 == p._2)
+      val lca = shared.last._1
+      val path = ci.takeWhile(_ != lca) ++ List(lca) ++
+        cj.takeWhile(_ != lca).reverse
+      path.drop(1).dropRight(1).foreach(v => acc(v) += 1L)
+    }
+    nodes.map(v => v -> acc(v)).toMap
+  }
+
+  test("tree betweenness: hand values on the path a-b-c-d-e") {
+    val p5 = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    // Interior load of a path: pairs crossing each node.
+    val want = Map("a" -> 0L, "b" -> 3L, "c" -> 4L, "d" -> 3L, "e" -> 0L)
+    assert(treeBtw(p5, 4) == want)
+    assert(bruteTreeBtw(p5) == want, "brute-force harness self-check")
+  }
+
+  test("tree betweenness: star center carries all C(k,2) pairs") {
+    val star = (1 to 6).map(i => "hub" -> s"n$i")
+    val got = treeBtw(star, 1)
+    assert(got("hub") == 15L && (1 to 6).forall(i => got(s"n$i") == 0L))
+  }
+
+  test("tree betweenness: fuzz parity with pair enumeration on forests") {
+    val rnd = new scala.util.Random(1404)
+    for (trial <- 0 until 4) {
+      val n = 18
+      val roots = 1 + trial % 3 // 1..3 trees in the forest
+      // Parent drawn from [0, i/2): strictly earlier (acyclic) and the
+      // index at least halves per hop up, so height <= log2(n)+1 and
+      // the round-per-level walk stays cheap.
+      val edges = (roots until n).map { i =>
+        s"v${rnd.nextInt(math.max(1, i / 2))}" -> s"v$i"
+      }
+      assert(treeBtw(edges, depth = 6) == bruteTreeBtw(edges),
+        s"diverged from brute force on trial $trial")
+    }
+  }
+
+  private def treeDist(edges: Seq[(String, String)],
+      depth: Int): Map[String, (Long, Long)] =
+    GraphAlgos.treeDistanceSums(edges.toDF("parent", "child"), depth)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  /** Brute-force distance sums via the ancestor-chain walk. */
+  private def bruteTreeDist(
+      edges: Seq[(String, String)]): Map[String, Long] = {
+    val parent = edges.map { case (p, c) => c -> p }.toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def chain(v: String): List[String] =
+      v :: parent.get(v).map(chain).getOrElse(Nil)
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      ci = chain(nodes(i)); cj = chain(nodes(j))
+      if ci.last == cj.last
+    } {
+      val shared = ci.reverse.zip(cj.reverse).takeWhile(p => p._1 == p._2)
+      val d = (ci.length - shared.length) + (cj.length - shared.length)
+      acc(nodes(i)) += d.toLong
+      acc(nodes(j)) += d.toLong
+    }
+    nodes.map(v => v -> acc(v)).toMap
+  }
+
+  test("tree distance sums: hand values on the path a-b-c-d-e") {
+    val p5 = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val got = treeDist(p5, 4)
+    val want = Map("a" -> 10L, "b" -> 7L, "c" -> 6L, "d" -> 7L, "e" -> 10L)
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.values.forall(_._2 == 5L), "component size rides along")
+  }
+
+  test("tree distance sums: star hub at distance 1 from every leaf") {
+    val star = (1 to 6).map(i => "hub" -> s"n$i")
+    val got = treeDist(star, 1)
+    assert(got("hub")._1 == 6L)
+    assert((1 to 6).forall(i => got(s"n$i")._1 == 11L)) // 1 + 2·5
+  }
+
+  test("tree distance sums: fuzz parity + the betweenness identity") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 3) {
+      val n = 16
+      val edges = (1 until n).map { i =>
+        s"v${rnd.nextInt(math.max(1, i / 2))}" -> s"v$i"
+      }
+      val got = treeDist(edges, 6)
+      assert(got.view.mapValues(_._1).toMap == bruteTreeDist(edges),
+        s"diverged from brute force on trial $trial")
+      // Single tree: Σ btw = Σ_pairs (dist − 1) = ΣS/2 − C(n,2).
+      val btwSum = treeBtw(edges, 6).values.sum
+      val nNodes = got.size.toLong
+      val distSum = got.values.map(_._1).sum
+      assert(btwSum == distSum / 2 - nNodes * (nNodes - 1) / 2,
+        s"centrality identity broke on trial $trial")
+    }
+  }
+
+  test("tree betweenness: duplicate identical edges normalize away") {
+    val p3dup = Seq("a" -> "b", "a" -> "b", "b" -> "c", "b" -> "c")
+    assert(treeBtw(p3dup, 2) == Map("a" -> 0L, "b" -> 1L, "c" -> 0L))
+  }
+
+  test("tree betweenness: loud guards on non-forests and shallow depth") {
+    val twoParents = Seq("a" -> "c", "b" -> "c")
+    val e1 = intercept[IllegalArgumentException](treeBtw(twoParents, 2))
+    assert(e1.getMessage.contains("not a forest"))
+    val cycle = Seq("a" -> "b", "b" -> "a")
+    val e2 = intercept[IllegalArgumentException](treeBtw(cycle, 3))
+    assert(e2.getMessage.contains("no root"))
+    val deep = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val e3 = intercept[IllegalArgumentException](treeBtw(deep, 1))
+    assert(e3.getMessage.contains("no root"))
+  }
 }

@@ -250,4 +250,34 @@ class SearchSpec extends AnyFunSuite {
     // ties at 3.0 break by doc_id: 2 -> rank 1, 3 -> rank 2, then 1.
     assert(got.map(g => (g._1, g._3)) == Seq((2L, 1), (3L, 2), (1L, 3)))
   }
+
+  test("textRankKeywords: hub term outranks frequent-but-peripheral terms") {
+    // "hub" is adjacent to 4 distinct partners (each pair 3x, clearing
+    // the floor); "noise" repeats a lot but only ever touches "pad".
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "hub alpha hub beta hub gamma hub delta"))
+        ++ Seq((4L, "noise pad noise pad noise pad noise pad noise pad " +
+          "noise pad noise pad"))
+      ).toDF("doc_id", "text")
+    val got = Search.textRankKeywords(docs, k = 10, minCount = 3,
+      iterations = 10).as[(String, Double, Int)].collect().sortBy(_._3)
+    assert(got.head._1 == "hub", s"expected hub first, got ${got.toSeq}")
+    // The degree-4 hub must outrank every degree-1 spoke and both
+    // members of the isolated noise-pad pair.
+    val scores = got.map(g => g._1 -> g._2).toMap
+    assert(Seq("alpha", "beta", "gamma", "delta", "noise", "pad")
+      .forall(t => scores("hub") > scores(t)))
+  }
+
+  test("textRankKeywords: support floor prunes rare adjacencies") {
+    // "rare cameo" appears twice — below minCount=3 — so neither token
+    // may enter the graph; the a-b pair appears 3x and survives.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "rare cameo"),
+      (3L, "rare cameo")).toDF("doc_id", "text")
+    val got = Search.textRankKeywords(docs, k = 10, minCount = 3,
+      iterations = 5).as[(String, Double, Int)].collect().map(_._1).toSet
+    assert(got == Set("a", "b"))
+  }
 }
