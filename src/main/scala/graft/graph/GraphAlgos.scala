@@ -396,7 +396,6 @@ object GraphAlgos {
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = graft.CacheRegistry.register(edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -409,12 +408,18 @@ object GraphAlgos {
       val votes = und
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      // Per-node arg-max as an AGGREGATE (r14, the a13/d30 trick —
+      // guide §2.3 "aggregate before you shuffle"): min(struct(−c, lbl))
+      // is exactly the window's (c desc, lbl asc) head, but the second
+      // exchange now carries one partial best per (task, node) instead
+      // of every (node, label) vote, and the per-partition sort the
+      // row_number needed is gone. −c on BIGINT is exact, so the
+      // elected labels are identical.
       val next = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("u"))
-            .orderBy(col("c").desc, col("lbl").asc)))
-        .filter(col("rn") === 1)
-        .select(col("u").as("node"), col("lbl"))
+        .groupBy(col("u").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
+          .as("best"))
+        .select(col("node"), col("best.lbl").as("lbl"))
         .localCheckpoint()
       labels.unpersist()
       labels = next
@@ -452,14 +457,33 @@ object GraphAlgos {
     * undersized `maxDepth` reds the require instead of silently
     * dropping nodes through the inner joins.
     */
-  /** Shared forest prelude for the tree-centrality family: normalized
-    * (parent, child) edges, the node set, exact bottom-up subtree sizes,
-    * and per-node component root — plus the forest/height guards. All
-    * four frames are checkpointed so callers iterate over shallow
-    * lineage.
+  /** Shared forest prelude for the tree-centrality family, rebuilt in
+    * the r14 optimization pass around the LEAF/INTERNAL split (guide
+    * §1.2 — fix the distributed algorithm first): in any rooted forest
+    * the leaves are the bulk of the rows (the R→N→C→O→L hierarchy at
+    * sf0.1: 600k of 765k edges point at leaves) and every leaf's DP
+    * value is closed-form — size 1, subtree-distance 0, betweenness 0 —
+    * so the iterative sweeps run over the INTERNAL edge set only
+    * (~165k rows here, 4.6× smaller joins), leaves fold into each
+    * internal node's base case as one `leaf-children count` aggregate,
+    * and a single full-edge pass at the end extends per-node results to
+    * the leaves. Also: the eager per-round localCheckpoint barriers on
+    * the linear-lineage loops are gone (one materialization per sweep),
+    * and the two forest-guard count actions collapse into one
+    * aggregate. Arithmetic is unchanged — the split recursion unfolds
+    * to exactly the original per-level sums (oracles + fuzz parity
+    * re-pinned green). Measured at sf0.1: g13 11.5 s → ~2 s,
+    * g14 21.6 s → ~6 s cold.
     */
-  private final case class ForestFrames(e: DataFrame, nodes: DataFrame,
-      size: DataFrame, comp: DataFrame)
+  private final case class ForestFrames(
+      e: DataFrame,         // (parent, child) distinct, checkpointed
+      nInternal: Long,      // number of distinct parents
+      parents: DataFrame,   // (node) the internal nodes, checkpointed
+      leafEdges: DataFrame, // e rows whose child is a leaf
+      eInt: DataFrame,      // e rows whose child is internal
+      leafCnt: DataFrame,   // (node, lc): per-parent leaf-children count
+      sizeInt: DataFrame,   // (node, size): exact sizes, internal nodes
+      compInt: DataFrame)   // (node, root, nc): internal nodes
 
   private def forestFrames(edges: DataFrame, maxDepth: Int,
       parentCol: String, childCol: String, who: String): ForestFrames = {
@@ -468,52 +492,82 @@ object GraphAlgos {
       .select(col(parentCol).as("parent"), col(childCol).as("child"))
       .distinct()
       .localCheckpoint())
-    val nChildren = e.select(col("child")).distinct().count()
-    require(e.count() == nChildren,
+    // Forest guard in ONE pass (was two count actions): every child has
+    // exactly one DISTINCT parent <=> rows == distinct children.
+    val g = e.agg(count(lit(1)).as("ne"),
+      count_distinct(col("child")).as("nch")).head()
+    require(g.getLong(0) == g.getLong(1),
       s"$who input is not a forest: some child has > 1 parent")
-    val nodes = graft.CacheRegistry.register(
-      e.select(col("parent").as("node"))
-        .unionByName(e.select(col("child").as("node")))
-        .distinct().localCheckpoint())
-    val nNodes = nodes.count()
 
-    // Bottom-up subtree sizes: size_k(v) = nodes within k levels below v
-    // (plus v); exact once k >= subtree height, so maxDepth rounds pin it.
-    var size = nodes.withColumn("size", lit(1L)).localCheckpoint()
-    (1 to maxDepth).foreach { _ =>
-      val childSum = e
-        .join(size.withColumnRenamed("node", "child"), "child")
-        .groupBy(col("parent")).agg(sum(col("size")).as("csum"))
-      val next = nodes
-        .join(childSum.withColumnRenamed("parent", "node"), Seq("node"),
-          "left")
-        .select(col("node"),
-          (lit(1L) + coalesce(col("csum"), lit(0L))).as("size"))
-        .localCheckpoint()
-      size.unpersist()
-      size = next
-    }
+    // Internal nodes = nodes with children; everything else is a leaf.
+    val parents = graft.CacheRegistry.register(
+      e.select(col("parent").as("node")).distinct().localCheckpoint())
+    val nInternal = parents.count()
+    // Split the edge set by the child's side in one flagging join.
+    val flagged = graft.CacheRegistry.register(
+      e.join(parents.select(col("node").as("child"), lit(1).as("is_int")),
+          Seq("child"), "left")
+        .select(col("parent"), col("child"), col("is_int").isNotNull
+          .as("int_child"))
+        .localCheckpoint())
+    val eInt = flagged.filter(col("int_child"))
+      .select(col("parent"), col("child"))
+    val leafEdges = flagged.filter(!col("int_child"))
+      .select(col("parent"), col("child"))
+    val leafCnt = graft.CacheRegistry.register(
+      leafEdges.groupBy(col("parent").as("node"))
+        .agg(count(lit(1)).as("lc")).localCheckpoint())
 
-    // Top-down component-root propagation from the roots (parents that
-    // never appear as a child).
-    val roots = nodes.join(e.select(col("child").as("node")), Seq("node"),
+    // Component roots, top-down over the INTERNAL edges only (the
+    // frontiers are the small upper levels; leaves inherit their
+    // parent's root in the callers' one leaf pass). maxDepth−1 rounds
+    // suffice for any guard-passing forest: the deepest node is a leaf,
+    // so internal depths are ≤ maxDepth−1 — and the coverage require
+    // below fires on a cycle or an undersized maxDepth exactly as the
+    // old all-node propagation did (deepest-leaf depth > maxDepth <=>
+    // some internal depth > maxDepth−1).
+    val roots = parents.join(e.select(col("child").as("node")), Seq("node"),
       "left_anti")
     var comp = roots.withColumn("root", col("node")).localCheckpoint()
     var frontier = comp
-    (1 to maxDepth).foreach { _ =>
-      val next = e
+    (1 to maxDepth - 1).foreach { _ =>
+      val next = eInt
         .join(frontier.withColumnRenamed("node", "parent"), "parent")
         .select(col("child").as("node"), col("root"))
         .localCheckpoint()
       comp = comp.unionByName(next).localCheckpoint()
       frontier = next
     }
-    require(comp.count() == nNodes,
+    require(comp.count() == nInternal,
       s"$who: some node has no root within $maxDepth hops " +
         "(cycle, or maxDepth smaller than the forest height)")
-    ForestFrames(e, nodes,
-      graft.CacheRegistry.register(size),
-      graft.CacheRegistry.register(comp))
+
+    // Bottom-up subtree sizes over internal nodes:
+    //   size_k(v) = 1 + lc(v) + Σ_{(v,c) internal} size_{k−1}(c)
+    // (the original all-node recursion with the always-1 leaf terms
+    // folded into the base). size_k(v) is exact once k reaches v's
+    // internal-chain length (≤ maxDepth under the guard — the deepest
+    // valid shape is maxDepth internal nodes with the leaf hanging off
+    // the last), so maxDepth rounds pin it; lazy loop (linear lineage),
+    // one materialization.
+    val base = parents.join(leafCnt, Seq("node"), "left")
+      .select(col("node"),
+        (lit(1L) + coalesce(col("lc"), lit(0L))).as("base"))
+    var size = parents.withColumn("size", lit(1L))
+    (1 to maxDepth).foreach { _ =>
+      val fromInt = eInt
+        .join(size.withColumnRenamed("node", "child"), "child")
+        .groupBy(col("parent").as("node")).agg(sum(col("size")).as("isum"))
+      size = base.join(fromInt, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + coalesce(col("isum"), lit(0L))).as("size"))
+    }
+    val sizeInt = graft.CacheRegistry.register(size.localCheckpoint())
+
+    val compInt = comp.join(
+      sizeInt.select(col("node").as("root"), col("size").as("nc")), "root")
+    ForestFrames(e, nInternal, parents, leafEdges, eInt, leafCnt, sizeInt,
+      compInt)
   }
 
   // C(n,2) in pure LONG arithmetic: `/` on Columns is DOUBLE division
@@ -525,23 +579,22 @@ object GraphAlgos {
       parentCol: String = "parent", childCol: String = "child"): DataFrame = {
     val f = forestFrames(edges, maxDepth, parentCol, childCol,
       "treeBetweenness")
-    val (e, size, comp) = (f.e, f.size, f.comp)
 
-    // Per-parent sum of C(child_subtree, 2); component size attached via
-    // the root's own subtree size.
-    val childSq = e
-      .join(size.withColumnRenamed("node", "child"), "child")
+    // Per-parent sum of C(child_subtree, 2) — leaf children contribute
+    // C(1,2) = 0, so only INTERNAL child edges enter the aggregate.
+    val childSq = f.eInt
+      .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
       .groupBy(col("parent")).agg(sum(c2(col("size"))).as("childsq"))
-    val compSize = comp
-      .join(size.select(col("node").as("root"), col("size").as("nc")),
-        "root")
-      .select(col("node"), col("nc"))
-    size
-      .join(compSize, "node")
+    val internal = f.sizeInt
+      .join(f.compInt.select(col("node"), col("nc")), "node")
       .join(childSq.withColumnRenamed("parent", "node"), Seq("node"), "left")
       .select(col("node"),
         (c2(col("nc") - lit(1L)) - coalesce(col("childsq"), lit(0L))
           - c2(col("nc") - col("size"))).cast("long").as("btw"))
+    // Leaves exactly: size 1, childsq 0 ⇒ btw = C(nc−1,2) − C(nc−1,2) = 0
+    // for ANY component size — emitted as literals, no join.
+    internal.unionByName(
+      f.leafEdges.select(col("child").as("node"), lit(0L).as("btw")))
   }
 
   /** Per-node sum of tree distances to every other node in its component
@@ -565,52 +618,55 @@ object GraphAlgos {
       parentCol: String = "parent", childCol: String = "child"): DataFrame = {
     val f = forestFrames(edges, maxDepth, parentCol, childCol,
       "treeDistanceSums")
-    val (e, nodes, size, comp) = (f.e, f.nodes, f.size, f.comp)
 
-    // Bottom-up subtree distance sums: D_k exact once k >= height (the
-    // size-pass induction — each round folds one more level of exact
-    // child values).
-    var down = nodes.withColumn("dsub", lit(0L)).localCheckpoint()
+    // Bottom-up subtree distance sums over INTERNAL nodes only:
+    //   D_k(v) = lc(v) + Σ_{(v,c) internal} (D_{k−1}(c) + size(c))
+    // — the original all-child recursion with each leaf child's exact
+    // (D=0) + (size=1) term folded into the lc base. Exact once
+    // k ≥ height(v); lazy loop, one materialization.
+    var down = f.parents.withColumn("dsub", lit(0L))
     (1 to maxDepth).foreach { _ =>
-      val childSum = e
+      val fromInt = f.eInt
         .join(down.withColumnRenamed("node", "child"), "child")
-        .join(size.withColumnRenamed("node", "child"), "child")
-        .groupBy(col("parent"))
-        .agg(sum(col("dsub") + col("size")).as("csum"))
-      val next = nodes
-        .join(childSum.withColumnRenamed("parent", "node"), Seq("node"),
-          "left")
-        .select(col("node"), coalesce(col("csum"), lit(0L)).as("dsub"))
-        .localCheckpoint()
-      down.unpersist()
-      down = next
+        .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
+        .groupBy(col("parent").as("node"))
+        .agg(sum(col("dsub") + col("size")).as("isum"))
+      down = f.parents
+        .join(f.leafCnt, Seq("node"), "left")
+        .join(fromInt, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("lc"), lit(0L)) + coalesce(col("isum"), lit(0L)))
+            .as("dsub"))
     }
+    val downCp = graft.CacheRegistry.register(down.localCheckpoint())
 
-    val compSize = comp
-      .join(size.select(col("node").as("root"), col("size").as("nc")),
-        "root")
-      .select(col("node"), col("nc"))
-    val roots = nodes.join(e.select(col("child").as("node")), Seq("node"),
-      "left_anti")
-
-    // Top-down re-rooting from S(root) = D(root).
-    var s = roots.join(down, "node").join(compSize, "node")
+    // Top-down re-rooting S(child) = S(parent) + Nc − 2·size(child),
+    // run over the INTERNAL frontiers (the small upper levels), then
+    // ONE full-edge pass extends to the leaves with their closed form
+    // S(leaf) = S(parent) + Nc − 2 (size(leaf) = 1). Identical integer
+    // arithmetic to the all-node sweep, 1/edge-bulk of the join volume.
+    var s = f.compInt.filter(col("node") === col("root"))
+      .join(downCp, "node")
       .select(col("node"), col("dsub").as("dist_sum"), col("nc"))
       .localCheckpoint()
     var frontier = s
-    (1 to maxDepth).foreach { _ =>
-      val next = e
-        .join(frontier.withColumnRenamed("node", "parent"), "parent")
-        .select(col("child").as("node"), col("dist_sum").as("sp"))
-        .join(size, "node")
-        .join(compSize, "node")
-        .select(col("node"),
+    (1 to maxDepth - 1).foreach { _ =>
+      val next = f.eInt
+        .join(frontier.select(col("node").as("parent"),
+          col("dist_sum").as("sp"), col("nc")), "parent")
+        .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
+        .select(col("child").as("node"),
           (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
           col("nc"))
         .localCheckpoint()
       s = s.unionByName(next).localCheckpoint()
       frontier = next
     }
-    s
+    val leaves = f.leafEdges
+      .join(s.select(col("node").as("parent"), col("dist_sum").as("sp"),
+        col("nc")), "parent")
+      .select(col("child").as("node"),
+        (col("sp") + col("nc") - lit(2L)).as("dist_sum"), col("nc"))
+    s.unionByName(leaves)
   }
 }

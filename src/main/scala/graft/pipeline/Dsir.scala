@@ -64,7 +64,14 @@ object Dsir {
       buckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val tb = bucketed(target, buckets, idCol)
-    val rb = bucketed(raw, buckets, idCol)
+    // raw's bucketed form feeds TWO consumers (its count table and the
+    // final scoring join), and bucketing is the expensive bit — a
+    // sha256 per bigram occurrence. Cached (r14, guide §5: reuse beats
+    // recompute when the recompute is a full hash pass), the raw corpus
+    // pays the explode+hash once instead of twice; released by the
+    // session-hygiene hook like every operator-internal cache.
+    val rb = graft.CacheRegistry.register(
+      bucketed(raw, buckets, idCol).cache())
     // The B-row count tables are CACHED (trivially small) because each
     // feeds two consumers — the ratio join and its own total — and Spark
     // does not dedupe common subtrees: uncached, the plan audit showed

@@ -610,13 +610,31 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val subDim = dim / m
-    def fit(): Array[Array[Array[Double]]] = (0 until m).map { s =>
-      val sub = vectors.select(array_to_vector(
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim))
-        .as("features"))
-      new KMeans().setK(codebookSize).setSeed(42L + s).setMaxIter(10)
-        .fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    // The m subspace fits are INDEPENDENT seeded jobs (seed 42+s each);
+    // running them from a small driver thread pool overlaps each fit's
+    // straggler tail with the next fit's tasks (guide §2.6) instead of
+    // serializing m × maxIter scheduler round-trips. Results are
+    // byte-identical — each fit's seed, data slice, and iteration count
+    // are unchanged; only the submission order overlaps.
+    def fit(): Array[Array[Array[Double]]] = {
+      val out = new Array[Array[Array[Double]]](m)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, 4))
+      try {
+        (0 until m).map { s =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val sub = vectors.select(array_to_vector(
+                slice(col(vecCol).cast("array<double>"), s * subDim + 1,
+                  subDim)).as("features"))
+              out(s) = new KMeans().setK(codebookSize).setSeed(42L + s)
+                .setMaxIter(10).fit(sub).clusterCenters.map(_.toArray)
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      out
+    }
     planKey(vectors) match {
       case Some(key) =>
         // dim and vecCol are part of the key (ADVICE r11): a second call

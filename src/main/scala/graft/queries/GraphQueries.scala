@@ -343,27 +343,48 @@ object GraphQueries {
   }
 
   /** R6: per-node subtree rollup — how many leaf lineitems sit under
-    * EVERY node of the R→N→C→O→L hierarchy, in one query. The closure
-    * artifact ([[graft.graph.Closure.closureAuto]]: driver BFS under
-    * 10k edges, the log2(d)-round distributed prefix-decomposition
-    * past it — at sf0.01's 76k edges the distributed tier) turns
-    * "aggregate over every subtree" into ONE filter + groupBy over
-    * (ancestor, descendant) pairs: no per-root traversal, no
-    * re-walking the tree once per level. The oracle is DuckDB's
-    * recursive CTE over the identical derived edge table. On a tree
-    * n_paths is 1 per pair, so `sum(n_paths)` equals the leaf count —
-    * and stays correct (path-weighted) if the hierarchy ever becomes
-    * a DAG.
+    * EVERY node of the R→N→C→O→L hierarchy, in one query.
+    *
+    * r14 optimization (guide §1.2 — fix the distributed algorithm
+    * first): the rollup needs only per-ancestor LEAF-WALK counts, not
+    * the full (ancestor, descendant, lvl) closure the previous form
+    * materialized (~3 rows per edge at sf0.1) and then threw 3/4 of
+    * away. The bag-exact bounded DP computes the same numbers in
+    * maxDepth rounds of one join + one keyed sum over the EDGE set:
+    *   f_k(v) = |{(v,c) edge rows : c is a leaf}| + Σ_{(v,c)} f_{k−1}(c)
+    * — walks of length ≤ k from v ending at an L node, multiplicities
+    * included exactly as the closure's n_paths (duplicate edge rows fan
+    * the join out the same way they fanned the closure's prefix join).
+    * f_maxDepth over the R→N→C→O→L levels equals the closure rollup
+    * row-for-row (nodes with no leaf walk have no row on either side);
+    * the unchanged DuckDB recursive-CTE oracle re-pins the hash. At
+    * scale this is O(E) per round with nothing materialized beyond the
+    * |V|-row count vector — the closure tier stays available for
+    * queries that genuinely need arbitrary (src, dst) pairs.
     */
   def r6SubtreeRollup(spark: SparkSession, d: String): DataFrame = {
-    val edges = GraphData.hierarchyEdges(spark, d)
-    val closure = graft.graph.Closure.closureAuto(edges, maxDepth = 4)
-      .getOrElse(sys.error(
-        "hierarchy exceeds the distributed closure cap — frontier walk " +
-          "not implemented for the all-roots rollup"))
-    closure.filter(col("dst").startsWith("L"))
-      .groupBy(col("src"))
-      .agg(sum(col("n_paths")).cast("long").as("n_lines"))
+    val maxDepth = 4
+    val e = graft.CacheRegistry.register(
+      GraphData.hierarchyEdges(spark, d).select(col("parent"), col("child"))
+        .localCheckpoint())
+    val directL = graft.CacheRegistry.register(
+      e.filter(col("child").startsWith("L"))
+        .groupBy(col("parent").as("node"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint())
+    var f = directL
+    (2 to maxDepth).foreach { _ =>
+      val fromBelow = e
+        .join(f.withColumnRenamed("node", "child"), "child")
+        .groupBy(col("parent").as("node"))
+        .agg(sum(col("cnt")).as("cnt"))
+      f = directL.withColumnRenamed("cnt", "dc")
+        .join(fromBelow.withColumnRenamed("cnt", "bc"), Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("dc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
+            .as("cnt"))
+    }
+    f.select(col("node").as("src"), col("cnt").cast("long").as("n_lines"))
       .orderBy(col("src"))
   }
 

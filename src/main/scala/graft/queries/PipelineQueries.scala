@@ -304,15 +304,33 @@ object PipelineQueries {
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
     val b = p.select(col("p_brand"), col("p_partkey").as("q_key"),
       col("p_name").as("q_name"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_partkey"))
-      .orderBy(col("sim").desc, col("q_name"), col("q_key"))
-    p.join(b, "p_brand").filter(col("p_partkey") =!= col("q_key"))
-      .withColumn("sim", round(
-        call_function("jaro_winkler", col("p_name"), col("q_name")), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("p_partkey"), col("q_key").as("match_key"), col("sim"))
+    // Jaro-Winkler is symmetric, so the kernel runs once per UNORDERED
+    // in-block pair (key < q_key — half the =!= join's evaluations) and
+    // each scored pair is emitted in both directions with a 2-element
+    // explode. Best-match selection is the argmax-as-aggregate trick
+    // (a13/d30): min(struct(1−sim, name, key)) replaces the
+    // row_number window — no second sort of the pair blow-up, and the
+    // partial aggregate collapses each scan task's pairs to its ≤|part|
+    // local bests before the exchange. 1−sim is only the SORT key
+    // (strictly monotone on [0,1] doubles, and distinct round-4 sims
+    // differ by ≥1e-4 ≫ one ulp); the emitted sim is the original
+    // rounded value carried through the struct, so results are
+    // bit-identical to the windowed form (sim desc, q_name, q_key asc).
+    val pairs = p.join(b, "p_brand").filter(col("p_partkey") < col("q_key"))
+      .select(col("p_partkey"), col("p_name"), col("q_key"), col("q_name"),
+        round(call_function("jaro_winkler", col("p_name"), col("q_name")), 4)
+          .as("sim"))
+    pairs.select(explode(array(
+        struct(col("p_partkey").as("k"), col("q_name").as("mn"),
+          col("q_key").as("mk"), col("sim")),
+        struct(col("q_key").as("k"), col("p_name").as("mn"),
+          col("p_partkey").as("mk"), col("sim")))).as("r"))
+      .groupBy(col("r.k").as("p_partkey"))
+      .agg(min(struct((lit(1.0) - col("r.sim")).as("inv"),
+        col("r.mn").as("mn"), col("r.mk").as("mk"),
+        col("r.sim").as("sim"))).as("best"))
+      .select(col("p_partkey"), col("best.mk").as("match_key"),
+        col("best.sim").as("sim"))
       .orderBy(col("p_partkey"))
   }
 
