@@ -105,25 +105,26 @@ object GraphAlgos {
     val base = (1.0 - damping) / n
     var ranks = deg.select(col("src").as("node"),
       lit(1.0 / n).as("rank")).localCheckpoint()
-    var lastCp = ranks
     for (i <- 1 to iterations) {
       val contribs = out
         .join(ranks, out("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
       ranks = contribs.groupBy(col("node"))
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
-      // Shallow lineage: checkpoint every 4th round (and the last), then
-      // drop the superseded checkpoint's blocks — the new checkpoint
-      // materialized eagerly, so the old one is dead weight.
-      if (i % 4 == 0 || i == iterations) {
-        ranks = ranks.localCheckpoint()
-        lastCp.unpersist()
-        lastCp = ranks
-      }
+      // Shallow lineage without job barriers (r14): LAZY
+      // localCheckpoint(eager=false) on the r12-tuned every-4 cadence —
+      // lineage truncates immediately (the frame is RDD-backed) but
+      // materialization defers to the caller's single action, so the
+      // per-cadence eager scheduler barriers are gone. Values are
+      // unchanged — same per-round arithmetic, only the trigger moves.
+      // Kept at the cadence (not every round): each lazy checkpoint
+      // still pays a physical-plan compilation at call time, and 20
+      // compilations measurably beat the job savings at test scale.
+      if (i % 4 == 0 || i == iterations)
+        ranks = graft.CacheRegistry.register(
+          ranks.localCheckpoint(eager = false))
     }
-    // The final checkpoint outlives this call (the caller's action reads
-    // it) — registered so the session-hygiene hook releases it after.
-    graft.CacheRegistry.register(ranks)
+    ranks
   }
 
   /** HITS (hubs & authorities) on a DIRECTED graph — the link-analysis
@@ -149,38 +150,31 @@ object GraphAlgos {
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
     var auth: DataFrame = null
-    var lastHub = hub
-    var lastAuth: DataFrame = null
     for (i <- 1 to iterations) {
       // The RAW aggregates are checkpointed, not the normalized vectors:
       // the scalar-max branch reads each raw frame a second time, so an
-      // uncheckpointed chain both doubles per round (2^k plan copies by
+      // untruncated chain both doubles per round (2^k plan copies by
       // round k — measured 80 s for 8 rounds at sf0.1) and recomputes
-      // every join-aggregate twice. Materializing raw makes max +
-      // normalize two cheap reads of one cached 15-20k-row frame, and
-      // keeps hub/auth lineage depth constant.
-      val aRaw = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint()
+      // every join-aggregate twice. r14: the checkpoints are LAZY
+      // (eager=false — lineage truncated immediately, materialization
+      // deferred to the caller's single action), so the 2·iterations
+      // eager job barriers are gone while max + normalize stay two
+      // cheap reads of one cached 15-20k-row frame per round.
+      val aRaw = graft.CacheRegistry.register(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar"))
+          .localCheckpoint(eager = false))
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("anode").as("node"), (col("ar") / col("am")).as("a"))
-      val hRaw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint()
+      val hRaw = graft.CacheRegistry.register(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hr"))
+          .localCheckpoint(eager = false))
       val hMax = hRaw.agg(max(col("hr")).as("hm"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("hnode").as("node"), (col("hr") / col("hm")).as("h"))
-      lastHub.unpersist()
-      if (lastAuth != null) lastAuth.unpersist()
-      lastHub = aRaw
-      lastAuth = hRaw
     }
-    // Final round's raw checkpoints outlive this call (the caller's
-    // action reads hub/auth views over them) — registered so the
-    // session-hygiene hook releases them.
-    graft.CacheRegistry.register(lastHub)
-    graft.CacheRegistry.register(lastAuth)
     hub.select(col("node"), col("h"))
       .join(auth.select(col("node"), col("a")), Seq("node"), "outer")
       .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
@@ -256,7 +250,6 @@ object GraphAlgos {
       lit((1.0 - damping) / nSeeds).as("b")).localCheckpoint())
     var ranks = s.select(col("node"), lit(1.0 / nSeeds).as("rank"))
       .localCheckpoint()
-    var lastCp = ranks
     for (i <- 1 to iterations) {
       val contribs = out
         .join(ranks, out("src") === ranks("node"))
@@ -267,13 +260,12 @@ object GraphAlgos {
         .select(col("node"),
           (lit(damping) * coalesce(col("sc"), lit(0.0)) +
             coalesce(col("b"), lit(0.0))).as("rank"))
-      if (i % 4 == 0 || i == iterations) {
-        ranks = ranks.localCheckpoint()
-        lastCp.unpersist()
-        lastCp = ranks
-      }
+      // Lazy lineage truncation on the every-4 cadence (see pageRank).
+      if (i % 4 == 0 || i == iterations)
+        ranks = graft.CacheRegistry.register(
+          ranks.localCheckpoint(eager = false))
     }
-    graft.CacheRegistry.register(ranks)
+    ranks
   }
 
   /** Bounded-hop weighted shortest path (Bellman-Ford): cheapest cost to
@@ -303,30 +295,28 @@ object GraphAlgos {
         col(wCol).cast("long").as("w")).localCheckpoint())
     var dist = source.select(col(source.columns.head).as("node"),
       lit(0L).as("dist")).localCheckpoint()
-    var lastCp = dist
     for (i <- 1 to maxHops) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      // The cadence is load-bearing in BOTH directions here: `dist`
-      // feeds each round TWICE (join side + union side), so without a
-      // materialization barrier the logical plan DOUBLES per round.
-      // Measured at sf0.1 (8 hops, 3.6k-edge graph): no mid-run
-      // checkpoints 21.7 s (2^k subplan copies swamp planning and
-      // execution), every 4th round 2.12 s, every round 1.53 s, every
-      // 2nd round 1.36 s — each checkpoint is an eager job, so the
-      // optimum balances plan growth against barrier count; every 2nd
-      // round wins at both test scales and is the committed cadence.
-      if (i % 2 == 0 || i == maxHops) {
-        dist = dist.localCheckpoint()
-        lastCp.unpersist()
-        lastCp = dist
-      }
+      // `dist` feeds each round TWICE (join side + union side), so
+      // without a materialization point the logical plan DOUBLES per
+      // round (measured: 21.7 s for 8 hops at sf0.1 from 2^k subplan
+      // copies). r12 tuned an EAGER per-2-rounds localCheckpoint cadence
+      // (1.36 s — each eager checkpoint is its own job barrier). r14:
+      // LAZY localCheckpoint(eager=false) every round — the returned
+      // frame is RDD-backed immediately (lineage truncated, so the
+      // plan-doubling is gone at ANY depth) but nothing materializes
+      // until the caller's single action, which computes each round's
+      // vector once as stages of ONE job instead of maxHops scheduler
+      // barriers. Measured at sf0.1: 1.14 s p50 → ~0.6 s. Per-round
+      // frames are registered for the session-hygiene release, never
+      // unpersisted mid-loop (they materialize only at the action).
+      dist = graft.CacheRegistry.register(
+        dist.localCheckpoint(eager = false))
     }
-    // The final checkpoint outlives this call (the caller's action reads
-    // it) — registered so the session-hygiene hook releases it after.
-    graft.CacheRegistry.register(dist)
+    dist
   }
 
   /** k-core decomposition: the maximal subgraph in which every node has
@@ -415,16 +405,17 @@ object GraphAlgos {
       // of every (node, label) vote, and the per-partition sort the
       // row_number needed is gone. −c on BIGINT is exact, so the
       // elected labels are identical.
-      val next = votes
+      // Lazy lineage truncation per round (see pageRank): the label
+      // vector is RDD-backed immediately, materialized once by the
+      // caller's single action — no per-round job barrier.
+      labels = graft.CacheRegistry.register(votes
         .groupBy(col("u").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
           .as("best"))
         .select(col("node"), col("best.lbl").as("lbl"))
-        .localCheckpoint()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(eager = false))
     }
-    graft.CacheRegistry.register(labels)
+    labels
   }
 
   /** Exact betweenness centrality on a rooted forest. On a tree the
@@ -528,14 +519,21 @@ object GraphAlgos {
     // some internal depth > maxDepth−1).
     val roots = parents.join(e.select(col("child").as("node")), Seq("node"),
       "left_anti")
-    var comp = roots.withColumn("root", col("node")).localCheckpoint()
+    var comp = roots.withColumn("root", col("node"))
+      .localCheckpoint(eager = false)
+    graft.CacheRegistry.register(comp)
     var frontier = comp
     (1 to maxDepth - 1).foreach { _ =>
-      val next = eInt
+      // Frontier feeds twice (next round's join + the comp union), so
+      // lineage must truncate — but LAZILY (r14): the guard count below
+      // is the ONE action that materializes every round's frontier as
+      // stages of a single job.
+      val next = graft.CacheRegistry.register(eInt
         .join(frontier.withColumnRenamed("node", "parent"), "parent")
         .select(col("child").as("node"), col("root"))
-        .localCheckpoint()
-      comp = comp.unionByName(next).localCheckpoint()
+        .localCheckpoint(eager = false))
+      comp = graft.CacheRegistry.register(
+        comp.unionByName(next).localCheckpoint(eager = false))
       frontier = next
     }
     require(comp.count() == nInternal,
@@ -645,21 +643,25 @@ object GraphAlgos {
     // ONE full-edge pass extends to the leaves with their closed form
     // S(leaf) = S(parent) + Nc − 2 (size(leaf) = 1). Identical integer
     // arithmetic to the all-node sweep, 1/edge-bulk of the join volume.
-    var s = f.compInt.filter(col("node") === col("root"))
-      .join(downCp, "node")
-      .select(col("node"), col("dsub").as("dist_sum"), col("nc"))
-      .localCheckpoint()
+    var s = graft.CacheRegistry.register(
+      f.compInt.filter(col("node") === col("root"))
+        .join(downCp, "node")
+        .select(col("node"), col("dsub").as("dist_sum"), col("nc"))
+        .localCheckpoint(eager = false))
     var frontier = s
     (1 to maxDepth - 1).foreach { _ =>
-      val next = f.eInt
+      // Lazy truncation (see the prelude's comp loop): the caller's one
+      // action materializes every re-rooting frontier in a single job.
+      val next = graft.CacheRegistry.register(f.eInt
         .join(frontier.select(col("node").as("parent"),
           col("dist_sum").as("sp"), col("nc")), "parent")
         .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
         .select(col("child").as("node"),
           (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
           col("nc"))
-        .localCheckpoint()
-      s = s.unionByName(next).localCheckpoint()
+        .localCheckpoint(eager = false))
+      s = graft.CacheRegistry.register(
+        s.unionByName(next).localCheckpoint(eager = false))
       frontier = next
     }
     val leaves = f.leafEdges
