@@ -295,28 +295,35 @@ object GraphAlgos {
         col(wCol).cast("long").as("w")).localCheckpoint())
     var dist = source.select(col(source.columns.head).as("node"),
       lit(0L).as("dist")).localCheckpoint()
+    var lastCp = dist
     for (i <- 1 to maxHops) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      // `dist` feeds each round TWICE (join side + union side), so
-      // without a materialization point the logical plan DOUBLES per
-      // round (measured: 21.7 s for 8 hops at sf0.1 from 2^k subplan
-      // copies). r12 tuned an EAGER per-2-rounds localCheckpoint cadence
-      // (1.36 s — each eager checkpoint is its own job barrier). r14:
-      // LAZY localCheckpoint(eager=false) every round — the returned
-      // frame is RDD-backed immediately (lineage truncated, so the
-      // plan-doubling is gone at ANY depth) but nothing materializes
-      // until the caller's single action, which computes each round's
-      // vector once as stages of ONE job instead of maxHops scheduler
-      // barriers. Measured at sf0.1: 1.14 s p50 → ~0.6 s. Per-round
-      // frames are registered for the session-hygiene release, never
-      // unpersisted mid-loop (they materialize only at the action).
-      dist = graft.CacheRegistry.register(
-        dist.localCheckpoint(eager = false))
+      // The cadence is load-bearing in BOTH directions here: `dist`
+      // feeds each round TWICE (join side + union side), so without a
+      // materialization barrier the logical plan DOUBLES per round.
+      // Measured at sf0.1 (8 hops, 3.6k-edge graph): no mid-run
+      // checkpoints 21.7 s (2^k subplan copies swamp planning and
+      // execution), every 4th round 2.12 s, every round 1.53 s, every
+      // 2nd round 1.36 s — each checkpoint is an eager job, so the
+      // optimum balances plan growth against barrier count; every 2nd
+      // round wins at both test scales and is the committed cadence.
+      // r14 note: the lazy localCheckpoint(eager=false) variant used by
+      // the once-per-round-lineage operators was tried here too —
+      // better in isolated A/B (p50 2.15 → 1.62 s) but SLOWER in two
+      // consecutive official bench runs (+6.5%, +23.6%), so the
+      // bench-measured eager-every-2 cadence stands.
+      if (i % 2 == 0 || i == maxHops) {
+        dist = dist.localCheckpoint()
+        lastCp.unpersist()
+        lastCp = dist
+      }
     }
-    dist
+    // The final checkpoint outlives this call (the caller's action reads
+    // it) — registered so the session-hygiene hook releases it after.
+    graft.CacheRegistry.register(dist)
   }
 
   /** k-core decomposition: the maximal subgraph in which every node has
@@ -463,8 +470,11 @@ object GraphAlgos {
     * and the two forest-guard count actions collapse into one
     * aggregate. Arithmetic is unchanged — the split recursion unfolds
     * to exactly the original per-level sums (oracles + fuzz parity
-    * re-pinned green). Measured at sf0.1: g13 11.5 s → ~2 s,
-    * g14 21.6 s → ~6 s cold.
+    * re-pinned green). Measured at sf0.1 (official bench cold cells,
+    * before → after the split + lazy truncation + size-adaptive
+    * broadcasts): g13 11.5 → ~7.8 s, g14 21.6 → ~11.9 s; the residual
+    * is ~15 small keyed stages at the local-mode per-stage floor
+    * (OPTIMIZATION_r14.md "Not yet optimized").
     */
   private final case class ForestFrames(
       e: DataFrame,         // (parent, child) distinct, checkpointed
@@ -475,6 +485,21 @@ object GraphAlgos {
       leafCnt: DataFrame,   // (node, lc): per-parent leaf-children count
       sizeInt: DataFrame,   // (node, size): exact sizes, internal nodes
       compInt: DataFrame)   // (node, root, nc): internal nodes
+
+  /** Size-adaptive broadcast hint for internal-node-sized frames (r14,
+    * guide §3.1): the prelude frames are RDD-backed (localCheckpoint),
+    * so Catalyst sees no size estimate and every sweep join SHUFFLES
+    * the bulk side — but the prelude's guard already counted the
+    * internal nodes, so the decision Spark cannot make statically is
+    * made here from the measured count: under ~2M internal nodes
+    * (≲64 MB framed) the per-round vectors broadcast and the bulk side
+    * never moves; past it the hint vanishes and the keyed-shuffle plan
+    * (the 100 TB shape) is unchanged. AQE would reach the same join
+    * strategy only AFTER paying each exchange write.
+    */
+  private val BroadcastableInternalNodes = 2000000L
+  private def bcIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
 
   private def forestFrames(edges: DataFrame, maxDepth: Int,
       parentCol: String, childCol: String, who: String): ForestFrames = {
@@ -494,9 +519,13 @@ object GraphAlgos {
     val parents = graft.CacheRegistry.register(
       e.select(col("parent").as("node")).distinct().localCheckpoint())
     val nInternal = parents.count()
-    // Split the edge set by the child's side in one flagging join.
+    val small = nInternal <= BroadcastableInternalNodes
+    // Split the edge set by the child's side in one flagging join — the
+    // parents set broadcasts under the measured threshold, so the bulk
+    // edge set is never exchanged for the split.
     val flagged = graft.CacheRegistry.register(
-      e.join(parents.select(col("node").as("child"), lit(1).as("is_int")),
+      e.join(bcIf(small)(
+          parents.select(col("node").as("child"), lit(1).as("is_int"))),
           Seq("child"), "left")
         .select(col("parent"), col("child"), col("is_int").isNotNull
           .as("int_child"))
@@ -529,7 +558,8 @@ object GraphAlgos {
       // is the ONE action that materializes every round's frontier as
       // stages of a single job.
       val next = graft.CacheRegistry.register(eInt
-        .join(frontier.withColumnRenamed("node", "parent"), "parent")
+        .join(bcIf(small)(frontier.withColumnRenamed("node", "parent")),
+          "parent")
         .select(col("child").as("node"), col("root"))
         .localCheckpoint(eager = false))
       comp = graft.CacheRegistry.register(
@@ -554,16 +584,16 @@ object GraphAlgos {
     var size = parents.withColumn("size", lit(1L))
     (1 to maxDepth).foreach { _ =>
       val fromInt = eInt
-        .join(size.withColumnRenamed("node", "child"), "child")
+        .join(bcIf(small)(size.withColumnRenamed("node", "child")), "child")
         .groupBy(col("parent").as("node")).agg(sum(col("size")).as("isum"))
-      size = base.join(fromInt, Seq("node"), "left")
+      size = base.join(bcIf(small)(fromInt), Seq("node"), "left")
         .select(col("node"),
           (col("base") + coalesce(col("isum"), lit(0L))).as("size"))
     }
     val sizeInt = graft.CacheRegistry.register(size.localCheckpoint())
 
-    val compInt = comp.join(
-      sizeInt.select(col("node").as("root"), col("size").as("nc")), "root")
+    val compInt = comp.join(bcIf(small)(
+      sizeInt.select(col("node").as("root"), col("size").as("nc"))), "root")
     ForestFrames(e, nInternal, parents, leafEdges, eInt, leafCnt, sizeInt,
       compInt)
   }
@@ -577,15 +607,18 @@ object GraphAlgos {
       parentCol: String = "parent", childCol: String = "child"): DataFrame = {
     val f = forestFrames(edges, maxDepth, parentCol, childCol,
       "treeBetweenness")
+    val small = f.nInternal <= BroadcastableInternalNodes
 
     // Per-parent sum of C(child_subtree, 2) — leaf children contribute
     // C(1,2) = 0, so only INTERNAL child edges enter the aggregate.
     val childSq = f.eInt
-      .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
+      .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "child")),
+        "child")
       .groupBy(col("parent")).agg(sum(c2(col("size"))).as("childsq"))
     val internal = f.sizeInt
-      .join(f.compInt.select(col("node"), col("nc")), "node")
-      .join(childSq.withColumnRenamed("parent", "node"), Seq("node"), "left")
+      .join(bcIf(small)(f.compInt.select(col("node"), col("nc"))), "node")
+      .join(bcIf(small)(childSq.withColumnRenamed("parent", "node")),
+        Seq("node"), "left")
       .select(col("node"),
         (c2(col("nc") - lit(1L)) - coalesce(col("childsq"), lit(0L))
           - c2(col("nc") - col("size"))).cast("long").as("btw"))
@@ -622,16 +655,18 @@ object GraphAlgos {
     // — the original all-child recursion with each leaf child's exact
     // (D=0) + (size=1) term folded into the lc base. Exact once
     // k ≥ height(v); lazy loop, one materialization.
+    val small = f.nInternal <= BroadcastableInternalNodes
     var down = f.parents.withColumn("dsub", lit(0L))
     (1 to maxDepth).foreach { _ =>
       val fromInt = f.eInt
-        .join(down.withColumnRenamed("node", "child"), "child")
-        .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
+        .join(bcIf(small)(down.withColumnRenamed("node", "child")), "child")
+        .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "child")),
+          "child")
         .groupBy(col("parent").as("node"))
         .agg(sum(col("dsub") + col("size")).as("isum"))
       down = f.parents
-        .join(f.leafCnt, Seq("node"), "left")
-        .join(fromInt, Seq("node"), "left")
+        .join(bcIf(small)(f.leafCnt), Seq("node"), "left")
+        .join(bcIf(small)(fromInt), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("lc"), lit(0L)) + coalesce(col("isum"), lit(0L)))
             .as("dsub"))
@@ -653,9 +688,10 @@ object GraphAlgos {
       // Lazy truncation (see the prelude's comp loop): the caller's one
       // action materializes every re-rooting frontier in a single job.
       val next = graft.CacheRegistry.register(f.eInt
-        .join(frontier.select(col("node").as("parent"),
-          col("dist_sum").as("sp"), col("nc")), "parent")
-        .join(f.sizeInt.withColumnRenamed("node", "child"), "child")
+        .join(bcIf(small)(frontier.select(col("node").as("parent"),
+          col("dist_sum").as("sp"), col("nc"))), "parent")
+        .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "child")),
+          "child")
         .select(col("child").as("node"),
           (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
           col("nc"))
@@ -665,8 +701,8 @@ object GraphAlgos {
       frontier = next
     }
     val leaves = f.leafEdges
-      .join(s.select(col("node").as("parent"), col("dist_sum").as("sp"),
-        col("nc")), "parent")
+      .join(bcIf(small)(s.select(col("node").as("parent"),
+        col("dist_sum").as("sp"), col("nc"))), "parent")
       .select(col("child").as("node"),
         (col("sp") + col("nc") - lit(2L)).as("dist_sum"), col("nc"))
     s.unionByName(leaves)
