@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 /** Distributed graph analytics beyond reachability (Traverse/Closure):
   * algorithms whose naive relational form explodes on exactly the graphs
   * that matter at scale, implemented in their degree-aware forms.
+  *
+  * Storage footprint of the lazy-checkpoint loops (accepted trade-off,
+  * r14 ADVICE #3): a fixed-round operator whose rounds are truncated
+  * with `localCheckpoint(eager = false)` holds every round's score
+  * vector persisted simultaneously while the caller's one action runs —
+  * O(rounds · |V|) rows, NOT O(rounds · |E|) (only the |V|-sized
+  * vectors checkpoint; the edge set persists once), all registered with
+  * [[graft.CacheRegistry]] and released right after the query's action.
+  * At the 100 TB target that is bounded by rounds(≤20) × the node
+  * vector (~16 B/node + id), evictable to disk under MEMORY_AND_DISK —
+  * orders of magnitude under the edge set the job already holds. The
+  * alternative (eager per-round unpersist) needs a job barrier per
+  * round, which r14 measured as the dominant local-mode cost. The
+  * ACCUMULATING unions (tree-sweep frontiers) are deliberately NOT
+  * checkpointed per round — that held O(rounds²) cumulative copies for
+  * no lineage benefit (fixed r15).
   */
 object GraphAlgos {
 
@@ -101,14 +117,26 @@ object GraphAlgos {
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val out = graft.CacheRegistry.register(
       dir.join(deg, "src").localCheckpoint())
-    val n = deg.count()
+    // One aggregate returns N and the max node-id length: the byte-derived
+    // broadcast gate (r15) decides whether the |V|-row rank vector fits a
+    // broadcast. When it does, the per-round join builds a broadcast of
+    // the RANKS side and the big cached edge table never re-exchanges —
+    // Catalyst cannot make that call itself because the vector is
+    // RDD-backed (no stats). Past the gate (100 TB-scale |V|) the hint
+    // vanishes and the keyed-shuffle plan is unchanged.
+    val st = out.agg(count_distinct(col("src")).as("n"),
+      max(length(col("src").cast("string"))).as("kl")).head()
+    val n = st.getLong(0)
+    val bcRanks = fitsBroadcast(n, if (st.isNullAt(1)) 0L
+      else st.getInt(1).toLong, 8)
     val base = (1.0 - damping) / n
-    var ranks = deg.select(col("src").as("node"),
-      lit(1.0 / n).as("rank")).localCheckpoint()
+    var ranks = graft.CacheRegistry.register(deg.select(
+      col("src").as("node"), lit(1.0 / n).as("rank")).localCheckpoint())
     for (i <- 1 to iterations) {
       val contribs = out
-        .join(ranks, out("src") === ranks("node"))
+        .join(bcIf(bcRanks)(ranks), out("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      explainRound("pageRank contribs", i, contribs)
       ranks = contribs.groupBy(col("node"))
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
       // Shallow lineage without job barriers (r14): LAZY
@@ -147,8 +175,22 @@ object GraphAlgos {
     val e = graft.CacheRegistry.register(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct().localCheckpoint())
-    var hub = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1.0)).localCheckpoint()
+    // Byte-derived broadcast gate over the LARGER score vector (hubs =
+    // distinct src, authorities = distinct dst), measured in one pass of
+    // the cached edge set (r15): under the gate every per-round join
+    // broadcasts the score side and the bulk edge table never
+    // re-exchanges — 2·iterations exchanges of the big side gone. Past
+    // the gate the keyed-shuffle plan is unchanged.
+    val st = e.agg(
+      greatest(count_distinct(col("src")), count_distinct(col("dst")))
+        .as("n"),
+      greatest(max(length(col("src").cast("string"))),
+        max(length(col("dst").cast("string")))).as("kl")).head()
+    val bcVec = fitsBroadcast(st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getInt(1).toLong, 8)
+    var hub = graft.CacheRegistry.register(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(1.0)).localCheckpoint())
     var auth: DataFrame = null
     for (i <- 1 to iterations) {
       // The RAW aggregates are checkpointed, not the normalized vectors:
@@ -160,15 +202,18 @@ object GraphAlgos {
       // deferred to the caller's single action), so the 2·iterations
       // eager job barriers are gone while max + normalize stay two
       // cheap reads of one cached 15-20k-row frame per round.
+      explainRound("hits auth-from-hub", i,
+        e.join(bcIf(bcVec)(hub), e("src") === hub("node"))
+          .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar")))
       val aRaw = graft.CacheRegistry.register(
-        e.join(hub, e("src") === hub("node"))
+        e.join(bcIf(bcVec)(hub), e("src") === hub("node"))
           .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("ar"))
           .localCheckpoint(eager = false))
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("anode").as("node"), (col("ar") / col("am")).as("a"))
       val hRaw = graft.CacheRegistry.register(
-        e.join(auth, e("dst") === auth("node"))
+        e.join(bcIf(bcVec)(auth), e("dst") === auth("node"))
           .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hr"))
           .localCheckpoint(eager = false))
       val hMax = hRaw.agg(max(col("hr")).as("hm"))
@@ -248,12 +293,21 @@ object GraphAlgos {
     // (0.15 parsed as a literal is a different double than 1.0 - 0.85).
     val seedBase = graft.CacheRegistry.register(s.select(col("node"),
       lit((1.0 - damping) / nSeeds).as("b")).localCheckpoint())
-    var ranks = s.select(col("node"), lit(1.0 / nSeeds).as("rank"))
-      .localCheckpoint()
+    // Byte-derived broadcast gate (r15): the walk vector is bounded by
+    // |V|, measured in one pass of the cached out-edge table. Under the
+    // gate each round's join broadcasts the rank side and the bulk edge
+    // table never re-exchanges; past it the keyed-shuffle plan stands.
+    val vst = out.agg(count_distinct(col("src")).as("n"),
+      max(length(col("src").cast("string"))).as("kl")).head()
+    val bcRanks = fitsBroadcast(vst.getLong(0),
+      if (vst.isNullAt(1)) 0L else vst.getInt(1).toLong, 8)
+    var ranks = graft.CacheRegistry.register(
+      s.select(col("node"), lit(1.0 / nSeeds).as("rank")).localCheckpoint())
     for (i <- 1 to iterations) {
       val contribs = out
-        .join(ranks, out("src") === ranks("node"))
+        .join(bcIf(bcRanks)(ranks), out("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      explainRound("ppr contribs", i, contribs)
       ranks = contribs.groupBy(col("node"))
         .agg(sum(col("c")).as("sc"))
         .join(seedBase, Seq("node"), "outer")
@@ -293,6 +347,12 @@ object GraphAlgos {
     val e = graft.CacheRegistry.register(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w")).localCheckpoint())
+    // r15 note: the byte-derived broadcast gate (pageRank/HITS/PPR/LP
+    // discipline) was measured HERE and REVERTED — isolated A/B at
+    // sf0.1 showed +10% (hot p50 1.34 → 1.48 s): the frontier is tiny
+    // and grows per round, so each round pays a fresh broadcast build +
+    // the extra stats action, while the eager-every-2 checkpoint
+    // cadence already bounds the exchange cost on this shape.
     var dist = source.select(col(source.columns.head).as("node"),
       lit(0L).as("dist")).localCheckpoint()
     var lastCp = dist
@@ -398,13 +458,25 @@ object GraphAlgos {
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .localCheckpoint())
-    var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    (1 to rounds).foreach { _ =>
+    // Byte-derived broadcast gate (r15): the label vector is |V| rows of
+    // two node-id strings, measured in one pass of the cached edge set.
+    // Under the gate each round's vote join broadcasts the label side
+    // and the bulk edge table never re-exchanges; past it the
+    // keyed-shuffle plan stands.
+    val st = und.agg(count_distinct(col("u")).as("n"),
+      max(length(col("u").cast("string"))).as("kl")).head()
+    val kl = if (st.isNullAt(1)) 0L else st.getInt(1).toLong
+    val bcLabels = fitsBroadcast(st.getLong(0), kl, 2L * kl + 16L)
+    var labels = graft.CacheRegistry.register(
+      und.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint())
+    (1 to rounds).zipWithIndex.foreach { case (_, r0) =>
       val votes = und
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .join(bcIf(bcLabels)(labels.select(col("node").as("v"), col("lbl"))),
+          "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      explainRound("labelPropagation votes", r0 + 1, votes)
       // Per-node arg-max as an AGGREGATE (r14, the a13/d30 trick —
       // guide §2.3 "aggregate before you shuffle"): min(struct(−c, lbl))
       // is exactly the window's (c desc, lbl asc) head, but the second
@@ -479,6 +551,7 @@ object GraphAlgos {
   private final case class ForestFrames(
       e: DataFrame,         // (parent, child) distinct, checkpointed
       nInternal: Long,      // number of distinct parents
+      small: Boolean,       // internal-node vectors fit the broadcast gate
       parents: DataFrame,   // (node) the internal nodes, checkpointed
       leafEdges: DataFrame, // e rows whose child is a leaf
       eInt: DataFrame,      // e rows whose child is internal
@@ -486,20 +559,49 @@ object GraphAlgos {
       sizeInt: DataFrame,   // (node, size): exact sizes, internal nodes
       compInt: DataFrame)   // (node, root, nc): internal nodes
 
-  /** Size-adaptive broadcast hint for internal-node-sized frames (r14,
-    * guide §3.1): the prelude frames are RDD-backed (localCheckpoint),
-    * so Catalyst sees no size estimate and every sweep join SHUFFLES
-    * the bulk side — but the prelude's guard already counted the
-    * internal nodes, so the decision Spark cannot make statically is
-    * made here from the measured count: under ~2M internal nodes
-    * (≲64 MB framed) the per-round vectors broadcast and the bulk side
-    * never moves; past it the hint vanishes and the keyed-shuffle plan
-    * (the 100 TB shape) is unchanged. AQE would reach the same join
-    * strategy only AFTER paying each exchange write.
+  /** Size-adaptive broadcast hint for per-round score/frontier vectors
+    * (r14 wave 3, generalized r15): these frames are RDD-backed
+    * (localCheckpoint), so Catalyst sees no size estimate and every
+    * per-round join SHUFFLES the bulk edge side — but the operators
+    * already measure the vector's row count, so the decision Spark
+    * cannot make statically is made here from measured bytes. Past the
+    * gate the hint vanishes and the keyed-shuffle plan (the 100 TB
+    * shape) is unchanged. AQE would reach the same join strategy only
+    * AFTER paying each exchange write.
+    *
+    * The gate is BYTE-derived, not row-derived (r14 ADVICE #4 — the old
+    * 2M-row gate assumed ~64 MB framed, but long node-id strings
+    * multiply that): each row is charged its measured max key length
+    * twice (the UnsafeRow string + the HashedRelation copy) plus ~48 B
+    * of row/pointer overhead plus the value columns. The budget is PER
+    * BROADCAST and deliberately conservative because several such
+    * broadcasts are concurrently live inside one job (sizes + leaf
+    * counts + frontier + compInt in the tree sweeps: up to ~6), so the
+    * worst-case concurrent footprint is ~6× the budget on the driver
+    * and each executor. GRAFT_BROADCAST_BUDGET_MB overrides the default
+    * 64 MB for bigger drivers; 0 disables forced broadcasts entirely.
     */
-  private val BroadcastableInternalNodes = 2000000L
-  private def bcIf(small: Boolean)(df: DataFrame): DataFrame =
+  private val BroadcastBudgetBytes: Long =
+    sys.env.get("GRAFT_BROADCAST_BUDGET_MB").map(_.toLong)
+      .getOrElse(64L) << 20
+  private[graft] def fitsBroadcast(rows: Long, maxKeyLen: Long,
+      valueBytes: Long): Boolean =
+    rows * (2L * maxKeyLen + 48L + valueBytes) <= BroadcastBudgetBytes
+  private[graft] def bcIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
+
+  // Plan-evidence hook: the per-round join plans of the iterative
+  // operators never appear in the returned frame's explain (the loop
+  // materializes through localCheckpoint, so only the tail survives).
+  // With GRAFT_EXPLAIN_ROUNDS set, the FIRST round of each loop prints
+  // its formatted physical plan — off (one env check) in normal runs.
+  private val ExplainRounds = sys.env.contains("GRAFT_EXPLAIN_ROUNDS")
+  private[graft] def explainRound(tag: String, round: Int,
+      df: DataFrame): Unit =
+    if (ExplainRounds && round <= 2) {
+      println(s"---- per-round plan [$tag] round $round ----")
+      df.explain("formatted")
+    }
 
   private def forestFrames(edges: DataFrame, maxDepth: Int,
       parentCol: String, childCol: String, who: String): ForestFrames = {
@@ -509,17 +611,22 @@ object GraphAlgos {
       .distinct()
       .localCheckpoint())
     // Forest guard in ONE pass (was two count actions): every child has
-    // exactly one DISTINCT parent <=> rows == distinct children.
+    // exactly one DISTINCT parent <=> rows == distinct children. The
+    // same pass measures the max node-id length for the byte-derived
+    // broadcast gate (r15).
     val g = e.agg(count(lit(1)).as("ne"),
-      count_distinct(col("child")).as("nch")).head()
+      count_distinct(col("child")).as("nch"),
+      greatest(max(length(col("parent").cast("string"))),
+        max(length(col("child").cast("string")))).as("klen")).head()
     require(g.getLong(0) == g.getLong(1),
       s"$who input is not a forest: some child has > 1 parent")
+    val keyLen = if (g.isNullAt(2)) 0L else g.getInt(2).toLong
 
     // Internal nodes = nodes with children; everything else is a leaf.
     val parents = graft.CacheRegistry.register(
       e.select(col("parent").as("node")).distinct().localCheckpoint())
     val nInternal = parents.count()
-    val small = nInternal <= BroadcastableInternalNodes
+    val small = fitsBroadcast(nInternal, keyLen, 16)
     // Split the edge set by the child's side in one flagging join — the
     // parents set broadcasts under the measured threshold, so the bulk
     // edge set is never exchanged for the split.
@@ -556,14 +663,16 @@ object GraphAlgos {
       // Frontier feeds twice (next round's join + the comp union), so
       // lineage must truncate — but LAZILY (r14): the guard count below
       // is the ONE action that materializes every round's frontier as
-      // stages of a single job.
+      // stages of a single job. Only the FRONTIER is checkpointed
+      // (r15, r14 ADVICE #3): the accumulating union is a linear chain
+      // over already-truncated frontiers, so checkpointing it per round
+      // persisted O(depth²) cumulative copies for no lineage benefit.
       val next = graft.CacheRegistry.register(eInt
         .join(bcIf(small)(frontier.withColumnRenamed("node", "parent")),
           "parent")
         .select(col("child").as("node"), col("root"))
         .localCheckpoint(eager = false))
-      comp = graft.CacheRegistry.register(
-        comp.unionByName(next).localCheckpoint(eager = false))
+      comp = comp.unionByName(next)
       frontier = next
     }
     require(comp.count() == nInternal,
@@ -594,8 +703,8 @@ object GraphAlgos {
 
     val compInt = comp.join(bcIf(small)(
       sizeInt.select(col("node").as("root"), col("size").as("nc"))), "root")
-    ForestFrames(e, nInternal, parents, leafEdges, eInt, leafCnt, sizeInt,
-      compInt)
+    ForestFrames(e, nInternal, small, parents, leafEdges, eInt, leafCnt,
+      sizeInt, compInt)
   }
 
   // C(n,2) in pure LONG arithmetic: `/` on Columns is DOUBLE division
@@ -607,7 +716,7 @@ object GraphAlgos {
       parentCol: String = "parent", childCol: String = "child"): DataFrame = {
     val f = forestFrames(edges, maxDepth, parentCol, childCol,
       "treeBetweenness")
-    val small = f.nInternal <= BroadcastableInternalNodes
+    val small = f.small
 
     // Per-parent sum of C(child_subtree, 2) — leaf children contribute
     // C(1,2) = 0, so only INTERNAL child edges enter the aggregate.
@@ -655,7 +764,7 @@ object GraphAlgos {
     // — the original all-child recursion with each leaf child's exact
     // (D=0) + (size=1) term folded into the lc base. Exact once
     // k ≥ height(v); lazy loop, one materialization.
-    val small = f.nInternal <= BroadcastableInternalNodes
+    val small = f.small
     var down = f.parents.withColumn("dsub", lit(0L))
     (1 to maxDepth).foreach { _ =>
       val fromInt = f.eInt
@@ -687,6 +796,8 @@ object GraphAlgos {
     (1 to maxDepth - 1).foreach { _ =>
       // Lazy truncation (see the prelude's comp loop): the caller's one
       // action materializes every re-rooting frontier in a single job.
+      // Only the frontier is checkpointed (r15, r14 ADVICE #3) — the
+      // accumulating union is a linear chain over truncated frontiers.
       val next = graft.CacheRegistry.register(f.eInt
         .join(bcIf(small)(frontier.select(col("node").as("parent"),
           col("dist_sum").as("sp"), col("nc"))), "parent")
@@ -696,8 +807,7 @@ object GraphAlgos {
           (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
           col("nc"))
         .localCheckpoint(eager = false))
-      s = graft.CacheRegistry.register(
-        s.unionByName(next).localCheckpoint(eager = false))
+      s = s.unionByName(next)
       frontier = next
     }
     val leaves = f.leafEdges

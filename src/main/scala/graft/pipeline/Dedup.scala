@@ -615,8 +615,9 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .cache())
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint()
+    var labels = graft.CacheRegistry.register(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint())
     // Delta iteration: a node's label can only improve via a neighbor
     // whose label improved, so each round pushes only the labels that
     // SHRANK last round. Round 1 pushes everything; after that the
@@ -624,18 +625,27 @@ object Dedup {
     // is what bounds total work at corpus scale (the naive form re-joins
     // every label every round). Convergence = empty delta — no separate
     // probe.
+    // r15 note: a left-join + least() merge with broadcast push tables
+    // (the GraphAlgos byte-gate discipline) was measured HERE and
+    // REVERTED — the per-round broadcast builds cost more than the
+    // union+re-aggregate they replaced (g4_wcc +54%, d6_dist +32% in
+    // isolated A/B at sf0.1), because rounds scale with component
+    // diameter and each round paid a driver collect. The per-round
+    // checkpoints ARE now registered so the session-hygiene hook
+    // releases them (they previously leaked until session end).
     var delta = labels
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val pushed = edges.join(delta, edges("src") === delta("node"))
         .select(col("dst").as("node"), col("lab"))
-      val next = labels.union(pushed)
+      val next = graft.CacheRegistry.register(labels.union(pushed)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      delta = next.join(labels.withColumnRenamed("lab", "prev"), "node")
-        .filter(col("lab") < col("prev"))
-        .select(col("node"), col("lab")).localCheckpoint()
+        .localCheckpoint())
+      delta = graft.CacheRegistry.register(
+        next.join(labels.withColumnRenamed("lab", "prev"), "node")
+          .filter(col("lab") < col("prev"))
+          .select(col("node"), col("lab")).localCheckpoint())
       converged = delta.isEmpty
       labels = next
       round += 1

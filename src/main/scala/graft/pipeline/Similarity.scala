@@ -632,6 +632,14 @@ object Similarity {
             }
           })
         }.foreach(_.get())
+      } catch {
+        // A failed fit surfaces as the ORIGINAL SparkException, not the
+        // pool's ExecutionException wrapper, and the failure path cancels
+        // queued/running sibling fits instead of letting them hold
+        // driver/executor resources to completion (r14 ADVICE).
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
       } finally pool.shutdown()
       out
     }
