@@ -187,6 +187,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing target is BYTES (default minPartitionSize 1MB),
+      // which serializes CPU-dense-but-byte-small stages: a ≤1MB shuffle
+      // feeding per-row crypto/levenshtein/regex or an exploding Generate
+      // collapses to ONE task and runs single-core (r15, measured: d27's
+      // two 5 s one-task stages, m8 −46%, d25/d26/g8 −22%, j5/r1 −20%
+      // hot p50 after the change). 64KB keeps coalescing for truly tiny
+      // shuffles while letting parallelismFirst honor the session's
+      // core count; at cluster scale partitions exceed 1MB anyway, so
+      // the setting is a no-op there. Env-overridable for bigger-cluster
+      // tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_AQE_MIN_PARTITION", "64KB"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

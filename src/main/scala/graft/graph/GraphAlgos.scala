@@ -556,8 +556,9 @@ object GraphAlgos {
       leafEdges: DataFrame, // e rows whose child is a leaf
       eInt: DataFrame,      // e rows whose child is internal
       leafCnt: DataFrame,   // (node, lc): per-parent leaf-children count
+      anc: DataFrame,       // (desc, anc): internal proper-ancestor pairs
       sizeInt: DataFrame,   // (node, size): exact sizes, internal nodes
-      compInt: DataFrame)   // (node, root, nc): internal nodes
+      compInt: DataFrame)   // (node, root, depth, nc, td): internal nodes
 
   /** Size-adaptive broadcast hint for per-round score/frontier vectors
     * (r14 wave 3, generalized r15): these frames are RDD-backed
@@ -613,19 +614,21 @@ object GraphAlgos {
     // Forest guard in ONE pass (was two count actions): every child has
     // exactly one DISTINCT parent <=> rows == distinct children. The
     // same pass measures the max node-id length for the byte-derived
-    // broadcast gate (r15).
+    // broadcast gate and the internal-node count (r15 — the separate
+    // parents.count() action is gone).
     val g = e.agg(count(lit(1)).as("ne"),
       count_distinct(col("child")).as("nch"),
+      count_distinct(col("parent")).as("npar"),
       greatest(max(length(col("parent").cast("string"))),
         max(length(col("child").cast("string")))).as("klen")).head()
     require(g.getLong(0) == g.getLong(1),
       s"$who input is not a forest: some child has > 1 parent")
-    val keyLen = if (g.isNullAt(2)) 0L else g.getInt(2).toLong
+    val keyLen = if (g.isNullAt(3)) 0L else g.getInt(3).toLong
 
     // Internal nodes = nodes with children; everything else is a leaf.
     val parents = graft.CacheRegistry.register(
       e.select(col("parent").as("node")).distinct().localCheckpoint())
-    val nInternal = parents.count()
+    val nInternal = g.getLong(2)
     val small = fitsBroadcast(nInternal, keyLen, 16)
     // Split the edge set by the child's side in one flagging join — the
     // parents set broadcasts under the measured threshold, so the bulk
@@ -645,66 +648,86 @@ object GraphAlgos {
       leafEdges.groupBy(col("parent").as("node"))
         .agg(count(lit(1)).as("lc")).localCheckpoint())
 
-    // Component roots, top-down over the INTERNAL edges only (the
-    // frontiers are the small upper levels; leaves inherit their
-    // parent's root in the callers' one leaf pass). maxDepth−1 rounds
-    // suffice for any guard-passing forest: the deepest node is a leaf,
-    // so internal depths are ≤ maxDepth−1 — and the coverage require
-    // below fires on a cycle or an undersized maxDepth exactly as the
-    // old all-node propagation did (deepest-leaf depth > maxDepth <=>
-    // some internal depth > maxDepth−1).
+    // Internal proper-ancestor PAIRS (desc, anc), exact-distance layers:
+    //   P_1 = eInt reversed; P_k = P_{k−1} extended one hop up.
+    // Internal depths are ≤ maxDepth−1 for any guard-passing forest
+    // (the deepest node is a leaf), so maxDepth−2 extension rounds
+    // cover every chain. Lazy loop (linear lineage, only the layer
+    // truncates — the union is a linear chain over truncated layers);
+    // |anc| = Σ_v depth(v) ≤ |internal|·(maxDepth−1), the same
+    // O(V·depth) volume the former per-round sweeps shuffled in
+    // aggregate. This ONE table replaces the r14 prelude's FOUR loops
+    // (top-down root propagation, bottom-up sizes, bottom-up distance
+    // sums, top-down re-rooting — ~3.5·maxDepth serial joins and their
+    // broadcast-build driver round-trips, the measured local-mode cost)
+    // with the closed-form aggregates below and in treeDistanceSums
+    // (r15, guide §1.2).
+    var layer = eInt.select(col("child").as("desc"),
+      col("parent").as("anc")).localCheckpoint(eager = false)
+    graft.CacheRegistry.register(layer)
+    var anc = layer
+    (1 to maxDepth - 2).foreach { _ =>
+      val up = graft.CacheRegistry.register(layer
+        .join(bcIf(small)(eInt.select(col("child").as("anc"),
+          col("parent").as("up"))), "anc")
+        .select(col("desc"), col("up").as("anc"))
+        .localCheckpoint(eager = false))
+      anc = anc.unionByName(up)
+      layer = up
+    }
+
+    // Roots, and root/depth per internal node FROM the pair table:
+    // depth(v) = |ancestors(v)|, root(v) = v's ancestor that is a root.
+    // Coverage guard unchanged in meaning: a cycle has no root to pair
+    // with, and a node deeper than maxDepth−1 tops out before reaching
+    // its root, so comp misses it and the require fires.
     val roots = parents.join(e.select(col("child").as("node")), Seq("node"),
       "left_anti")
-    var comp = roots.withColumn("root", col("node"))
-      .localCheckpoint(eager = false)
-    graft.CacheRegistry.register(comp)
-    var frontier = comp
-    (1 to maxDepth - 1).foreach { _ =>
-      // Frontier feeds twice (next round's join + the comp union), so
-      // lineage must truncate — but LAZILY (r14): the guard count below
-      // is the ONE action that materializes every round's frontier as
-      // stages of a single job. Only the FRONTIER is checkpointed
-      // (r15, r14 ADVICE #3): the accumulating union is a linear chain
-      // over already-truncated frontiers, so checkpointing it per round
-      // persisted O(depth²) cumulative copies for no lineage benefit.
-      val next = graft.CacheRegistry.register(eInt
-        .join(bcIf(small)(frontier.withColumnRenamed("node", "parent")),
-          "parent")
-        .select(col("child").as("node"), col("root"))
-        .localCheckpoint(eager = false))
-      comp = comp.unionByName(next)
-      frontier = next
-    }
+    val depths = anc.groupBy(col("desc").as("node"))
+      .agg(count(lit(1)).as("depth"))
+    val comp = graft.CacheRegistry.register(
+      roots.select(col("node"), col("node").as("root"), lit(0L).as("depth"))
+        .unionByName(
+          anc.join(bcIf(small)(roots.select(col("node").as("anc"))), "anc")
+            .select(col("desc").as("node"), col("anc").as("root"))
+            .join(bcIf(small)(depths), "node")
+            .select(col("node"), col("root"), col("depth")))
+        .localCheckpoint(eager = false)) // the guard count materializes
     require(comp.count() == nInternal,
       s"$who: some node has no root within $maxDepth hops " +
         "(cycle, or maxDepth smaller than the forest height)")
 
-    // Bottom-up subtree sizes over internal nodes:
-    //   size_k(v) = 1 + lc(v) + Σ_{(v,c) internal} size_{k−1}(c)
-    // (the original all-node recursion with the always-1 leaf terms
-    // folded into the base). size_k(v) is exact once k reaches v's
-    // internal-chain length (≤ maxDepth under the guard — the deepest
-    // valid shape is maxDepth internal nodes with the leaf hanging off
-    // the last), so maxDepth rounds pin it; lazy loop (linear lineage),
-    // one materialization.
-    val base = parents.join(leafCnt, Seq("node"), "left")
-      .select(col("node"),
-        (lit(1L) + coalesce(col("lc"), lit(0L))).as("base"))
-    var size = parents.withColumn("size", lit(1L))
-    (1 to maxDepth).foreach { _ =>
-      val fromInt = eInt
-        .join(bcIf(small)(size.withColumnRenamed("node", "child")), "child")
-        .groupBy(col("parent").as("node")).agg(sum(col("size")).as("isum"))
-      size = base.join(bcIf(small)(fromInt), Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + coalesce(col("isum"), lit(0L))).as("size"))
-    }
-    val sizeInt = graft.CacheRegistry.register(size.localCheckpoint())
+    // Exact subtree sizes in ONE aggregate over the pair table:
+    //   size(v) = 1 + lc(v) + Σ_{desc u of v} (1 + lc(u))
+    // (internal descendants each bring themselves + their leaf children;
+    // v brings itself + its own leaf children).
+    val descAgg = anc
+      .join(bcIf(small)(leafCnt.withColumnRenamed("node", "desc")),
+        Seq("desc"), "left")
+      .groupBy(col("anc").as("node"))
+      .agg((count(lit(1)) + sum(coalesce(col("lc"), lit(0L)))).as("dsum"))
+    val sizeInt = graft.CacheRegistry.register(
+      parents
+        .join(bcIf(small)(leafCnt), Seq("node"), "left")
+        .join(bcIf(small)(descAgg), Seq("node"), "left")
+        .select(col("node"), (lit(1L) + coalesce(col("lc"), lit(0L)) +
+          coalesce(col("dsum"), lit(0L))).as("size"))
+        .localCheckpoint())
 
-    val compInt = comp.join(bcIf(small)(
-      sizeInt.select(col("node").as("root"), col("size").as("nc"))), "root")
+    // Per-root totals: nc = size(root) (the root's subtree IS the
+    // component) and td = Σ_{u ∈ comp} depth(u) over ALL nodes — each
+    // internal node contributes its depth plus depth+1 for each of its
+    // leaf children.
+    val rootStats = comp
+      .join(bcIf(small)(leafCnt), Seq("node"), "left")
+      .groupBy(col("root"))
+      .agg(sum(col("depth") + coalesce(col("lc"), lit(0L)) *
+        (col("depth") + lit(1L))).as("td"))
+      .join(bcIf(small)(sizeInt.select(col("node").as("root"),
+        col("size").as("nc"))), "root")
+    val compInt = comp.join(bcIf(small)(rootStats), "root")
     ForestFrames(e, nInternal, small, parents, leafEdges, eInt, leafCnt,
-      sizeInt, compInt)
+      anc, sizeInt, compInt)
   }
 
   // C(n,2) in pure LONG arithmetic: `/` on Columns is DOUBLE division
@@ -759,57 +782,31 @@ object GraphAlgos {
     val f = forestFrames(edges, maxDepth, parentCol, childCol,
       "treeDistanceSums")
 
-    // Bottom-up subtree distance sums over INTERNAL nodes only:
-    //   D_k(v) = lc(v) + Σ_{(v,c) internal} (D_{k−1}(c) + size(c))
-    // — the original all-child recursion with each leaf child's exact
-    // (D=0) + (size=1) term folded into the lc base. Exact once
-    // k ≥ height(v); lazy loop, one materialization.
+    // Closed form over the prelude's ancestor-pair table (r15 — replaces
+    // the bottom-up D sweep + top-down re-rooting sweep, ~2·maxDepth
+    // serial joins, with ONE join + aggregate). From
+    //   dist(u,v) = depth(u) + depth(v) − 2·depth(lca(u,v))
+    // and  Σ_u depth(lca(u,v)) = Σ_{a ∈ anc*(v)} size(a) − Nc
+    // (|anc*(u) ∩ anc*(v)| = depth(lca)+1; a ∈ anc*(v) is shared by
+    // exactly the size(a) nodes of a's subtree):
+    //   S(v) = td + Nc·depth(v) + 2·Nc − 2·Σ_{a ∈ anc*(v)} size(a)
+    // — pure integer arithmetic, identical values to the sweeps it
+    // replaces (fuzz parity + the g13/g14 centrality identity pin it).
     val small = f.small
-    var down = f.parents.withColumn("dsub", lit(0L))
-    (1 to maxDepth).foreach { _ =>
-      val fromInt = f.eInt
-        .join(bcIf(small)(down.withColumnRenamed("node", "child")), "child")
-        .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "child")),
-          "child")
-        .groupBy(col("parent").as("node"))
-        .agg(sum(col("dsub") + col("size")).as("isum"))
-      down = f.parents
-        .join(bcIf(small)(f.leafCnt), Seq("node"), "left")
-        .join(bcIf(small)(fromInt), Seq("node"), "left")
-        .select(col("node"),
-          (coalesce(col("lc"), lit(0L)) + coalesce(col("isum"), lit(0L)))
-            .as("dsub"))
-    }
-    val downCp = graft.CacheRegistry.register(down.localCheckpoint())
-
-    // Top-down re-rooting S(child) = S(parent) + Nc − 2·size(child),
-    // run over the INTERNAL frontiers (the small upper levels), then
-    // ONE full-edge pass extends to the leaves with their closed form
-    // S(leaf) = S(parent) + Nc − 2 (size(leaf) = 1). Identical integer
-    // arithmetic to the all-node sweep, 1/edge-bulk of the join volume.
-    var s = graft.CacheRegistry.register(
-      f.compInt.filter(col("node") === col("root"))
-        .join(downCp, "node")
-        .select(col("node"), col("dsub").as("dist_sum"), col("nc"))
-        .localCheckpoint(eager = false))
-    var frontier = s
-    (1 to maxDepth - 1).foreach { _ =>
-      // Lazy truncation (see the prelude's comp loop): the caller's one
-      // action materializes every re-rooting frontier in a single job.
-      // Only the frontier is checkpointed (r15, r14 ADVICE #3) — the
-      // accumulating union is a linear chain over truncated frontiers.
-      val next = graft.CacheRegistry.register(f.eInt
-        .join(bcIf(small)(frontier.select(col("node").as("parent"),
-          col("dist_sum").as("sp"), col("nc"))), "parent")
-        .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "child")),
-          "child")
-        .select(col("child").as("node"),
-          (col("sp") + col("nc") - lit(2L) * col("size")).as("dist_sum"),
-          col("nc"))
-        .localCheckpoint(eager = false))
-      s = s.unionByName(next)
-      frontier = next
-    }
+    val ancSize = f.anc
+      .join(bcIf(small)(f.sizeInt.withColumnRenamed("node", "anc")), "anc")
+      .groupBy(col("desc").as("node")).agg(sum(col("size")).as("asum"))
+    val internal = f.compInt
+      .join(bcIf(small)(f.sizeInt), "node")
+      .join(bcIf(small)(ancSize), Seq("node"), "left")
+      .select(col("node"),
+        (col("td") + col("nc") * col("depth") + lit(2L) * col("nc") -
+          lit(2L) * (col("size") + coalesce(col("asum"), lit(0L))))
+          .as("dist_sum"),
+        col("nc"))
+    // Leaves in ONE full-edge pass, re-rooting closed form
+    // S(leaf) = S(parent) + Nc − 2 (size(leaf) = 1) — unchanged.
+    val s = graft.CacheRegistry.register(internal.localCheckpoint())
     val leaves = f.leafEdges
       .join(bcIf(small)(s.select(col("node").as("parent"),
         col("dist_sum").as("sp"), col("nc"))), "parent")

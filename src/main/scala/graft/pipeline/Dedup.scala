@@ -571,18 +571,47 @@ object Dedup {
     * prefixes) are ordinary AQE skew-split territory.
     */
   def editJoin(strings: DataFrame, strCol: String): DataFrame = {
+    // Variant generation is codegen-friendly scalar work (r15, guide
+    // §4): the old array_union(array(w), transform(sequence(...), λ))
+    // built and deduped a per-row array through two INTERPRETED
+    // higher-order functions — measured as ~80% of the query's CPU,
+    // paid on BOTH join sides. Now: explode the position index (i = 0
+    // keeps w itself) and build each deletion with plain
+    // substring/concat, all whole-stage-codegen; the (w, v) distinct
+    // replaces array_union's per-name dedup exactly (repeated-char runs
+    // collapse to one variant), so the candidate set is unchanged.
+    // The explicit repartition undoes AQE's pre-explode coalescing
+    // (r15, guide §2.4 — repartition after explosive operators): the
+    // name-distinct shuffle is bytes-tiny, so AQE folds it to ONE
+    // partition, and everything downstream — the ×(len+1) variant
+    // expansion, both hash-join probes, and the per-pair levenshtein —
+    // ran single-core (measured: two 1-task 5 s stages carrying ~90% of
+    // the query). The width is the session's default parallelism, not a
+    // constant, so at real scale (where the shuffle is already wide)
+    // this is a no-op-sized rebalance, never a shrink.
     val v = strings.select(col(strCol).as("w")).distinct()
-      .select(col("w"), explode(expr(
-        """array_union(array(w), transform(sequence(1, length(w)),
-          |  i -> concat(substring(w, 1, i - 1),
-          |              substring(w, i + 1, 2147483647))))""".stripMargin))
-        .as("v"))
+      .select(col("w"),
+        explode(sequence(lit(0), length(col("w")))).as("i"))
+      .select(col("w"), when(col("i") === 0, col("w"))
+        .otherwise(expr("concat(substring(w, 1, i - 1), " +
+          "substring(w, i + 1, 2147483647))")).as("v"))
+      .distinct()
+      .repartition(strings.sparkSession.sparkContext.defaultParallelism)
+    // Verify BEFORE the pair distinct (r15, guide §2.2 — shuffle fewer
+    // bytes): candidate multiplicity is high exactly when strings carry
+    // repeated-character runs (every deletion inside a run collides),
+    // so distinct-ing raw candidates exchanged millions of wide string
+    // pairs that the ≤1 filter then discarded. levenshtein runs
+    // map-side in the join stage at ~0.1 µs/pair; the distinct now
+    // exchanges only the true matches. distinct∘filter ≡ filter∘distinct
+    // for a deterministic predicate — rows identical, oracle unchanged.
     v.select(col("v"), col("w").as("name_a"))
       .join(v.select(col("v"), col("w").as("name_b")), "v")
       .filter(col("name_a") < col("name_b"))
-      .select(col("name_a"), col("name_b")).distinct()
+      .select(col("name_a"), col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
+      .distinct()
   }
 
   /** D6: connected components over a near-duplicate pair list — the

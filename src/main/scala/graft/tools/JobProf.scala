@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
@@ -19,11 +19,14 @@ object JobProf {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_AQE_MIN_PARTITION", "64KB"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val starts = mutable.Map[Int, (Long, String)]()
     val done = mutable.ArrayBuffer[(Int, Long, String)]()
+    val stages = mutable.ArrayBuffer[(Int, Long, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts.synchronized {
@@ -37,6 +40,13 @@ object JobProf {
           starts.remove(je.jobId).foreach { case (t0, d) =>
             done += ((je.jobId, je.time - t0, d))
           }
+        }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          val si = sc.stageInfo
+          val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          stages += ((si.stageId, ms, si.numTasks, si.name.take(80)))
         }
     })
 
@@ -57,6 +67,11 @@ object JobProf {
         f"job-time sum ${jobs.map(_._2).sum / 1e3}%.3f s")
       jobs.sortBy(_._1).foreach { case (id, ms, d) =>
         println(f"  job $id%4d ${ms}%6d ms  ${d.take(90)}")
+      }
+      val sts = stages.synchronized { val v = stages.toVector; stages.clear(); v }
+      sts.filter(_._2 >= 200).sortBy(-_._2).take(12).foreach {
+        case (id, ms, nt, nm) =>
+          println(f"  stage $id%4d ${ms}%6d ms  $nt%4d tasks  $nm")
       }
     }
     spark.stop()
