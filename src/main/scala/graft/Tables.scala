@@ -90,8 +90,56 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+  /** The text/vector pipeline tables ship as single-row-group parquet in
+    * the test decades, and parquet cannot split a row group — so EVERY
+    * text/vector operator's scan stage (regex batteries, tokenization,
+    * shingling, cosine kernels: per-row work 100-1000x the scan cost)
+    * ran on ONE core until its first exchange (r15, measured: d48's
+    * five 1-task 1-2 s legs). A deterministic hash rebalance on the id
+    * column spreads that CPU across the session's cores for the price
+    * of shuffling the (tiny) table once. Size-gated so it vanishes at
+    * real scale: past `GRAFT_SCAN_REBALANCE_MB` (default 2 MB) per core
+    * the scan is wide enough on its own and the extra exchange would be
+    * the bug, not the fix. Hash-by-id (not round-robin) keeps the
+    * assignment independent of input row order. Memoized like the raw
+    * scans.
+    */
+  private val RebalancePerCoreBytes: Long =
+    sys.env.get("GRAFT_SCAN_REBALANCE_MB").map(_.toLong)
+      .getOrElse(2L) << 20
+  private def rebalancedSmall(spark: SparkSession, d: String, name: String,
+      idCol: String): DataFrame = {
+    val key = (spark, s"$d/$name.parquet#rebalanced")
+    scanMemo.synchronized { Option(scanMemo.get(key)) }.getOrElse {
+      val raw = apply(spark, d, name)
+      val cores = spark.sparkContext.defaultParallelism
+      val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val df =
+        if (RebalancePerCoreBytes > 0 &&
+            bytes < BigInt(RebalancePerCoreBytes) * cores)
+          raw.repartition(cores, col(idCol))
+        else raw
+      scanMemo.synchronized { scanMemo.put(key, df) }
+      df
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame =
+    rebalancedSmall(spark, d, "documents", "doc_id")
+  /** The raw (un-rebalanced) documents scan, for the few consumers whose
+    * pipelines are many-small-stage loops rather than per-row CPU — the
+    * extra partitions multiply their task counts for no win (r15 A/B:
+    * t22/t23 +26%, t25 +29%, d22 +21% under the rebalance, vs d31 −68%,
+    * d37 −66%, d32 −50%, t17 −40% for the scan-dense battery).
+    */
+  def documentsRaw(spark: SparkSession, d: String): DataFrame =
+    apply(spark, d, "documents")
+  // embeddings deliberately NOT rebalanced (r15, measured): its consumers
+  // are join/top-k shaped — widening a 2k-row scan to 32 partitions
+  // multiplied downstream task counts for no CPU win (d49 +57%, d44 +30%
+  // in isolated A/B), where the documents consumers (regex/tokenize/
+  // shingle batteries) are embarrassingly per-row and won big.
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    apply(spark, d, "embeddings")
 
   /** Register every table as a temp view (used by tests / ad-hoc SQL). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1184,7 +1184,7 @@ object PipelineQueries {
     * edges to disagree across engines); sigmoid/averages round at 6.
     */
   def t25QualityCalibration(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.documentsRaw(spark, d) // loop-shaped; see documentsRaw
     val scored = QualityClassifier.score(
       docs.filter(col("source") === "src0"),
       docs.filter(col("source") =!= "src0"), docs)
@@ -1226,7 +1226,7 @@ object PipelineQueries {
     * counts.
     */
   def t22SubwordTokenize(spark: SparkSession, d: String): DataFrame =
-    Tokenizer.tokenizeWords(Tables.documents(spark, d))
+    Tokenizer.tokenizeWords(Tables.documentsRaw(spark, d))
       .orderBy(col("word"))
 
   /** T23: per-document tokenizer fertility ([[Tokenizer.fertility]]) —
@@ -1234,7 +1234,7 @@ object PipelineQueries {
     * tokenizer-fit metric; one broadcast map-back pass over the corpus.
     */
   def t23TokenizerFertility(spark: SparkSession, d: String): DataFrame =
-    Tokenizer.fertility(Tables.documents(spark, d))
+    Tokenizer.fertility(Tables.documentsRaw(spark, d))
       .orderBy(col("doc_id"))
 
   /** T8: BM25 relevance of every document against a fixed lexical query
@@ -1564,7 +1564,7 @@ object PipelineQueries {
     * oracle runs the NOT EXISTS the result must equal.
     */
   def d22BloomNovelty(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.documentsRaw(spark, d)
       .withColumn("fp",
         md5(substring(lower(trim(col("text"))), 1, 40).cast("binary")))
     Novelty.novelAgainst(
